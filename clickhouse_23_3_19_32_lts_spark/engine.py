@@ -1,0 +1,137 @@
+"""Engine: session wrapper + table registry over partitioned Parquet.
+
+Reference analogue: the database/table catalog (`src/Interpreters/Context.h`,
+`src/Storages/StorageFactory.cpp` in /root/reference) — here a table is a
+named Parquet location registered as a temp view; Spark's catalog handles
+resolution, and Catalyst handles every optimization the reference does at
+AST/QueryPlan level (SURVEY.md §4.1 "What Catalyst already does").
+
+Scale notes: registration is lazy (no data read until an action); scans get
+partition discovery + row-group pruning from the Parquet source; `dims()`
+marks small dimension tables so query code can `F.broadcast` them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as papq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver's fixture tables (TESTDATA.md). `documents`/`embeddings` serve
+# the training-data-pipeline operators.
+STANDARD_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tables safe to broadcast at any realistic scale factor (bounded cardinality:
+# 5 regions / 25 nations) vs. merely "small at test SF".
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) (Spark reads them as
+    long under spark.sql.legacy.parquet.nanosAsLong). Footer-only read."""
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.endswith(".parquet"):
+                path = os.path.join(path, name)
+                break
+    schema = papq.read_schema(path)
+    return [
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if str(typ) == "timestamp[ns]"
+    ]
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet + ns→µs timestamp restoration.
+
+    DuckDB truncates ns→µs the same way (its TIMESTAMP is µs), so the oracle
+    sees identical values. The division happens in codegen, JVM-side.
+    """
+    df = spark.read.parquet(path)
+    for c in _nanos_ts_columns(path):
+        # integer division: double division would lose precision at ~1.7e18 ns
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+class Engine:
+    """Session wrapper + table registry.
+
+    >>> eng = Engine(spark, "/root/testdata/sf0.01")
+    >>> eng.table("lineitem").groupBy("l_returnflag").count()
+    >>> eng.sql("SELECT count(*) AS n FROM lineitem")
+    """
+
+    def __init__(self, spark: SparkSession, data_dir: str | None = None):
+        self.spark = spark
+        self._tables: dict[str, DataFrame] = {}
+        if data_dir:
+            self.register_dir(data_dir)
+
+    # -- registry ----------------------------------------------------------
+    def register_dir(self, data_dir: str) -> "Engine":
+        """Register every ``<name>.parquet`` under ``data_dir`` as a view."""
+        for name in sorted(os.listdir(data_dir)):
+            if name.endswith(".parquet"):
+                self.register_parquet(name[: -len(".parquet")], os.path.join(data_dir, name))
+        return self
+
+    def register_parquet(self, name: str, path: str) -> DataFrame:
+        df = read_parquet_table(self.spark, path)
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register(self, name: str, df: DataFrame) -> DataFrame:
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            raise KeyError(f"table {name!r} not registered (have {sorted(self._tables)})")
+        return self._tables[name]
+
+    def tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    # -- query -------------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Run Spark SQL against the registered views."""
+        return self.spark.sql(query)
+
+    # -- write path --------------------------------------------------------
+    def insert(self, name: str, df: DataFrame, mode: str = "append", path: str | None = None) -> None:
+        """INSERT INTO semantics: append parquet at the table's location.
+
+        Reference: InterpreterInsertQuery (SURVEY.md §2.1). For a registered
+        parquet table a path is required; re-registration refreshes the view.
+        """
+        if path is None:
+            raise ValueError("insert() needs the table's parquet path")
+        df.write.mode(mode).parquet(path)
+        self.register_parquet(name, path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Plain-dict loader used by the query registry (no view registration)."""
+    out: dict[str, DataFrame] = {}
+    for name in STANDARD_TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            out[name] = read_parquet_table(spark, p)
+    return out
