@@ -1,0 +1,68 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}. The driver records this as
+BENCH_r{N}.json and compares against BASELINE.md's protocol (within 2x at
+the same scale factor).
+
+Timing method: one warm-up action to absorb JVM/session start, then each
+query timed end-to-end (plan + execute + collect-to-count). Queries run on
+the same session — matching how the reference benchmarks successive queries
+against a warm server process.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from clickhouse_23_3_19_32_lts_spark.queries import all_queries
+from clickhouse_23_3_19_32_lts_spark.session import get_spark
+
+# Headline set: aggregation, star join, top-K, windows, events pipeline.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_regional_revenue",
+    "q06_revenue_change",
+    "q_window_order_rank",
+    "q_limit_by",
+    "q_count_distinct",
+    "q_events_tumble",
+    "q_events_json",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # Warm-up: trigger session init + parquet footer reads once.
+    queries[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
