@@ -1,0 +1,94 @@
+"""IP address family.
+
+Reference: src/Functions/FunctionsCodingIP.cpp (IPv4NumToString,
+IPv4StringToNum, IPv4CIDRToRange, isIPv4String, isIPv6String, toIPv4).
+IPv4 as UInt32 — pure bit arithmetic, all codegen'd. IPv6 is string-level
+validation only (full IPv6 arithmetic out of parity scope, noted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from clickhouse_23_3_19_32_lts_spark.functions.registry import chfn, col
+
+__all__ = [
+    "IPv4NumToString", "IPv4StringToNum", "IPv4StringToNumOrNull",
+    "isIPv4String", "isIPv6String", "toIPv4", "IPv4CIDRToRange",
+    "IPv4ToIPv6", "isIPAddressInRange",
+]
+
+_IPV4_RE = r"^(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}$"
+
+
+@chfn("IPv4NumToString", "INET_NTOA")
+def IPv4NumToString(n) -> Column:
+    c = col(n).cast("long")
+    return F.concat_ws(
+        ".",
+        (F.shiftrightunsigned(c, 24).bitwiseAND(F.lit(255))).cast("string"),
+        (F.shiftrightunsigned(c, 16).bitwiseAND(F.lit(255))).cast("string"),
+        (F.shiftrightunsigned(c, 8).bitwiseAND(F.lit(255))).cast("string"),
+        c.bitwiseAND(F.lit(255)).cast("string"),
+    )
+
+
+@chfn("IPv4StringToNum", "INET_ATON")
+def IPv4StringToNum(s) -> Column:
+    parts = F.split(col(s), r"\.")
+    return (
+        parts[0].cast("long") * 16777216
+        + parts[1].cast("long") * 65536
+        + parts[2].cast("long") * 256
+        + parts[3].cast("long")
+    )
+
+
+@chfn("IPv4StringToNumOrNull")
+def IPv4StringToNumOrNull(s) -> Column:
+    return F.when(isIPv4String(s), IPv4StringToNum(s))
+
+
+@chfn("isIPv4String")
+def isIPv4String(s) -> Column:
+    return col(s).rlike(_IPV4_RE)
+
+
+@chfn("isIPv6String")
+def isIPv6String(s) -> Column:
+    return col(s).rlike(r"^[0-9A-Fa-f:]+(:{1,2}[0-9A-Fa-f]*)*$") & col(s).contains(":")
+
+
+@chfn("toIPv4")
+def toIPv4(s) -> Column:
+    return IPv4StringToNum(s)
+
+
+@chfn("IPv4CIDRToRange")
+def IPv4CIDRToRange(ip, prefix) -> Column:
+    n = (col(ip) if isinstance(ip, Column) else IPv4StringToNum(ip)).cast("long")
+    p = col(prefix).cast("int") if isinstance(prefix, Column) else F.lit(prefix)
+    host_bits = F.pow(F.lit(2.0), 32 - p).cast("long") - 1  # 2^(32-p)-1
+    mask = F.lit(0xFFFFFFFF) - host_bits
+    lo = n.bitwiseAND(mask)
+    hi = lo.bitwiseOR(host_bits)
+    return F.struct(
+        IPv4NumToString(lo).alias("lo"), IPv4NumToString(hi).alias("hi")
+    )
+
+
+@chfn("IPv4ToIPv6")
+def IPv4ToIPv6(n) -> Column:
+    return F.concat(F.lit("::ffff:"), IPv4NumToString(n))
+
+
+@chfn("isIPAddressInRange")
+def isIPAddressInRange(addr, cidr: str) -> Column:
+    base, _, plen = cidr.partition("/")
+    plen_i = int(plen or "32")
+    mask = 0 if plen_i == 0 else (0xFFFFFFFF << (32 - plen_i)) & 0xFFFFFFFF
+    import ipaddress
+
+    base_n = int(ipaddress.IPv4Address(base)) & mask
+    return IPv4StringToNum(addr).bitwiseAND(F.lit(mask)) == F.lit(base_n)

@@ -604,6 +604,182 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.8 scalar-function families exercised through the oracle gate
+# (unit coverage is in tests/test_functions.py; these prove the families
+# compose inside real queries with DuckDB-identical results)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                         AS uname,
+           length(c_name)                        AS name_len,
+           substring(c_name, 1, 8)               AS prefix,
+           replace(c_name, '#', '-')             AS dashed,
+           position('#' IN c_name)               AS hash_pos,
+           c_name LIKE '%1%'                     AS has_one,
+           reverse(c_name)                       AS rev,
+           concat(c_mktsegment, ':', c_name)     AS tagged
+    FROM customer
+    ORDER BY c_custkey
+    LIMIT 500
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (§2.8) through CH.* builders — all codegen'd."""
+    from clickhouse_23_3_19_32_lts_spark import functions as CH
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            CH.upper("c_name").alias("uname"),
+            CH.length("c_name").alias("name_len"),
+            CH.substring("c_name", 1, 8).alias("prefix"),
+            CH.replaceAll("c_name", "#", "-").alias("dashed"),
+            CH.position("c_name", "#").alias("hash_pos"),
+            CH.like("c_name", "%1%").alias("has_one"),
+            CH.reverse("c_name").alias("rev"),
+            CH.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("tagged"),
+        )
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           year(o_orderdate) * 100 + month(o_orderdate)        AS yyyymm,
+           isodow(o_orderdate)                                  AS dow_iso,
+           count(*)                                             AS n,
+           CAST(sum(o_totalprice) AS DOUBLE)                    AS revenue
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: toStartOfMonth/toYYYYMM/toDayOfWeek (ISO numbering)."""
+    from clickhouse_23_3_19_32_lts_spark import functions as CH
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            CH.toStartOfMonth("o_orderdate").cast("timestamp").alias("month_start"),
+            CH.toYYYYMM("o_orderdate").alias("yyyymm"),
+            CH.toDayOfWeek("o_orderdate").cast("int").alias("dow_iso"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("revenue"))
+        .orderBy("month_start", "yyyymm", "dow_iso")
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_linenumber,
+           CAST(avg(sqrt(l_quantity)) AS DOUBLE)          AS avg_sqrt_qty,
+           CAST(avg(ln(l_extendedprice)) AS DOUBLE)       AS avg_ln_price,
+           CAST(sum(round_even(l_quantity / 7, 1)) AS DOUBLE)  AS sum_rounded,
+           CAST(max(abs(l_discount - 0.05)) AS DOUBLE)    AS max_abs_dev,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_floor
+    FROM lineitem
+    GROUP BY l_linenumber
+    ORDER BY l_linenumber
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math/rounding family; round() is banker's in both engines."""
+    from clickhouse_23_3_19_32_lts_spark import functions as CH
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.avg(CH.sqrt("l_quantity")).alias("avg_sqrt_qty"),
+            F.avg(CH.log("l_extendedprice")).alias("avg_ln_price"),
+            F.sum(CH.round_(F.col("l_quantity") / 7, 1)).alias("sum_rounded"),
+            F.max(CH.abs_(F.col("l_discount") - 0.05)).alias("max_abs_dev"),
+            F.sum(CH.floor_("l_quantity")).alias("sum_floor"),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+@query(
+    "q_vector_distance",
+    oracle="""
+    WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           CAST(list_inner_product(e.embedding::DOUBLE[], probe.p) AS DOUBLE) AS dot,
+           CAST(list_distance(e.embedding::DOUBLE[], probe.p) AS DOUBLE)      AS l2,
+           CAST(greatest(1 - list_cosine_similarity(e.embedding::DOUBLE[], probe.p), 0) AS DOUBLE) AS cos_dist
+    FROM embeddings e, probe
+    WHERE e.vec_id < 100
+    ORDER BY e.vec_id
+    """,
+)
+def q_vector_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector distances (arrayDistance.cpp:514) — north-star family.
+
+    Probe vector is broadcast (crossJoin of a 1-row DF); distances run in
+    codegen via zip_with/aggregate. At 100 TB this is a map-only stage.
+    """
+    from clickhouse_23_3_19_32_lts_spark import functions as CH
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    return (
+        emb.filter(F.col("vec_id") < 100)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            CH.dotProduct("embedding", "p").alias("dot"),
+            CH.L2Distance("embedding", "p").alias("l2"),
+            F.greatest(CH.cosineDistance("embedding", "p"), F.lit(0.0)).alias("cos_dist"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT)                    AS dim,
+           CAST(list_sum(list_transform(embedding, x -> CAST(abs(x) AS DOUBLE))) AS DOUBLE) AS l1,
+           CAST(list_max(embedding) AS DOUBLE)               AS mx,
+           CAST(list_sort(list_slice(embedding, 1, 4))[1] AS DOUBLE) AS min_of_head
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size/slice/sort/higher-order sum — HOFs in codegen."""
+    from clickhouse_23_3_19_32_lts_spark import functions as CH
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("dim"),
+            CH.L1Norm("embedding").alias("l1"),
+            F.array_max("embedding").cast("double").alias("mx"),
+            F.element_at(CH.arraySort(CH.arraySlice("embedding", 1, 4)), 1)
+            .cast("double")
+            .alias("min_of_head"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
