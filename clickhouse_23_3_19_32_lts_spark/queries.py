@@ -780,6 +780,20 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registered query modules (imported for decorator side effects; placed at
+# module bottom so `query`/`_t` exist when the submodule imports them).
+def _load_query_modules() -> None:
+    import importlib
+
+    for mod in (
+        "clickhouse_23_3_19_32_lts_spark.queries_ops",
+    ):
+        importlib.import_module(mod)
+
+
+_load_query_modules()
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,198 @@
+"""Operator-library queries: ASOF/ANY join, WITH FILL, WITH TOTALS, SAMPLE,
+ARRAY JOIN — each SURVEY.md §2 operator that needed library code, proven
+end-to-end against the DuckDB oracle.
+
+Registered into the same QUERIES/ORACLES maps as queries.py (imported from
+there for decorator side effects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_23_3_19_32_lts_spark.queries import _t, query
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, max(value) AS view_value FROM events
+               WHERE event_type = 'view' GROUP BY user_id, ts)
+    SELECT p.event_id                   AS purchase_id,
+           p.user_id                    AS user_id,
+           p.ts                         AS pts,
+           CAST(p.value AS DOUBLE)      AS purchase_value,
+           v.ts                         AS view_ts,
+           CAST(v.view_value AS DOUBLE) AS view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY purchase_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF LEFT JOIN (src/Core/Joins.h:38,56): for each purchase, the
+    latest view at-or-before it per user.
+
+    union+window plan (operators/asof_join.py): ONE shuffle on user_id —
+    no range explosion, no per-group Python; scales linearly in events.
+    """
+    from clickhouse_23_3_19_32_lts_spark.operators.asof_join import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return (
+        asof_join(purchases, views, on="ts", by=["user_id"], strictness="<=", right_prefix="view_")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("pts"),
+            F.col("value").cast("double").alias("purchase_value"),
+            "view_ts",
+            F.col("view_value").cast("double"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "q_any_join",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    SELECT c_custkey, c_name, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+    FROM customer LEFT JOIN first_order ON c_custkey = o_custkey AND rn = 1
+    ORDER BY c_custkey
+    """,
+)
+def q_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY LEFT JOIN (JoinStrictness::Any, src/Core/Joins.h:36): each
+    customer matched to at most one (deterministically first) order."""
+    from clickhouse_23_3_19_32_lts_spark.operators.any_join import any_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_orderdate").alias("first_orderdate"),
+    )
+    return any_join(
+        cust,
+        orders,
+        on=["c_custkey"],
+        how="left",
+        order=[F.asc("first_orderdate"), F.asc("first_orderkey")],
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q_with_fill",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events WHERE user_id < 3 GROUP BY 1, 2),
+    bounds AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM base GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds)
+    SELECT g.user_id AS user_id, CAST(g.day AS TIMESTAMP) AS day, coalesce(b.n, 0) AS n
+    FROM grid g LEFT JOIN base b ON g.user_id = b.user_id AND g.day = b.day
+    ORDER BY user_id, day
+    """,
+)
+def q_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY day WITH FILL per user (FillingTransform §2.6): missing
+    days materialized; counts default to 0 like ClickHouse column defaults.
+
+    Grid generation is sequence()+explode per group — distributed, no
+    driver loop; the join back is a shuffle on (user_id, day) only over
+    the (tiny) grid cardinality, not the fact table.
+    """
+    from clickhouse_23_3_19_32_lts_spark.operators.with_fill import with_fill
+
+    ev = _t(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("user_id") < 3)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    filled = with_fill(base, "day", step=86400, partition_by=["user_id"])
+    return filled.select(
+        "user_id", "day", F.coalesce("n", F.lit(0)).alias("n")
+    ).orderBy("user_id", "day")
+
+
+@query(
+    "q_with_totals",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), ())
+    ORDER BY l_returnflag NULLS LAST
+    """,
+)
+def q_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... WITH TOTALS (TotalsHavingTransform §2.4): per-group rows
+    plus a grand-total row (NULL key) in ONE aggregation pass."""
+    from clickhouse_23_3_19_32_lts_spark.operators.totals import with_totals
+
+    li = _t(spark, sf_dir, "lineitem")
+    return with_totals(
+        li,
+        ["l_returnflag"],
+        [F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")],
+    ).orderBy(F.asc_nulls_last("l_returnflag"))
+
+
+@query("q_sample_deterministic")  # hash-function-specific: rows-only check
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE k (MergeTreeDataSelectExecutor.cpp:496-610): deterministic
+    hash-range sample on the sampling key. No oracle — the 32-bit key-hash
+    function is engine-specific; unit tests assert determinism and the
+    reference's subset property (SAMPLE 0.1 ⊂ SAMPLE 0.2) instead."""
+    from clickhouse_23_3_19_32_lts_spark.operators.sampling import sample_deterministic
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = sample_deterministic(li, 0.1, "l_orderkey")
+    return s.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "q_array_join",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents WHERE doc_id < 200)
+    SELECT word, count(*) AS n, min(pos) AS min_pos
+    FROM w GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def q_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY JOIN with position (ArrayJoinAction §2.2 / arrayEnumerate):
+    tokenize → posexplode → word frequency. The explode runs inside
+    whole-stage codegen; agg is standard two-phase."""
+    from clickhouse_23_3_19_32_lts_spark.operators.arrayjoin import array_join
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = docs.select(F.split("text", " ").alias("word"))
+    exploded = array_join(words, ["word"], with_pos=True)
+    return (
+        exploded.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("__pos").cast("long").alias("min_pos"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
