@@ -1,0 +1,301 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Reference: ngramMinHash*/wordShingleMinHash*/ngramSimHash*/wordShingleSimHash*
+(src/Functions/FunctionsStringHash.cpp:766-793) compute the sketches; the
+reference leaves candidate generation to the user. Here the full pipeline is
+provided: sketch (map-only, codegen'd HOFs — no Python, no shuffle) →
+candidate blocking (one shuffle on band/block key) → verify (pair join).
+
+Scale design:
+  - Sketches are per-row expressions: at 100 TB this is a map stage fused
+    into the scan by whole-stage codegen.
+  - LSH banding shuffles (doc_id, band_key) pairs — ~n_bands rows per doc,
+    NOT the text — then self-joins within buckets. Bucket skew (a band key
+    shared by k docs) costs k² pairs; the `max_bucket` guard drops
+    degenerate buckets exactly like production LSH dedup pipelines.
+  - SimHash blocking uses the pigeonhole principle: hamming(a,b) <= d and
+    nblocks > d ⇒ some block equal — candidates come from nblocks equality
+    joins (shuffle on 15-bit block key), never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_23_3_19_32_lts_spark.pipeline.hashing import portable_hash64
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup on `cols`: one canonical row per distinct value tuple
+    (minimum id — deterministic), `dup_count` = group size.
+
+    Hash-groupBy on the dedup key: single shuffle; the md5 digest (not the
+    full text) is the shuffle key, so wide text columns don't inflate the
+    exchange when `hash_key=True` semantics are desired — here we group by
+    the digest and keep min(id) + count only.
+    """
+    digest = F.md5(F.concat_ws("\x00", *[F.col(c) for c in cols]))
+    return (
+        df.select(F.col(id_col), digest.alias("__digest"))
+        .groupBy("__digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__digest")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column | str, k: int = 3, distinct: bool = True) -> Column:
+    """k-word shingles of a space-tokenized text column (codegen'd).
+
+    Short docs (< k words) produce one shingle = the whole doc, matching
+    the oracle's concat_ws-with-null-skip behavior.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    w = F.split(t, " ")
+    n = F.greatest(F.size(w) - (k - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+    return F.array_distinct(sh) if distinct else sh
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: array of n_hashes mins over seeded 60-bit hashes.
+
+    Pure expression — evaluated inside codegen, no UDF, no shuffle.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(s, F.lit("|"), i.cast("string"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: (id_a, id_b, est_jaccard).
+
+    shingle → signature (map-only) → band keys → bucket self-join →
+    positionwise signature agreement >= threshold. Pairs surface once
+    (min band index) so downstream dedup sees no duplicates.
+    """
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    rows = n_hashes // bands
+
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(word_shingles(text_col, k), n_hashes).alias("__sig"),
+    )
+
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(",", F.transform(
+                    F.slice(F.col("__sig"), b * rows + 1, rows), lambda v: v.cast("string")
+                )),
+            )
+        ).alias("__band", "__key"),
+    )
+
+    # degenerate-bucket guard: skip band keys shared by > max_bucket docs
+    bucket_sizes = banded.groupBy("__band", "__key").agg(F.count(F.lit(1)).alias("__bn"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("__bn") <= max_bucket).drop("__bn"),
+        on=["__band", "__key"],
+    )
+
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.first("a.__sig").alias("__sa"), F.first("b.__sig").alias("__sb"))
+    )
+
+    est = (
+        F.aggregate(
+            F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / n_hashes
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def true_jaccard(text_a: Column, text_b: Column, k: int = 3) -> Column:
+    """Exact word-shingle Jaccard similarity of two text columns."""
+    sa, sb = word_shingles(text_a, k), word_shingles(text_b, k)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    return inter / (F.size(sa) + F.size(sb) - inter)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash60(text: Column | str) -> Column:
+    """60-bit SimHash over whitespace tokens (wordShingleSimHash analogue).
+
+    bit_j(simhash) = majority of bit_j over token hashes. Nested
+    higher-order functions — all codegen, no UDF. 60 bits (not 64) because
+    the portable hash is 60-bit; avoids signed-overflow on bit 63 in both
+    engines.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    hashes = F.transform(F.split(t, " "), lambda w: portable_hash64(w))
+    # 2^j as a literal lookup array: shiftleft() needs a compile-time shift
+    # amount, but j is a lambda variable — element_at on a const array keeps
+    # the whole expression in codegen.
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(60)])
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(59)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda a, h: a
+                + F.when(h.bitwiseAND(F.element_at(powers, j + 1)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.element_at(powers, j + 1),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    n_blocks: int = 10,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (id_a, id_b, hamming).
+
+    Pigeonhole blocking: split the 60-bit hash into n_blocks 6-bit... no —
+    n_blocks equal-width blocks; if hamming <= max_hamming < n_blocks then
+    at least one block matches exactly, so candidates = union of n_blocks
+    equality self-joins (one shuffle), never a cross join. Exact for
+    max_hamming < n_blocks; callers wanting larger radii raise n_blocks.
+    """
+    if max_hamming >= n_blocks:
+        raise ValueError("exactness requires max_hamming < n_blocks")
+    width = 60 // n_blocks
+
+    sh = df.select(F.col(id_col).alias("__id"), simhash60(text_col).alias("__sh"))
+    # block keys as a compile-time expression list (shift amounts are ints)
+    block_exprs = F.array(
+        *[
+            F.shiftrightunsigned(F.col("__sh"), b * width).bitwiseAND(
+                F.lit((1 << width) - 1).cast("long")
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    blocked = sh.select("__id", "__sh", F.posexplode(block_exprs).alias("__blk", "__key"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard pairs >= threshold: (id_a, id_b, jaccard).
+
+    Inverted-index plan: explode distinct shingles → self-join on shingle
+    (shuffle keyed by shingle — the classic similarity-join; frequency skew
+    is bounded because shingles are k-word, far more selective than words)
+    → count common → |A∪B| from per-doc sizes.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, k)).alias("__sh"),
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__c").cast("double") / (F.col("__na") + F.col("__nb") - F.col("__c"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (array<float>).
+
+Reference: vector distances at src/Functions/array/arrayDistance.cpp:514-519
+(L1/L2/cosine/dot); ANN index at src/Storages/MergeTree/MergeTreeIndexAnnoy.h:21.
+
+Spark-first design:
+  - distances are zip_with/aggregate expressions — codegen'd, no Python;
+  - brute-force top-k: broadcast the (small) probe set, map-side distance,
+    per-probe top-k via window. The shuffle carries only (probe, candidate,
+    score) tuples that survive an optional score floor — at 100 TB with P
+    probes the exchange is O(P·n) scores, never the vectors themselves.
+  - IVF: deterministic k-means-free variant (centroids = a fixed sample of
+    the corpus), cluster assignment is a broadcast-join + argmin (map-only),
+    probing restricts search to nprobe clusters → scan cost drops by
+    ~n_centroids/nprobe. The cluster id doubles as a partition key so a
+    materialized index co-locates each cluster's vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_sim(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per probe: (probe_id, vec_id, score, rank).
+
+    Baseline the approximate variants are measured against. Probe set is
+    broadcast; ranking shuffles on probe_id only.
+    """
+    score = {
+        "cosine": cosine_sim(vec_col, probe_vec_col),
+        "dot": dot(vec_col, probe_vec_col),
+        "l2": -F.sqrt(
+            F.aggregate(
+                F.zip_with(vec_col, probe_vec_col, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+    }[metric]
+    scored = vectors.crossJoin(F.broadcast(probes)).select(
+        F.col(probe_id_col),
+        F.col(id_col),
+        score.alias("score"),
+    )
+    w = W.partitionBy(probe_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """IVF assignment: nearest centroid per vector (broadcast + argmin).
+
+    Map-only: centroids broadcast, min_by picks the closest — no shuffle
+    of the vector table.
+    """
+    d2 = F.aggregate(
+        F.zip_with(vec_col, centroid_vec_col, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .groupBy(id_col)
+        .agg(
+            F.min_by(centroid_id_col, d2).alias("cluster"),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """IVF approximate top-k: search only the nprobe nearest clusters.
+
+    centroids: (centroid_id, centroid_vec) — e.g. a deterministic corpus
+    sample, or precomputed k-means. Returns (probe_id, vec_id, score, rank);
+    recall vs brute_force_topk rises with nprobe (tested in unit tests).
+    """
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    probe_clusters = brute_force_topk(
+        centroids.select(
+            F.col("centroid_id").alias(id_col), F.col("centroid_vec").alias(vec_col)
+        ),
+        probes,
+        k=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        probe_id_col=probe_id_col,
+        probe_vec_col=probe_vec_col,
+        metric="l2",
+    ).select(F.col(probe_id_col), F.col(id_col).alias("cluster"))
+    candidates = assigned.join(
+        F.broadcast(probe_clusters), on="cluster"
+    ).join(F.broadcast(probes), on=probe_id_col)
+    w = W.partitionBy(probe_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        candidates.select(
+            F.col(probe_id_col),
+            F.col(id_col),
+            cosine_sim(vec_col, probe_vec_col).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_on: Column | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim).
+
+    Default is the exact O(n²) pair scan (fine for verification tiers and
+    per-bucket use); pass `block_on` (e.g. an LSH sketch or cluster id from
+    assign_clusters) to restrict pairs to equal blocks — then the join is
+    keyed and shuffles O(n) rows instead of materializing n²/2 pairs.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if block_on is not None:
+        blocked = vectors.select(F.col(id_col).alias("__id"), block_on.alias("__blk"))
+        a = a.join(blocked.withColumnRenamed("__id", "id_a"), "id_a")
+        b = b.join(blocked.withColumnRenamed("__id", "id_b"), "id_b")
+        cond = (F.col("id_a") < F.col("id_b")) & (a["__blk"] == b["__blk"])
+    else:
+        cond = F.col("id_a") < F.col("id_b")
+    return (
+        a.join(b, cond)
+        .select("id_a", "id_b", cosine_sim("__va", "__vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

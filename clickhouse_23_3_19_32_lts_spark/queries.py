@@ -787,6 +787,8 @@ def _load_query_modules() -> None:
 
     for mod in (
         "clickhouse_23_3_19_32_lts_spark.queries_ops",
+        "clickhouse_23_3_19_32_lts_spark.queries_pipeline",
+        "clickhouse_23_3_19_32_lts_spark.queries_aggs",
     ):
         importlib.import_module(mod)
 

@@ -1,0 +1,206 @@
+"""Unit tests for the training-data pipeline library on constructed data:
+sketch quality bounds, recall floors, multimodal Arrow plumbing.
+
+Oracle-gate coverage for the deterministic pipeline queries lives in
+test_queries_oracle.py (q_dedup_*, q_ngram_jaccard, q_ann_topk, ...).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from clickhouse_23_3_19_32_lts_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash60,
+    simhash_pairs,
+    word_shingles,
+)
+from clickhouse_23_3_19_32_lts_spark.pipeline.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from clickhouse_23_3_19_32_lts_spark.pipeline.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again until dawn breaks slowly"
+NEAR = BASE.replace("lazy", "sleepy")  # one-word edit => high jaccard
+FAR = "completely different content about spark engines and columnar execution at scale"
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=1, text=BASE), Row(doc_id=2, text=NEAR), Row(doc_id=3, text=FAR),
+         Row(doc_id=4, text=BASE)]  # exact dup of 1
+    )
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="x"), Row(id=2, t="x"), Row(id=3, t="y")]
+    )
+    out = {r["canonical_id"]: r["dup_count"] for r in exact_dedup(df, ["t"], "id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_estimates_jaccard(spark, doc_df):
+    # exact duplicate docs => identical signatures => est == 1.0
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(doc_df, "doc_id", "text", threshold=0.0).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    # near-dup found with high estimate; far doc shares no band
+    assert pairs.get((1, 2), 0) >= 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_signature_stable(spark, doc_df):
+    sig = doc_df.filter("doc_id = 1").select(
+        minhash_signature(word_shingles("text", 3), 16).alias("s")
+    )
+    a = sig.collect()[0]["s"]
+    b = sig.collect()[0]["s"]
+    assert a == b and len(a) == 16
+
+
+def test_simhash_identity_and_near(spark, doc_df):
+    rows = doc_df.select("doc_id", simhash60("text").alias("h")).collect()
+    h = {r["doc_id"]: r["h"] for r in rows}
+    assert h[1] == h[4]  # identical text => identical simhash
+    ham_near = bin(h[1] ^ h[2]).count("1")
+    ham_far = bin(h[1] ^ h[3]).count("1")
+    assert ham_near < ham_far  # one-word edit closer than unrelated text
+    out = simhash_pairs(doc_df, "doc_id", "text", max_hamming=ham_near, n_blocks=ham_near + 2)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 4) in got and (1, 2) in got
+
+
+def test_simhash_requires_exact_blocking(spark, doc_df):
+    with pytest.raises(ValueError):
+        simhash_pairs(doc_df, "doc_id", "text", max_hamming=12, n_blocks=10)
+
+
+def test_ngram_jaccard_exact_values(spark, doc_df):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(doc_df, "doc_id", "text", k=2, threshold=0.0).collect()
+    }
+    assert out[(1, 4)] == 1.0
+    assert 0.5 < out[(1, 2)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_ivf_recall_floor(emb):
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    centroids = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    exact = brute_force_topk(emb, probes, k=10).select("probe_id", "vec_id")
+    approx = ivf_topk(emb, probes, centroids, k=10, nprobe=4).select("probe_id", "vec_id")
+    hits = exact.intersect(approx).count()
+    total = exact.count()
+    assert total == 50
+    assert hits / total >= 0.3, f"IVF recall {hits}/{total} below floor"
+    # raising nprobe must not lower recall
+    approx8 = ivf_topk(emb, probes, centroids, k=10, nprobe=8).select("probe_id", "vec_id")
+    assert exact.intersect(approx8).count() >= hits
+
+
+def test_brute_force_topk_self_is_rank1(emb):
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    top1 = brute_force_topk(emb, probes, k=1).collect()
+    for r in top1:
+        assert r["vec_id"] == r["probe_id"] and r["score"] == pytest.approx(1.0)
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat of the house is in the garden"),
+            Row(t="der hund ist nicht mit der katze"),
+            Row(t="xyzzy plugh qwert"),
+        ]
+    )
+    got = [r[0] for r in df.select(language_id("t")).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [Row(t=BASE), Row(t=BASE), Row(t="!!! ### $$$")]
+    )
+    rows = df.select(quality_score("t").alias("q"), doc_fingerprint("t").alias("f")).collect()
+    assert rows[0]["q"] == pytest.approx(1.0) and rows[2]["q"] < 0.5
+    assert rows[0]["f"] == rows[1]["f"] != rows[2]["f"]
+    assert 0 <= rows[0]["f"] < (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (deterministic fake decode)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    from clickhouse_23_3_19_32_lts_spark.pipeline.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (1, "image", b"\x89PNGfake-bytes-1", (64, 64, 1, "png")),
+        (2, "image", b"\x89PNGfake-bytes-22", (128, 128, 1, "png")),
+        (3, "video", b"RIFFfake-video", (320, 240, 7, "h264")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_shape(media_df):
+    from clickhouse_23_3_19_32_lts_spark.pipeline.multimodal import FEATURE_DIM, extract_features
+
+    rows = extract_features(media_df).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+        assert r["decoded_bytes"] > 0
+    # deterministic: same blob -> same features
+    again = extract_features(media_df).collect()
+    assert sorted(r["feature"] for r in rows) == sorted(r["feature"] for r in again)
+
+
+def test_sample_frames_rows(media_df):
+    from clickhouse_23_3_19_32_lts_spark.pipeline.multimodal import sample_frames
+
+    out = sample_frames(media_df.filter("kind = 'video'"), every_n=2).collect()
+    assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 2, 4, 6]
+    assert len({r["frame_hash"] for r in out}) == 4  # per-frame distinct
+
+
+def test_real_decode_is_stubbed():
+    from clickhouse_23_3_19_32_lts_spark.pipeline.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes", fake=False)
+
+
+def test_resize_stub_rewrites_meta(media_df):
+    from clickhouse_23_3_19_32_lts_spark.pipeline.multimodal import resize_stub
+
+    out = resize_stub(media_df, 32, 32).select("meta.width", "meta.height", "meta.codec").collect()
+    assert all(r["width"] == 32 and r["height"] == 32 for r in out)
+    assert {r["codec"] for r in out} == {"png", "h264"}
