@@ -23,17 +23,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from clickhouse_23_3_19_32_lts_spark.queries import all_queries
 from clickhouse_23_3_19_32_lts_spark.session import get_spark
 
-# Headline set: aggregation, star join, top-K, windows, events pipeline.
+# Headline set: aggregation, star joins, top-K, windows, events pipeline,
+# ASOF join, dedup sketches, ANN, text analysis — one per operator family.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_regional_revenue",
     "q06_revenue_change",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
     "q_window_order_rank",
     "q_limit_by",
     "q_count_distinct",
     "q_events_tumble",
     "q_events_json",
+    "q_asof_join",
+    "q_dedup_minhash_lsh",
+    "q_ann_topk",
+    "q_text_metrics",
 ]
 
 

@@ -789,6 +789,7 @@ def _load_query_modules() -> None:
         "clickhouse_23_3_19_32_lts_spark.queries_ops",
         "clickhouse_23_3_19_32_lts_spark.queries_pipeline",
         "clickhouse_23_3_19_32_lts_spark.queries_aggs",
+        "clickhouse_23_3_19_32_lts_spark.queries_tpch",
     ):
         importlib.import_module(mod)
 
