@@ -73,24 +73,32 @@ def word_shingles(text: Column | str, k: int = 3, distinct: bool = True) -> Colu
     return F.array_distinct(sh) if distinct else sh
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
-    """MinHash signature: array of n_hashes mins over seeded 60-bit hashes.
+# Universal-hash family over a 28-bit base hash: h_i(x) = (a_i·h0(x) + b_i)
+# mod P.  ONE md5 per shingle; the 16 permutations are integer mixes —
+# products stay < 2^59, no BIGINT overflow in either engine.
+MINHASH_P = (1 << 31) - 1
+_MIX = [((2 * i + 1) * 2654435761 % MINHASH_P, (i * 40503 + 12345) % MINHASH_P) for i in range(64)]
 
-    Pure expression — evaluated inside codegen, no UDF, no shuffle.
+
+def shingle_base_hash(s: Column) -> Column:
+    """28-bit portable base hash of one shingle (first 7 md5 hex chars)."""
+    return F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: array of n_hashes mins over the universal-hash
+    family. Pure expression — codegen'd, no UDF, no shuffle. (For corpus-
+    scale runs minhash_lsh_pairs uses the explode+agg form instead: same
+    math, vectorized partial aggregation.)
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(s, F.lit("|"), i.cast("string"))), 1, 15),
-                    16,
-                    10,
-                ).cast("long"),
-            )
-        ),
-    )
+    base = F.transform(shingles, shingle_base_hash)
+    mins = [
+        F.array_min(
+            F.transform(base, (lambda a, b: lambda h: (h * a + b) % MINHASH_P)(a, b))
+        )
+        for a, b in _MIX[:n_hashes]
+    ]
+    return F.array(*mins)
 
 
 def minhash_lsh_pairs(
@@ -113,9 +121,23 @@ def minhash_lsh_pairs(
         raise ValueError("bands must divide n_hashes")
     rows = n_hashes // bands
 
-    sig = df.select(
+    # explode + partial-agg signature: ONE md5 per (doc, shingle) row, the
+    # 16 permuted mins fold map-side — the shuffle carries |docs|×n_hashes
+    # longs, never the shingles. (The expression-form minhash_signature()
+    # computes identical values; this form guarantees the single hash pass.)
+    hashed = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(word_shingles(text_col, k), n_hashes).alias("__sig"),
+        F.explode(word_shingles(text_col, k)).alias("__s"),
+    ).select("__id", shingle_base_hash(F.col("__s")).alias("__h"))
+    sig = (
+        hashed.groupBy("__id")
+        .agg(
+            *[
+                F.min((F.col("__h") * a + b) % MINHASH_P).alias(f"__m{i}")
+                for i, (a, b) in enumerate(_MIX[:n_hashes])
+            ]
+        )
+        .select("__id", F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("__sig"))
     )
 
     banded = sig.select(

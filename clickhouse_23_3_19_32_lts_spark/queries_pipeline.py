@@ -46,15 +46,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(ev, ["user_id", "event_type"], "event_id").orderBy("canonical_id")
 
 
+def _minhash_sig_sql() -> str:
+    from clickhouse_23_3_19_32_lts_spark.pipeline.dedup import _MIX, MINHASH_P
+
+    mins = ", ".join(
+        f"min((h0 * {a} + {b}) % {MINHASH_P})" for a, b in _MIX[:16]
+    )
+    return f"[{mins}]"
+
+
 @query(
     "q_dedup_minhash_lsh",
     oracle="""
     WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (SELECT doc_id, {SH3} AS sh FROM words),
-    sig AS (SELECT doc_id,
-                   list_transform(generate_series(0, 15),
-                     i -> list_min(list_transform(sh, s -> {HSI}))) AS sig
-            FROM sh),
+    sh AS (SELECT doc_id, unnest({SH3}) AS s FROM words),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) AS h0 FROM sh),
+    sig AS (SELECT doc_id, {SIG} AS sig FROM h GROUP BY doc_id),
     banded AS (SELECT doc_id, sig, b AS band,
                       array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',') AS key
                FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
@@ -70,9 +77,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs)
     WHERE est_jaccard >= 0.5
     ORDER BY id_a, id_b
-    """.replace("{SH3}", _SHINGLES3).replace(
-        "{HSI}", _H60.format(x="(s || '|' || i)")
-    ),
+    """.replace("{SH3}", _SHINGLES3).replace("{SIG}", _minhash_sig_sql()),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) near-dup pairs (FunctionsStringHash.cpp:766).
