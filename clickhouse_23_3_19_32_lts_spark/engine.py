@@ -114,6 +114,52 @@ class Engine:
         """Run Spark SQL against the registered views."""
         return self.spark.sql(query)
 
+    # -- EXPLAIN variants (SURVEY §2.11, ASTExplainQuery.h:20-27) ----------
+    EXPLAIN_MODES = {
+        "AST": "parsed",  # EXPLAIN AST → parsed logical plan
+        "SYNTAX": "analyzed",  # EXPLAIN SYNTAX → analyzed (rewritten) plan
+        "QUERY TREE": "optimized",  # EXPLAIN QUERY TREE → optimized logical
+        "PLAN": "formatted",  # EXPLAIN [PLAN] → physical plan
+        "PIPELINE": "formatted",  # EXPLAIN PIPELINE ≈ physical operators
+        "ESTIMATE": "cost",  # EXPLAIN ESTIMATE → stats-annotated plan
+    }
+
+    def explain(self, df_or_sql: DataFrame | str, mode: str = "PLAN") -> str:
+        """EXPLAIN [AST|SYNTAX|QUERY TREE|PLAN|PIPELINE|ESTIMATE] query."""
+        df = self.sql(df_or_sql) if isinstance(df_or_sql, str) else df_or_sql
+        mode = mode.upper()
+        if mode not in self.EXPLAIN_MODES:
+            raise ValueError(f"unknown EXPLAIN mode {mode!r}")
+        spark_mode = self.EXPLAIN_MODES[mode]
+        qe = df._jdf.queryExecution()
+        if spark_mode == "parsed":
+            return qe.logical().toString()
+        if spark_mode == "analyzed":
+            return qe.analyzed().toString()
+        if spark_mode == "optimized":
+            return qe.optimizedPlan().toString()
+        if spark_mode == "cost":
+            return qe.stringWithStats()
+        return qe.explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    # -- catalog DDL (SURVEY §2.11: SHOW/DESCRIBE/DROP/RENAME) -------------
+    def show_tables(self) -> list[str]:
+        return self.tables()
+
+    def describe(self, name: str) -> list[tuple[str, str]]:
+        return self.table(name).dtypes
+
+    def drop(self, name: str) -> None:
+        self._tables.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+
+    def rename(self, old: str, new: str) -> None:
+        df = self.table(old)
+        self.drop(old)
+        self.register(new, df)
+
     # -- write path --------------------------------------------------------
     def insert(self, name: str, df: DataFrame, mode: str = "append", path: str | None = None) -> None:
         """INSERT INTO semantics: append parquet at the table's location.

@@ -1,0 +1,45 @@
+"""Engine tests: registry, SQL, EXPLAIN variants, catalog DDL."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_23_3_19_32_lts_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+def test_registry_and_sql(engine):
+    assert "lineitem" in engine.tables()
+    n = engine.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n > 0
+
+
+def test_explain_modes(engine):
+    q = "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag"
+    ast = engine.explain(q, "AST")
+    assert "Aggregate" in ast or "UnresolvedRelation" in ast
+    syntax = engine.explain(q, "SYNTAX")
+    assert "Aggregate" in syntax
+    tree = engine.explain(q, "QUERY TREE")
+    assert "Aggregate" in tree
+    plan = engine.explain(q, "PLAN")
+    assert "HashAggregate" in plan and "PushedFilters" in plan
+    est = engine.explain(q, "ESTIMATE")
+    assert "sizeInBytes" in est
+    with pytest.raises(ValueError):
+        engine.explain(q, "NOPE")
+
+
+def test_describe_rename_drop(engine, spark):
+    cols = dict(engine.describe("region"))
+    assert cols["r_name"] == "string"
+    engine.register("tmp_t", spark.range(3).toDF("x"))
+    engine.rename("tmp_t", "tmp_t2")
+    assert "tmp_t2" in engine.tables() and "tmp_t" not in engine.tables()
+    assert engine.sql("SELECT count(*) AS n FROM tmp_t2").collect()[0]["n"] == 3
+    engine.drop("tmp_t2")
+    assert "tmp_t2" not in engine.tables()
