@@ -1,0 +1,412 @@
+"""ClickHouse-SQL → Spark-SQL translation layer.
+
+SURVEY §7: "a translation layer (function/name mapping + dialect quirks),
+NOT a custom parser" — Spark SQL natively handles the standard core (joins,
+GROUP BY, grouping sets, windows, set ops, CTEs, subqueries), so this layer
+only rewrites the ClickHouse-isms:
+
+  - function renames            (toYear → year, position → locate, …)
+  - argument-template rewrites  (intDiv(a,b) → (a div b), toString(x) →
+                                 CAST(x AS STRING), …)
+  - parametric aggregates       (quantile(0.5)(x) → percentile(x, 0.5),
+                                 countIf(c) → count_if(c), …)
+  - statement quirks            (trailing FORMAT X stripped, SETTINGS
+                                 stripped, == → =)
+
+The tokenizer is intentionally small: strings/identifiers/numbers/punct,
+with balanced-paren argument parsing for the template rewrites. Anything it
+doesn't recognize passes through untouched — valid Spark SQL stays valid.
+
+Reference: function registry src/Functions/FunctionFactory.cpp (case-
+sensitive names + aliases); grammar src/Parsers/ParserSelectQuery.cpp.
+"""
+
+from __future__ import annotations
+
+import re
+
+# --- 1:1 function renames (CH name → Spark SQL name) -----------------------
+NAME_MAP: dict[str, str] = {
+    # datetime
+    "toYear": "year",
+    "toMonth": "month",
+    "toDayOfMonth": "dayofmonth",
+    "toDayOfYear": "dayofyear",
+    "toHour": "hour",
+    "toMinute": "minute",
+    "toSecond": "second",
+    "toUnixTimestamp": "unix_timestamp",
+    "fromUnixTimestamp": "from_unixtime",
+    "formatDateTime": "date_format",
+    "addDays": "date_add",
+    "subtractDays": "date_sub",
+    "dateDiff": "datediff",
+    "date_diff": "datediff",
+    "toLastDayOfMonth": "last_day",
+    "now": "current_timestamp",
+    "today": "current_date",
+    # string
+    "lowerUTF8": "lower",
+    "upperUTF8": "upper",
+    "lengthUTF8": "length",
+    "char_length": "length",
+    "character_length": "length",
+    "mid": "substring",
+    "substr": "substring",
+    "position": "locate",
+    "locate": "locate",
+    "replaceAll": "replace",
+    "concatWithSeparator": "concat_ws",
+    "splitByChar": "split",
+    "trimBoth": "trim",
+    "trimLeft": "ltrim",
+    "trimRight": "rtrim",
+    "leftPad": "lpad",
+    "rightPad": "rpad",
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    "extractAll": "regexp_extract_all",
+    "match": "rlike",
+    "base64Encode": "base64",
+    "base64Decode": "unbase64",
+    "hex": "hex",
+    "unhex": "unhex",
+    "bin": "bin",
+    "reverseUTF8": "reverse",
+    "repeat": "repeat",
+    "format": "format_string",
+    # math
+    "log": "ln",
+    "log2": "log2",
+    "log10": "log10",
+    "exp": "exp",
+    "cbrt": "cbrt",
+    "erf": "erf",
+    "sign": "signum",
+    "pow": "power",
+    # arrays
+    "arrayConcat": "concat",
+    "arraysOverlap": "arrays_overlap",
+    "arraySort": "array_sort",
+    "arrayReverse": "reverse",
+    "arrayDistinct": "array_distinct",
+    "arrayFlatten": "flatten",
+    "arrayZip": "arrays_zip",
+    "arrayIntersect": "array_intersect",
+    "arrayPushBack": "array_append",
+    "arrayPushFront": "array_prepend",
+    "arrayMap": "transform",
+    "arrayFilter": "filter",
+    "arrayExists": "exists",
+    "arrayAll": "forall",
+    "arrayShuffle": "shuffle",
+    "arrayJoin": "explode",
+    "range": "sequence",
+    "emptyArrayUInt64": "array",
+    # maps
+    "mapKeys": "map_keys",
+    "mapValues": "map_values",
+    "mapContains": "map_contains_key",
+    "mapFromArrays": "map_from_arrays",
+    # json
+    "JSONLength": "json_array_length",
+    # hash / misc
+    "cityHash64": "xxhash64",
+    "sipHash64": "xxhash64",
+    "halfMD5": "xxhash64",
+    "MD5": "md5",
+    "xxHash64": "xxhash64",
+    "xxHash32": "crc32",
+    "randCanonical": "rand",
+    "generateUUIDv4": "uuid",
+    "isNull": "isnull",
+    "isNotNull": "isnotnull",
+    "ifNull": "nvl",
+    "nullIf": "nullif",
+    "coalesce": "coalesce",
+    "greatest": "greatest",
+    "least": "least",
+    "if": "if",
+    "toTypeName": "typeof",
+    # aggregates
+    "uniq": "approx_count_distinct",
+    "uniqHLL12": "approx_count_distinct",
+    "uniqCombined": "approx_count_distinct",
+    "anyLast": "last",
+    "argMin": "min_by",
+    "argMax": "max_by",
+    "median": "median",
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    "groupBitAnd": "bit_and",
+    "groupBitOr": "bit_or",
+    "groupBitXor": "bit_xor",
+}
+
+# --- argument templates: CH call → Spark SQL with {0},{1},... placeholders --
+TEMPLATES: dict[str, str] = {
+    "intDiv": "({0} div {1})",
+    "intDivOrZero": "(CASE WHEN {1} = 0 THEN 0 ELSE {0} div {1} END)",
+    "modulo": "({0} % {1})",
+    "positiveModulo": "pmod({0}, {1})",
+    "negate": "(-{0})",
+    "toString": "CAST({0} AS STRING)",
+    "toInt8": "CAST({0} AS TINYINT)",
+    "toInt16": "CAST({0} AS SMALLINT)",
+    "toInt32": "CAST({0} AS INT)",
+    "toInt64": "CAST({0} AS BIGINT)",
+    "toUInt8": "CAST({0} AS INT)",
+    "toUInt16": "CAST({0} AS INT)",
+    "toUInt32": "CAST({0} AS BIGINT)",
+    "toUInt64": "CAST({0} AS BIGINT)",
+    "toFloat32": "CAST({0} AS FLOAT)",
+    "toFloat64": "CAST({0} AS DOUBLE)",
+    "toDate": "to_date({0})",
+    "toDateTime": "to_timestamp({0})",
+    "toDateTime64": "to_timestamp({0})",
+    "parseDateTimeBestEffort": "to_timestamp({0})",
+    "toDecimal64": "CAST({0} AS DECIMAL(18, {1}))",
+    "toDecimal128": "CAST({0} AS DECIMAL(38, {1}))",
+    "toStartOfYear": "date_trunc('year', {0})",
+    "toStartOfQuarter": "date_trunc('quarter', {0})",
+    "toStartOfMonth": "date_trunc('month', {0})",
+    "toStartOfWeek": "date_trunc('week', {0})",
+    "toStartOfDay": "date_trunc('day', {0})",
+    "toStartOfHour": "date_trunc('hour', {0})",
+    "toStartOfMinute": "date_trunc('minute', {0})",
+    "toMonday": "date_trunc('week', {0})",
+    "toYYYYMM": "(year({0}) * 100 + month({0}))",
+    "toYYYYMMDD": "(year({0}) * 10000 + month({0}) * 100 + dayofmonth({0}))",
+    "toDayOfWeek": "(((dayofweek({0}) + 5) % 7) + 1)",  # ISO: Mon=1..Sun=7
+    "yesterday": "date_sub(current_date(), 1)",
+    "plus": "({0} + {1})",
+    "minus": "({0} - {1})",
+    "multiply": "({0} * {1})",
+    "divide": "(CAST({0} AS DOUBLE) / {1})",
+    "JSONExtractRaw": "get_json_object({0}, concat('$.', {1}))",
+    "visitParamExtractString": "get_json_object({0}, concat('$.', {1}))",
+    "toQuarter": "quarter({0})",
+    "timeSlot": "date_trunc('hour', {0})",
+    "age": "datediff({2}, {1})",
+    # string semantics; for arrays use size()/cardinality (Spark type-checks
+    # every branch, so a both-types coalesce can't analyze)
+    "empty": "(coalesce(length({0}), 0) = 0)",
+    "notEmpty": "(coalesce(length({0}), 0) > 0)",
+    "has": "array_contains({0}, {1})",
+    "indexOf": "array_position({0}, {1})",
+    "arrayElement": "element_at({0}, {1})",
+    "arraySlice": "slice({0}, {1}, {2})",
+    "arrayCompact": "array_distinct({0})",
+    "arrayUniq": "size(array_distinct({0}))",
+    "arrayStringConcat": "array_join({0}, {1})",
+    "arraySum": "aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+    "arrayAvg": "(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size({0}))",
+    "arrayMin": "array_min({0})",
+    "arrayMax": "array_max({0})",
+    "arrayCount": "size(filter({0}, x -> x is not null and x != 0))",
+    "JSONExtractString": "get_json_object({0}, concat('$.', {1}))",
+    "JSONExtractInt": "CAST(get_json_object({0}, concat('$.', {1})) AS BIGINT)",
+    "JSONExtractFloat": "CAST(get_json_object({0}, concat('$.', {1})) AS DOUBLE)",
+    "JSONExtractBool": "CAST(get_json_object({0}, concat('$.', {1})) AS BOOLEAN)",
+    "JSONHas": "(get_json_object({0}, concat('$.', {1})) IS NOT NULL)",
+    "SHA256": "sha2({0}, 256)",
+    "SHA512": "sha2({0}, 512)",
+    "rand": "CAST(rand() * 4294967296 AS BIGINT)",
+    "rand64": "CAST(rand() * 9.223372036854776e18 AS BIGINT)",
+    "assumeNotNull": "coalesce({0})",
+    "any": "first({0}, true)",
+    "countDistinct": "count(DISTINCT {0})",
+    "uniqExact": "count(DISTINCT {0})",
+    "avgWeighted": "(sum({0} * {1}) / sum({1}))",
+    "countIf": "count_if({0})",
+    "sumIf": "sum(CASE WHEN {1} THEN {0} END)",
+    "avgIf": "avg(CASE WHEN {1} THEN {0} END)",
+    "minIf": "min(CASE WHEN {1} THEN {0} END)",
+    "maxIf": "max(CASE WHEN {1} THEN {0} END)",
+    "runningDifference": "({0} - lag({0}) OVER (ORDER BY monotonically_increasing_id()))",
+    "multiIf": None,  # variadic — handled specially
+    "transform": None,  # (x, from_arr, to_arr, default) — handled specially
+}
+
+# parametric aggregates: name(params)(args) → template with p* and a*
+PARAMETRIC: dict[str, str] = {
+    "quantile": "percentile({a0}, {p0})",
+    "quantileExact": "percentile({a0}, {p0})",
+    "quantileTDigest": "percentile_approx({a0}, {p0})",
+    "quantileDeterministic": "percentile({a0}, {p0})",
+    "quantiles": "array({percentiles})",
+    "topK": "slice(array_sort(collect_list({a0})), 1, {p0})",  # documented approximation
+    "groupArraySample": "slice(collect_list({a0}), 1, {p0})",
+}
+
+_TOKEN_RE = re.compile(
+    r"""(
+      '(?:[^'\\]|\\.)*'            # single-quoted string
+    | "(?:[^"\\]|\\.)*"            # double-quoted identifier
+    | `(?:[^`\\]|\\.)*`            # backtick identifier
+    | [A-Za-z_][A-Za-z0-9_]*       # identifier
+    | \d+\.\d+ | \.\d+ | \d+       # number
+    | ==                           # CH equality
+    | <> | <= | >= | != | ->
+    | .                            # any single char
+    )""",
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _tokenize(sql: str) -> list[str]:
+    return [t for t in _TOKEN_RE.findall(sql) if t.strip()]
+
+
+class ChSqlError(ValueError):
+    pass
+
+
+def _find_call_end(tokens: list[str], open_idx: int) -> int:
+    """Index of the ')' matching tokens[open_idx] == '('."""
+    depth = 0
+    for i in range(open_idx, len(tokens)):
+        if tokens[i] == "(":
+            depth += 1
+        elif tokens[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ChSqlError("unbalanced parentheses")
+
+
+def _split_args(tokens: list[str]) -> list[list[str]]:
+    """Split a paren-free-at-top-level token run on top-level commas."""
+    args: list[list[str]] = [[]]
+    depth = 0
+    for t in tokens:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if t == "," and depth == 0:
+            args.append([])
+        else:
+            args[-1].append(t)
+    return [a for a in args if a]
+
+
+def _rewrite(tokens: list[str]) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        is_call = (
+            re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t)
+            and i + 1 < len(tokens)
+            and tokens[i + 1] == "("
+        )
+        if not is_call:
+            out.append("=" if t == "==" else t)
+            i += 1
+            continue
+
+        close = _find_call_end(tokens, i + 1)
+        args = _split_args(tokens[i + 2 : close])
+        arg_sql = [_rewrite(a) for a in args]
+
+        # parametric aggregate: name(params)(args)
+        if t in PARAMETRIC and close + 1 < len(tokens) and tokens[close + 1] == "(":
+            close2 = _find_call_end(tokens, close + 1)
+            args2 = _split_args(tokens[close + 2 : close2])
+            arg2_sql = [_rewrite(a) for a in args2]
+            tpl = PARAMETRIC[t]
+            if t == "quantiles":
+                inner = ", ".join(f"percentile({arg2_sql[0]}, {p})" for p in arg_sql)
+                out.append(f"array({inner})")
+            else:
+                s = tpl
+                for j, p in enumerate(arg_sql):
+                    s = s.replace(f"{{p{j}}}", p)
+                for j, a in enumerate(arg2_sql):
+                    s = s.replace(f"{{a{j}}}", a)
+                out.append(s)
+            i = close2 + 1
+            continue
+
+        if t == "count" and not arg_sql:
+            # ClickHouse count() has zero args (SURVEY §1.3)
+            out.append("count(*)")
+            i = close + 1
+            continue
+
+        if t == "multiIf":
+            # multiIf(c1, v1, c2, v2, ..., default) → CASE chain
+            if len(arg_sql) % 2 == 0 or len(arg_sql) < 3:
+                raise ChSqlError("multiIf needs odd >= 3 args")
+            parts = ["CASE"]
+            for j in range(0, len(arg_sql) - 1, 2):
+                parts.append(f"WHEN {arg_sql[j]} THEN {arg_sql[j + 1]}")
+            parts.append(f"ELSE {arg_sql[-1]} END")
+            out.append(" ".join(parts))
+            i = close + 1
+            continue
+
+        if t == "transform" and len(arg_sql) == 4:
+            # transform(x, [f...], [t...], d) → element_at(map(...), x) default
+            out.append(
+                f"coalesce(element_at(map_from_arrays({arg_sql[1]}, {arg_sql[2]}), {arg_sql[0]}), {arg_sql[3]})"
+            )
+            i = close + 1
+            continue
+
+        if t in TEMPLATES and TEMPLATES[t] is not None:
+            tpl = TEMPLATES[t]
+            s = tpl
+            for j, a in enumerate(arg_sql):
+                s = s.replace(f"{{{j}}}", a)
+            if re.search(r"\{\d+\}", s):
+                raise ChSqlError(f"{t} expects more arguments than given: {arg_sql}")
+            out.append(s)
+            i = close + 1
+            continue
+
+        name = NAME_MAP.get(t, t)
+        out.append(f"{name}({', '.join(arg_sql)})")
+        i = close + 1
+        continue
+    # join tokens with spaces, then tidy spacing around punctuation
+    s = " ".join(out)
+    s = re.sub(r"\s+([,)\].])", r"\1", s)
+    s = re.sub(r"([(\[])\s+", r"\1", s)
+    s = re.sub(r"\s+", " ", s)
+    return s.strip()
+
+
+_FORMAT_TAIL = re.compile(r"\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$", re.IGNORECASE)
+_SETTINGS_TAIL = re.compile(r"\bSETTINGS\s+[^;]+;?\s*$", re.IGNORECASE)
+
+
+def translate(ch_sql: str) -> str:
+    """ClickHouse SQL → Spark SQL. Raises ChSqlError on constructs that need
+    the library operators instead (LIMIT BY, WITH FILL, array join clause)."""
+    s = ch_sql.strip().rstrip(";")
+    s = _FORMAT_TAIL.sub("", s)
+    s = _SETTINGS_TAIL.sub("", s)
+    upper = s.upper()
+    for construct, hint in (
+        ("WITH FILL", "use operators.with_fill"),
+        ("ARRAY JOIN", "use operators.arrayjoin.array_join / explode()"),
+        ("WITH TOTALS", "use operators.totals.with_totals"),
+    ):
+        if construct in upper:
+            raise ChSqlError(f"{construct} needs the library operator ({hint})")
+    if re.search(r"\bLIMIT\s+\d+\s+BY\b", upper):
+        raise ChSqlError("LIMIT n BY needs operators.limit_by")
+    return _rewrite(_tokenize(s))
+
+
+def ch_sql(spark, query: str):
+    """Run a ClickHouse-dialect query on Spark: translate + execute."""
+    return spark.sql(translate(query))

@@ -114,6 +114,12 @@ class Engine:
         """Run Spark SQL against the registered views."""
         return self.spark.sql(query)
 
+    def ch_sql(self, query: str) -> DataFrame:
+        """Run a ClickHouse-dialect query (dialect.translate + execute)."""
+        from clickhouse_23_3_19_32_lts_spark.dialect import ch_sql
+
+        return ch_sql(self.spark, query)
+
     # -- EXPLAIN variants (SURVEY §2.11, ASTExplainQuery.h:20-27) ----------
     EXPLAIN_MODES = {
         "AST": "parsed",  # EXPLAIN AST → parsed logical plan

@@ -196,3 +196,37 @@ def q_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "word")
         .limit(20)
     )
+
+
+@query(
+    "q_final_replacing",
+    oracle="""
+    WITH ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type, event_id AS latest_event_id, ts AS latest_ts,
+           CAST(value AS DOUBLE) AS latest_value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def q_final_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT ... FINAL on a ReplacingMergeTree (§4.2 sorted-merge
+    semantics): latest row per key by version — policies.replacing_final,
+    treating events as a versioned upsert log keyed on (user_id,
+    event_type) with ts as the version."""
+    from clickhouse_23_3_19_32_lts_spark.policies import replacing_final
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "ts", "value")
+    return (
+        replacing_final(ev, keys=["user_id", "event_type"], version="ts")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            F.col("value").cast("double").alias("latest_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -30,8 +30,12 @@ from clickhouse_23_3_19_32_lts_spark.pipeline.text import (
     quality_score,
 )
 
-BASE = "the quick brown fox jumps over the lazy dog again and again until dawn breaks slowly"
-NEAR = BASE.replace("lazy", "sleepy")  # one-word edit => high jaccard
+BASE = (
+    "the quick brown fox jumps over the lazy dog again and again until dawn "
+    "breaks slowly while the river runs cold through the silent valley and "
+    "every bird waits quietly for the first light of morning to arrive"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-word edit => jaccard ~0.93
 FAR = "completely different content about spark engines and columnar execution at scale"
 
 
