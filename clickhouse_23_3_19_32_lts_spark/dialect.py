@@ -194,6 +194,27 @@ TEMPLATES: dict[str, str] = {
     "toQuarter": "quarter({0})",
     "timeSlot": "date_trunc('hour', {0})",
     "age": "datediff({2}, {1})",
+    # identity / introspection shims
+    "materialize": "{0}",
+    "toNullable": "{0}",
+    "toFixedString": "{0}",
+    "ignore": "(length(CAST({0} AS STRING)) * 0)",
+    "identity": "{0}",
+    # numeric classification
+    "isFinite": "(NOT isnan(CAST({0} AS DOUBLE)) AND abs(CAST({0} AS DOUBLE)) < double('Infinity'))",
+    "isInfinite": "(abs(CAST({0} AS DOUBLE)) = double('Infinity'))",
+    "isNaN": "isnan({0})",
+    # decimals with explicit scale
+    "toDecimal32": "CAST({0} AS DECIMAL(9, {1}))",
+    # misc string/array
+    "appendTrailingCharIfAbsent": "(CASE WHEN right({0}, 1) = {1} THEN {0} ELSE concat({0}, {1}) END)",
+    "arrayWithConstant": "array_repeat({1}, CAST({0} AS INT))",
+    "tuple": None,  # variadic — handled specially (struct)
+    "extractURLParameter": "parse_url({0}, 'QUERY', {1})",
+    "domain": "parse_url({0}, 'HOST')",
+    "path": "parse_url({0}, 'PATH')",
+    "queryString": "parse_url({0}, 'QUERY')",
+    "protocol": "parse_url({0}, 'PROTOCOL')",
     # string semantics; for arrays use size()/cardinality (Spark type-checks
     # every branch, so a both-types coalesce can't analyze)
     "empty": "(coalesce(length({0}), 0) = 0)",
@@ -297,11 +318,54 @@ def _split_args(tokens: list[str]) -> list[list[str]]:
     return [a for a in args if a]
 
 
+def _find_bracket_end(tokens: list[str], open_idx: int) -> int:
+    depth = 0
+    for i in range(open_idx, len(tokens)):
+        if tokens[i] == "[":
+            depth += 1
+        elif tokens[i] == "]":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ChSqlError("unbalanced brackets")
+
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+# keywords that can precede an array literal (so a following [ is NOT a
+# subscript of them)
+_KEYWORDS = {
+    "select", "from", "where", "and", "or", "not", "in", "as", "by", "on",
+    "when", "then", "else", "end", "union", "all", "distinct", "group",
+    "order", "limit", "having", "join", "case", "is", "null", "between",
+    "like", "exists", "any", "if", "asc", "desc", "offset", "with", "values",
+    "array", "interval", "return", "returns", "over", "partition", "rows",
+    "range", "preceding", "following", "current", "unbounded", "using",
+}
+
+
 def _rewrite(tokens: list[str]) -> str:
     out: list[str] = []
     i = 0
     while i < len(tokens):
         t = tokens[i]
+        if t == "[":
+            close = _find_bracket_end(tokens, i)
+            inner = _split_args(tokens[i + 1 : close])
+            inner_sql = [_rewrite(a) for a in inner]
+            prev = out[-1] if out else ""
+            # after an identifier/)/]: subscript (CH 1-based → element_at);
+            # otherwise an array literal (Spark SQL has no [..] literal)
+            prev_is_ident = bool(_IDENT_RE.fullmatch(prev)) and prev.lower() not in _KEYWORDS
+            if prev and (prev.endswith(")") or prev.endswith("]") or prev_is_ident):
+                if len(inner_sql) != 1:
+                    raise ChSqlError("subscript needs one index")
+                base = out.pop()
+                out.append(f"element_at({base}, {inner_sql[0]})")
+            else:
+                out.append(f"array({', '.join(inner_sql)})")
+            i = close + 1
+            continue
         is_call = (
             re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t)
             and i + 1 < len(tokens)
@@ -338,6 +402,22 @@ def _rewrite(tokens: list[str]) -> str:
         if t == "count" and not arg_sql:
             # ClickHouse count() has zero args (SURVEY §1.3)
             out.append("count(*)")
+            i = close + 1
+            continue
+
+        if t == "tuple":
+            out.append(f"struct({', '.join(arg_sql)})")
+            i = close + 1
+            continue
+
+        if t == "numbers":
+            # numbers(N) / numbers(start, N) table function → range() TVF
+            if len(arg_sql) == 1:
+                out.append(f"(SELECT id AS number FROM range({arg_sql[0]}))")
+            else:
+                out.append(
+                    f"(SELECT id AS number FROM range({arg_sql[0]}, {arg_sql[0]} + {arg_sql[1]}))"
+                )
             i = close + 1
             continue
 

@@ -1,0 +1,199 @@
+"""Statistical aggregate families round 2 (SURVEY §2.4): entropy,
+groupArrayMovingSum/Avg, maxIntersections, welchTTest, mannWhitneyUTest.
+
+The reference implements these as dedicated C++ aggregate states
+(AggregateFunctionEntropy.cpp, AggregateFunctionGroupArrayMoving.cpp,
+AggregateFunctionMaxIntersections.cpp, AggregateFunctionTTest.cpp,
+AggregateFunctionMannWhitney.cpp). Spark-first: each is a composition of
+windows + aggregates — closed-form, no UDAF, no Python — and therefore
+oracle-checkable exactly. (p-values need a t/normal CDF; the statistics and
+degrees of freedom are returned instead, which is what downstream pipelines
+threshold on anyway.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from clickhouse_23_3_19_32_lts_spark.queries import _t, query
+
+
+@query(
+    "q_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id % 10 AS cohort, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT cohort, sum(c) AS t FROM counts GROUP BY 1)
+    SELECT counts.cohort AS cohort,
+           CAST(-sum((c * 1.0 / t) * log2(c * 1.0 / t)) AS DOUBLE) AS entropy
+    FROM counts JOIN tot ON counts.cohort = tot.cohort
+    GROUP BY counts.cohort
+    ORDER BY cohort
+    """,
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entropy(x) (AggregateFunctionEntropy.cpp): Shannon entropy of the
+    event-type distribution per cohort — two-level aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        (F.col("user_id") % 10).alias("cohort"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("cohort").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    return (
+        counts.join(tot, "cohort")
+        .groupBy("cohort")
+        .agg((-F.sum(p * F.log2(p))).alias("entropy"))
+        .orderBy("cohort")
+    )
+
+
+@query(
+    "q_moving_agg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(value) OVER w3 AS DOUBLE) AS moving_sum3,
+           CAST(avg(value) OVER w3 AS DOUBLE) AS moving_avg3
+    FROM events WHERE user_id < 5
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def q_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupArrayMovingSum/Avg(3) (AggregateFunctionGroupArrayMoving.cpp):
+    the per-row form — a 3-row sliding frame in event order."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w3 = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.sum("value").over(w3).alias("moving_sum3"),
+            F.avg("value").over(w3).alias("moving_avg3"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q_max_intersections",
+    oracle="""
+    WITH intervals AS (
+      SELECT ts AS s, ts + INTERVAL 1 HOUR AS e FROM events WHERE user_id < 50),
+    points AS (
+      SELECT s AS p, 1 AS d FROM intervals
+      UNION ALL
+      SELECT e AS p, -1 AS d FROM intervals),
+    swept AS (
+      SELECT sum(d) OVER (ORDER BY p, d DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+      FROM points)
+    SELECT CAST(max(depth) AS BIGINT) AS max_intersections FROM swept
+    """,
+)
+def q_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxIntersections(start, end) (AggregateFunctionMaxIntersections.cpp):
+    max concurrent intervals — classic sweep: +1/-1 deltas, running sum,
+    max. One global sort; ends sort after starts at ties (d DESC) matching
+    the reference's closed-interval counting."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    iv = ev.select(F.col("ts").alias("s"), (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"))
+    points = iv.select(F.col("s").alias("p"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.col("e").alias("p"), F.lit(-1).alias("d"))
+    )
+    w = W.orderBy(F.asc("p"), F.desc("d")).rowsBetween(W.unboundedPreceding, 0)
+    return points.select(F.sum("d").over(w).alias("depth")).agg(
+        F.max("depth").cast("long").alias("max_intersections")
+    )
+
+
+@query(
+    "q_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n, avg(value) AS m, var_samp(value) AS v
+      FROM events WHERE event_type IN ('click', 'error')
+      GROUP BY event_type),
+    w AS (SELECT
+            max(CASE WHEN event_type = 'click' THEN m END) AS m1,
+            max(CASE WHEN event_type = 'error' THEN m END) AS m2,
+            max(CASE WHEN event_type = 'click' THEN v END) AS v1,
+            max(CASE WHEN event_type = 'error' THEN v END) AS v2,
+            max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+            max(CASE WHEN event_type = 'error' THEN n END) AS n2
+          FROM s)
+    SELECT CAST((m1 - m2) / sqrt(v1/n1 + v2/n2) AS DOUBLE) AS t_stat,
+           CAST(pow(v1/n1 + v2/n2, 2)
+                / (pow(v1/n1, 2)/(n1-1) + pow(v2/n2, 2)/(n2-1)) AS DOUBLE) AS df
+    FROM w
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """welchTTest(x, sample) (AggregateFunctionTTest.cpp): Welch's unequal-
+    variance t statistic + Welch–Satterthwaite df, closed-form from per-
+    sample (n, mean, var) — one aggregation pass."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "error"))
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    pick = lambda c, t: F.max(F.when(F.col("event_type") == t, F.col(c)))
+    w = s.agg(
+        pick("m", "click").alias("m1"), pick("m", "error").alias("m2"),
+        pick("v", "click").alias("v1"), pick("v", "error").alias("v2"),
+        pick("n", "click").alias("n1"), pick("n", "error").alias("n2"),
+    )
+    se1, se2 = F.col("v1") / F.col("n1"), F.col("v2") / F.col("n2")
+    return w.select(
+        ((F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)).alias("t_stat"),
+        (
+            F.pow(se1 + se2, 2)
+            / (F.pow(se1, 2) / (F.col("n1") - 1) + F.pow(se2, 2) / (F.col("n2") - 1))
+        ).alias("df"),
+    )
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH both_samples AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp
+      FROM events WHERE event_type IN ('click', 'error')),
+    ranked AS (
+      SELECT grp, (rank() OVER (ORDER BY value)
+                   + count(*) OVER (PARTITION BY value) - 1) / 2.0 + 0.5 AS r
+      FROM both_samples)
+    SELECT CAST(sum(CASE WHEN grp = 1 THEN r END)
+                - (sum(grp) * (sum(grp) + 1)) / 2.0 AS DOUBLE) AS u1,
+           CAST(sum(grp) AS BIGINT) AS n1,
+           CAST(sum(1 - grp) AS BIGINT) AS n2
+    FROM ranked
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mannWhitneyUTest (AggregateFunctionMannWhitney.cpp): U statistic via
+    midranks (rank window + tie correction), the standard rank-sum form."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "error"))
+    both = ev.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("grp"),
+    )
+    # midrank: min-rank + (ties-1)/2  ==  average rank of the tied block
+    r = (
+        F.rank().over(W.orderBy("value"))
+        + F.count(F.lit(1)).over(W.partitionBy("value"))
+        - 1
+    ) / 2.0 + 0.5
+    ranked = both.select("grp", r.alias("r"))
+    n1 = F.sum("grp")
+    return ranked.agg(
+        (F.sum(F.when(F.col("grp") == 1, F.col("r"))) - (n1 * (n1 + 1)) / 2.0).alias("u1"),
+        n1.cast("long").alias("n1"),
+        F.sum(1 - F.col("grp")).cast("long").alias("n2"),
+    )

@@ -1,0 +1,30 @@
+"""Golden-corpus gate: every reference stateless test in golden_corpus.txt
+must run through the dialect layer and byte-match its .reference output —
+the reference's own test method (SURVEY §5.1) applied to this engine.
+
+The list is the frozen auto-curated subset of /root/reference/tests/queries/
+0_stateless/ that is expressible without DDL/streaming/engine-internals;
+tools/golden.py documents the formatting rules. Regressions here mean a
+dialect or semantics break, so the whole list runs in CI.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tools.golden import run_golden
+
+BASE = "/root/reference/tests/queries/0_stateless"
+LIST = os.path.join(os.path.dirname(__file__), "golden_corpus.txt")
+
+with open(LIST) as fh:
+    CORPUS = [line.strip() for line in fh if line.strip()]
+
+
+@pytest.mark.skipif(not os.path.isdir(BASE), reason="reference corpus not present")
+@pytest.mark.parametrize("name", CORPUS)
+def test_golden(name, spark):
+    ok, msg = run_golden(spark, f"{BASE}/{name}.sql", f"{BASE}/{name}.reference")
+    assert ok, msg
