@@ -303,13 +303,13 @@ def _find_call_end(tokens: list[str], open_idx: int) -> int:
 
 
 def _split_args(tokens: list[str]) -> list[list[str]]:
-    """Split a paren-free-at-top-level token run on top-level commas."""
+    """Split a token run on top-level commas (outside parens AND brackets)."""
     args: list[list[str]] = [[]]
     depth = 0
     for t in tokens:
-        if t == "(":
+        if t in ("(", "["):
             depth += 1
-        elif t == ")":
+        elif t in (")", "]"):
             depth -= 1
         if t == "," and depth == 0:
             args.append([])
