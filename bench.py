@@ -43,6 +43,11 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_ann_topk",
     "q_text_metrics",
+    # SSB set (BASELINE.md's canonical perf queries)
+    "ssb_q1_1",
+    "ssb_q2_1",
+    "ssb_q3_1",
+    "ssb_q4_1",
 ]
 
 

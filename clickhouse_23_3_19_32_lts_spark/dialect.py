@@ -197,7 +197,11 @@ TEMPLATES: dict[str, str] = {
     # identity / introspection shims
     "materialize": "{0}",
     "toNullable": "{0}",
+    "toLowCardinality": "{0}",
     "toFixedString": "{0}",
+    # regexp replace (One-variant: Spark replaces all; documented divergence)
+    "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
+    "replaceRegexpOne": "regexp_replace({0}, {1}, {2})",
     "ignore": "(length(CAST({0} AS STRING)) * 0)",
     "identity": "{0}",
     # numeric classification
@@ -253,6 +257,27 @@ TEMPLATES: dict[str, str] = {
     "runningDifference": "({0} - lag({0}) OVER (ORDER BY monotonically_increasing_id()))",
     "multiIf": None,  # variadic — handled specially
     "transform": None,  # (x, from_arr, to_arr, default) — handled specially
+}
+
+# ClickHouse type names → Spark SQL types (2-arg CAST form)
+_CH_TYPE_MAP: dict[str, str] = {
+    "Int8": "TINYINT",
+    "Int16": "SMALLINT",
+    "Int32": "INT",
+    "Int64": "BIGINT",
+    "UInt8": "INT",
+    "UInt16": "INT",
+    "UInt32": "BIGINT",
+    "UInt64": "BIGINT",
+    "Float32": "FLOAT",
+    "Float64": "DOUBLE",
+    "String": "STRING",
+    "Date": "DATE",
+    "DateTime": "TIMESTAMP",
+    "Bool": "BOOLEAN",
+    "Array(Int64)": "ARRAY<BIGINT>",
+    "Array(String)": "ARRAY<STRING>",
+    "Array(Float64)": "ARRAY<DOUBLE>",
 }
 
 # parametric aggregates: name(params)(args) → template with p* and a*
@@ -409,6 +434,15 @@ def _rewrite(tokens: list[str]) -> str:
             out.append(f"struct({', '.join(arg_sql)})")
             i = close + 1
             continue
+
+        if t.upper() == "CAST" and len(arg_sql) == 2 and re.fullmatch(r"'[^']+'", arg_sql[1]):
+            # ClickHouse 2-arg form: CAST(x, 'Type')
+            ch_type = arg_sql[1][1:-1]
+            spark_type = _CH_TYPE_MAP.get(ch_type)
+            if spark_type:
+                out.append(f"CAST({arg_sql[0]} AS {spark_type})")
+                i = close + 1
+                continue
 
         if t == "numbers":
             # numbers(N) / numbers(start, N) table function → range() TVF

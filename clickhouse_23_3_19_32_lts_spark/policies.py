@@ -127,11 +127,27 @@ class PolicyTable:
     version: str | None = None
     sign: str | None = None
     sum_cols: list[str] | None = None
+    # CHECK constraints (CheckConstraintsTransform.cpp): name -> boolean Column
+    constraints: dict = field(default_factory=dict)
+    # column DEFAULTs (AddingDefaultsTransform.cpp): name -> Column/literal
+    defaults: dict = field(default_factory=dict)
 
     # -- write path --------------------------------------------------------
     def insert(self, df: DataFrame, mode: str = "append") -> None:
-        """INSERT: sort-within-partitions by ORDER BY (clusters row groups
-        for min/max pruning — the MergeTree sort), write hive-partitioned."""
+        """INSERT: defaults filled, CHECK constraints enforced (insert
+        fails on violation, like the reference), sorted within partitions
+        by ORDER BY (clusters row groups for min/max pruning — the
+        MergeTree sort), written hive-partitioned."""
+        for name, default in self.defaults.items():
+            d = default if isinstance(default, Column) else F.lit(default)
+            if name in df.columns:
+                df = df.withColumn(name, F.coalesce(F.col(name), d))
+            else:
+                df = df.withColumn(name, d)
+        for name, cond in self.constraints.items():
+            bad = df.filter(~cond).count()
+            if bad:
+                raise ValueError(f"CHECK constraint {name!r} violated by {bad} row(s)")
         if self.order_by:
             df = df.sortWithinPartitions(*self.order_by)
         writer = df.write.mode(mode)

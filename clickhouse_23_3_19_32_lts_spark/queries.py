@@ -792,6 +792,7 @@ def _load_query_modules() -> None:
         "clickhouse_23_3_19_32_lts_spark.queries_tpch",
         "clickhouse_23_3_19_32_lts_spark.queries_window",
         "clickhouse_23_3_19_32_lts_spark.queries_stats",
+        "clickhouse_23_3_19_32_lts_spark.queries_ssb",
     ):
         importlib.import_module(mod)
 

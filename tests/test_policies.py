@@ -122,3 +122,21 @@ def test_policy_table_partitioned_writes(spark, table_path):
     plan = t.read().filter(F.col("p") == "a")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(p" in plan
     assert t.read().filter(F.col("p") == "a").count() == 2
+
+
+def test_check_constraints_and_defaults(spark, table_path):
+    from pyspark.sql import Row
+
+    t = PolicyTable(
+        spark,
+        table_path,
+        constraints={"positive_v": F.col("v") > 0},
+        defaults={"status": "new"},
+    )
+    t.insert(spark.createDataFrame([Row(k=1, v=5, status=None), Row(k=2, v=1, status="old")]))
+    got = {r["k"]: r["status"] for r in t.read().collect()}
+    assert got == {1: "new", 2: "old"}  # NULL filled with default
+
+    with pytest.raises(ValueError, match="positive_v"):
+        t.insert(spark.createDataFrame([Row(k=3, v=-1, status="x")]))
+    assert t.read().count() == 2  # rejected insert wrote nothing
