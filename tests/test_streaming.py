@@ -230,3 +230,41 @@ def test_batch_stream_parity(spark, stream_dirs, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_running_aggregate(spark, stream_dirs):
+    """applyInPandasWithState: state persists across micro-batches — the
+    incremental-materialized-view pattern (SURVEY §2.9, -State combinator)."""
+    from clickhouse_23_3_19_32_lts_spark.streaming.stateful import running_aggregate
+
+    src, out, ckpt = stream_dirs
+    _write_batch(
+        spark, src, "b0",
+        [
+            Row(ts=_ts("2024-01-01 00:00:01"), user_id=1, event_type="a", value=10.0),
+            Row(ts=_ts("2024-01-01 00:00:02"), user_id=1, event_type="a", value=20.0),
+            Row(ts=_ts("2024-01-01 00:00:03"), user_id=2, event_type="a", value=5.0),
+        ],
+    )
+    _write_batch(
+        spark, src, "b1",
+        [Row(ts=_ts("2024-01-01 00:01:00"), user_id=1, event_type="a", value=30.0)],
+    )
+
+    stream = replay_source(spark, os.path.join(src, "*"), EVENT_SCHEMA)
+    q = (
+        running_aggregate(stream, "user_id", "value")
+        .writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stateful_out").collect()
+    # update mode: user 1 appears once per batch that touched it; the LAST
+    # emission carries state accumulated across batches
+    u1 = sorted([r for r in rows if r["user_id"] == 1], key=lambda r: r["n"])[-1]
+    assert (u1["n"], u1["total"], u1["mn"], u1["mx"]) == (3, 60.0, 10.0, 30.0)
+    u2 = [r for r in rows if r["user_id"] == 2][-1]
+    assert (u2["n"], u2["total"]) == (1, 5.0)
