@@ -191,6 +191,23 @@ TEMPLATES: dict[str, str] = {
     "divide": "(CAST({0} AS DOUBLE) / {1})",
     "JSONExtractRaw": "get_json_object({0}, concat('$.', {1}))",
     "visitParamExtractString": "get_json_object({0}, concat('$.', {1}))",
+    # bit ops (src/Functions/bitAnd.cpp et al.)
+    "bitAnd": "({0} & {1})",
+    "bitOr": "({0} | {1})",
+    "bitXor": "({0} ^ {1})",
+    "bitNot": "(~{0})",
+    "bitShiftLeft": "shiftleft({0}, CAST({1} AS INT))",
+    "bitShiftRight": "shiftright({0}, CAST({1} AS INT))",
+    "bitTest": "((shiftright({0}, CAST({1} AS INT)) & 1) = 1)",
+    "bitCount": "bit_count({0})",
+    "bitHammingDistance": "bit_count({0} ^ {1})",
+    "roundBankers": "bround({0})",
+    "exp2": "power(2, {0})",
+    "exp10": "power(10, {0})",
+    "e": "exp(1)",
+    "notLike": "(NOT ({0} LIKE {1}))",
+    "notILike": "(NOT ({0} ILIKE {1}))",
+    "positionCaseInsensitive": "locate(lower({1}), lower({0}))",
     "toQuarter": "quarter({0})",
     "timeSlot": "date_trunc('hour', {0})",
     "age": "datediff({2}, {1})",
@@ -432,6 +449,12 @@ def _rewrite(tokens: list[str]) -> str:
 
         if t == "tuple":
             out.append(f"struct({', '.join(arg_sql)})")
+            i = close + 1
+            continue
+
+        if t == "round":
+            # ClickHouse round() is banker's rounding (FunctionsRound.cpp)
+            out.append(f"bround({', '.join(arg_sql)})")
             i = close + 1
             continue
 

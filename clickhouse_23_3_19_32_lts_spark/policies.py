@@ -193,17 +193,44 @@ class PolicyTable:
         os.rename(tmp, self.path)
 
     # -- mutations (ALTER TABLE UPDATE / DELETE) ---------------------------
-    def delete_where(self, predicate: Column) -> None:
+    def _mutate(self, transform, partition_predicate: Column | None) -> None:
+        """Run a table rewrite. With partition_by + a partition predicate,
+        only the touched partitions are read (partition-pruned scan) and
+        rewritten in place via dynamic partition overwrite — untouched
+        partitions' files are never opened. Otherwise full rewrite."""
+        if self.partition_by and partition_predicate is not None:
+            touched = self.read().filter(partition_predicate)
+            df = transform(touched)
+            if self.order_by:
+                df = df.sortWithinPartitions(*self.order_by)
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*self.partition_by)
+                .parquet(self.path)
+            )
+        else:
+            self._overwrite(transform(self.read()))
+
+    def delete_where(
+        self, predicate: Column, partition_predicate: Column | None = None
+    ) -> None:
         """Lightweight DELETE (ParserDeleteQuery.cpp): rewrite minus matches.
+        Pass partition_predicate (a predicate on partition columns covering
+        every possibly-matching partition) to rewrite only those partitions."""
+        self._mutate(lambda df: df.filter(~predicate), partition_predicate)
 
-        At scale: with partition_by set, Catalyst partition-prunes the read
-        and untouched partitions can be preserved via dynamic overwrite; the
-        fixture-size implementation rewrites the table."""
-        self._overwrite(self.read().filter(~predicate))
-
-    def update_where(self, predicate: Column, assignments: dict[str, Column]) -> None:
+    def update_where(
+        self,
+        predicate: Column,
+        assignments: dict[str, Column],
+        partition_predicate: Column | None = None,
+    ) -> None:
         """ALTER TABLE UPDATE col = expr WHERE pred: conditional rewrite."""
-        df = self.read()
-        for col, expr in assignments.items():
-            df = df.withColumn(col, F.when(predicate, expr).otherwise(F.col(col)))
-        self._overwrite(df)
+
+        def transform(df: DataFrame) -> DataFrame:
+            for col, expr in assignments.items():
+                df = df.withColumn(col, F.when(predicate, expr).otherwise(F.col(col)))
+            return df
+
+        self._mutate(transform, partition_predicate)

@@ -230,3 +230,25 @@ def q_final_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@query("q_session_window")  # no SQL-expressible oracle: session merge is iterative
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in batch (session_window §2.9 — a superset of the
+    reference's WindowView, which lacks sessions). Rows-only check: DuckDB
+    cannot express gap-based session merging in one SQL statement; the
+    streaming equivalence is tested in tests/test_streaming.py."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            F.col("total").cast("double"),
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -140,3 +140,20 @@ def test_check_constraints_and_defaults(spark, table_path):
     with pytest.raises(ValueError, match="positive_v"):
         t.insert(spark.createDataFrame([Row(k=3, v=-1, status="x")]))
     assert t.read().count() == 2  # rejected insert wrote nothing
+
+
+def test_partition_pruned_mutation(spark, table_path):
+    """delete_where with a partition predicate rewrites only the touched
+    partitions (dynamic overwrite); other partitions' files stay intact."""
+    import os
+
+    t = PolicyTable(spark, table_path, partition_by=["p"])
+    t.insert(spark.createDataFrame([Row(p="a", v=i) for i in range(4)]
+                                   + [Row(p="b", v=i) for i in range(4)]))
+    b_files_before = set(os.listdir(os.path.join(table_path, "p=b")))
+
+    t.delete_where(F.col("v") >= 2, partition_predicate=F.col("p") == "a")
+    got = sorted((r["p"], r["v"]) for r in t.read().collect())
+    assert got == [("a", 0), ("a", 1), ("b", 0), ("b", 1), ("b", 2), ("b", 3)]
+    # p=b untouched: same files on disk
+    assert set(os.listdir(os.path.join(table_path, "p=b"))) == b_files_before
