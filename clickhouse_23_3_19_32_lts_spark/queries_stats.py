@@ -197,3 +197,32 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1.cast("long").alias("n1"),
         F.sum(1 - F.col("grp")).cast("long").alias("n2"),
     )
+
+
+@query(
+    "q_linear_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_slope(l_extendedprice, l_quantity) AS DOUBLE)     AS slope,
+           CAST(regr_intercept(l_extendedprice, l_quantity) AS DOUBLE) AS intercept,
+           CAST(regr_r2(l_extendedprice, l_quantity) AS DOUBLE)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)     AS n
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simpleLinearRegression / stochasticLinearRegression families
+    (AggregateFunctionMLMethod.cpp, SURVEY §2.4 ML): OLS per group via the
+    closed-form regr_* aggregates — one pass, no iteration, exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_slope("l_extendedprice", "l_quantity").alias("slope"),
+            F.regr_intercept("l_extendedprice", "l_quantity").alias("intercept"),
+            F.regr_r2("l_extendedprice", "l_quantity").alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
