@@ -228,7 +228,17 @@ TEMPLATES: dict[str, str] = {
     # decimals with explicit scale
     "toDecimal32": "CAST({0} AS DECIMAL(9, {1}))",
     # misc string/array
-    "appendTrailingCharIfAbsent": "(CASE WHEN right({0}, 1) = {1} THEN {0} ELSE concat({0}, {1}) END)",
+    "appendTrailingCharIfAbsent": "(CASE WHEN endswith({0}, {1}) THEN {0} ELSE concat({0}, {1}) END)",
+    # typeof() with Spark→ClickHouse type-name mapping (covers cast results;
+    # ClickHouse literal-inference types like UInt8 are not recoverable)
+    "toTypeName": (
+        "(CASE typeof({0}) WHEN 'bigint' THEN 'Int64' WHEN 'int' THEN 'Int32'"
+        " WHEN 'smallint' THEN 'Int16' WHEN 'tinyint' THEN 'Int8'"
+        " WHEN 'double' THEN 'Float64' WHEN 'float' THEN 'Float32'"
+        " WHEN 'string' THEN 'String' WHEN 'date' THEN 'Date'"
+        " WHEN 'timestamp' THEN 'DateTime' WHEN 'boolean' THEN 'Bool'"
+        " ELSE typeof({0}) END)"
+    ),
     "arrayWithConstant": "array_repeat({1}, CAST({0} AS INT))",
     "tuple": None,  # variadic — handled specially (struct)
     "extractURLParameter": "parse_url({0}, 'QUERY', {1})",
@@ -524,6 +534,20 @@ def _rewrite(tokens: list[str]) -> str:
 _FORMAT_TAIL = re.compile(r"\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$", re.IGNORECASE)
 _SETTINGS_TAIL = re.compile(r"\bSETTINGS\s+[^;]+;?\s*$", re.IGNORECASE)
 
+# ARRAY JOIN <ident-or-call> AS <alias>  →  LATERAL VIEW [OUTER] explode
+_ARRAY_JOIN_AS = re.compile(
+    r"\b(LEFT\s+)?ARRAY\s+JOIN\s+([A-Za-z_][A-Za-z0-9_]*(?:\([^()]*\))?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_array_join_clause(s: str) -> str:
+    def repl(m: re.Match) -> str:
+        outer = "OUTER " if m.group(1) else ""
+        return f"LATERAL VIEW {outer}explode({m.group(2)}) __aj_{m.group(3)} AS {m.group(3)}"
+
+    return _ARRAY_JOIN_AS.sub(repl, s)
+
 
 def translate(ch_sql: str) -> str:
     """ClickHouse SQL → Spark SQL. Raises ChSqlError on constructs that need
@@ -531,6 +555,7 @@ def translate(ch_sql: str) -> str:
     s = ch_sql.strip().rstrip(";")
     s = _FORMAT_TAIL.sub("", s)
     s = _SETTINGS_TAIL.sub("", s)
+    s = _rewrite_array_join_clause(s)
     upper = s.upper()
     for construct, hint in (
         ("WITH FILL", "use operators.with_fill"),

@@ -55,7 +55,15 @@ def test_unsupported_constructs_raise():
     with pytest.raises(ChSqlError):
         translate("SELECT x FROM t LIMIT 3 BY x")
     with pytest.raises(ChSqlError):
-        translate("SELECT a FROM t ARRAY JOIN arr AS a")
+        # bare ARRAY JOIN (no AS alias) is the unsupported form
+        translate("SELECT arr FROM t ARRAY JOIN arr")
+
+
+def test_array_join_clause_translates():
+    got = translate("SELECT x, a FROM t ARRAY JOIN arr AS a")
+    assert "LATERAL VIEW explode(arr) __aj_a AS a" in got
+    got_left = translate("SELECT x, a FROM t LEFT ARRAY JOIN arr AS a")
+    assert "LATERAL VIEW OUTER explode(arr)" in got_left
 
 
 # --- end-to-end on fixtures -------------------------------------------------
@@ -139,3 +147,53 @@ def test_ch_sql_joins_pass_through(spark):
         """,
     ).collect()
     assert len(rows) == 3 and rows[0]["n"] >= rows[-1]["n"]
+
+
+def test_ch_sql_tpch_q1_end_to_end(spark, sf_dir):
+    """A reference user's TPC-H Q1 — ClickHouse dialect (count(), toDate,
+    CH-style syntax) — must produce the registry q01 results unchanged."""
+    from clickhouse_23_3_19_32_lts_spark.queries import all_queries
+
+    got = ch_sql(
+        spark,
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity)                                       AS sum_qty,
+               sum(l_extendedprice)                                  AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               avg(l_quantity)      AS avg_qty,
+               avg(l_extendedprice) AS avg_price,
+               avg(l_discount)      AS avg_disc,
+               count()              AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= toDateTime('1998-09-02 00:00:00')
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        FORMAT TabSeparated
+        """,
+    ).collect()
+    want = all_queries()["q01_pricing_summary"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["l_returnflag"] == w["l_returnflag"]
+        assert g["count_order"] == w["count_order"]
+        assert abs(g["sum_disc_price"] - w["sum_disc_price"]) < 1e-6
+
+
+def test_ch_sql_parametric_and_arrays_end_to_end(spark):
+    rows = ch_sql(
+        spark,
+        """
+        SELECT event_type,
+               quantiles(0.5, 0.9)(value) AS qs,
+               topK(3)(user_id) AS top_users,
+               groupUniqArray(user_id % 5) AS cohorts
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r["qs"]) == 2 and r["qs"][0] <= r["qs"][1]
+        assert len(r["top_users"]) == 3
+        assert sorted(r["cohorts"]) == [0, 1, 2, 3, 4]

@@ -31,6 +31,8 @@ def _fmt_float(f: float) -> str:
 
 
 def _fmt_nested(v) -> str:
+    import decimal
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -40,18 +42,28 @@ def _fmt_nested(v) -> str:
         return f"'{escaped}'"
     if isinstance(v, float):
         return _fmt_float(v)
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, decimal.Decimal):
+        return _fmt_float(float(v))
+    if hasattr(v, "__fields__"):  # Row (struct) → tuple syntax
+        return "(" + ",".join(_fmt_nested(x) for x in v) + ")"
+    if isinstance(v, tuple):
+        return "(" + ",".join(_fmt_nested(x) for x in v) + ")"
+    if isinstance(v, list):
         return "[" + ",".join(_fmt_nested(x) for x in v) + "]"
     return str(v)
 
 
 def _fmt_top(v) -> str:
+    import decimal
+
     if v is None:
         return "\\N"
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, float):
         return _fmt_float(v)
+    if isinstance(v, decimal.Decimal):
+        return _fmt_float(float(v))
     if isinstance(v, str):
         return v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
     if isinstance(v, list):
