@@ -24,7 +24,9 @@ from clickhouse_23_3_19_32_lts_spark.pipeline.dedup import (
 )
 from clickhouse_23_3_19_32_lts_spark.pipeline.similarity import (
     brute_force_topk,
+    build_ivf_index,
     embedding_near_dup_pairs,
+    ivf_index_topk,
     ivf_topk,
 )
 from clickhouse_23_3_19_32_lts_spark.pipeline.text import (
@@ -46,7 +48,9 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "brute_force_topk",
+    "build_ivf_index",
     "embedding_near_dup_pairs",
+    "ivf_index_topk",
     "ivf_topk",
     "token_count",
     "bpe_ish_token_count",

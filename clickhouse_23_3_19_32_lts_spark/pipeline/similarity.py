@@ -154,6 +154,72 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: vectors written as parquet hive-partitioned
+    by cluster id (MergeTreeIndexAnnoy.h:21 analogue, but storage-native).
+
+    Each cluster's vectors are co-located in its own partition directory, so
+    a search touching nprobe clusters reads exactly those directories —
+    partition pruning does the index lookup. Rebuild = recompute + overwrite
+    (the same lifecycle as the reference's index rebuild on merge)."""
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    probes: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Search a materialized IVF index: pick nprobe clusters per probe, read
+    ONLY those partitions (partition-pruned scan — asserted in tests), score
+    and rank. At 100 TB the scan cost is |index|·nprobe/n_centroids."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    probe_clusters = brute_force_topk(
+        centroids.select(
+            F.col("centroid_id").alias(id_col), F.col("centroid_vec").alias(vec_col)
+        ),
+        probes,
+        k=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        probe_id_col=probe_id_col,
+        probe_vec_col=probe_vec_col,
+        metric="l2",
+    ).select(F.col(probe_id_col), F.col(id_col).alias("cluster"))
+
+    wanted = [r["cluster"] for r in probe_clusters.select("cluster").distinct().collect()]
+    index = spark.read.parquet(index_path).filter(F.col("cluster").isin(wanted))
+
+    candidates = index.join(F.broadcast(probe_clusters), on="cluster").join(
+        F.broadcast(probes), on=probe_id_col
+    )
+    w = W.partitionBy(probe_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        candidates.select(
+            F.col(probe_id_col),
+            F.col(id_col),
+            cosine_sim(vec_col, probe_vec_col).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.4,

@@ -208,3 +208,32 @@ def test_resize_stub_rewrites_meta(media_df):
     out = resize_stub(media_df, 32, 32).select("meta.width", "meta.height", "meta.codec").collect()
     assert all(r["width"] == 32 and r["height"] == 32 for r in out)
     assert {r["codec"] for r in out} == {"png", "h264"}
+
+
+def test_ivf_materialized_index(spark, emb, tmp_path):
+    """build_ivf_index + ivf_index_topk: search reads only the nprobe
+    clusters' partitions (partition pruning = the index lookup), and
+    results equal the in-memory ivf_topk for the same parameters."""
+    from clickhouse_23_3_19_32_lts_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+
+    path = str(tmp_path / "ivf")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    build_ivf_index(emb, centroids, path)
+
+    got = ivf_index_topk(spark, path, probes, centroids, k=5, nprobe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan  # pruned scan
+
+    mem = ivf_topk(emb, probes, centroids, k=5, nprobe=3)
+    a = {(r["probe_id"], r["vec_id"], r["rank"]) for r in got.collect()}
+    b = {(r["probe_id"], r["vec_id"], r["rank"]) for r in mem.collect()}
+    assert a == b
