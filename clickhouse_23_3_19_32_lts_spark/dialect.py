@@ -566,7 +566,13 @@ def translate(ch_sql: str) -> str:
             raise ChSqlError(f"{construct} needs the library operator ({hint})")
     if re.search(r"\bLIMIT\s+\d+\s+BY\b", upper):
         raise ChSqlError("LIMIT n BY needs operators.limit_by")
-    return _rewrite(_tokenize(s))
+    out = _rewrite(_tokenize(s))
+    # CAST(x AS Int64) / ::Int64 style ClickHouse type names → Spark types
+    for ch_t, spark_t in _CH_TYPE_MAP.items():
+        if "(" in ch_t:
+            continue
+        out = re.sub(rf"\bAS {ch_t}\b", f"AS {spark_t}", out)
+    return out
 
 
 def ch_sql(spark, query: str):

@@ -166,6 +166,27 @@ class Engine:
         self.drop(old)
         self.register(new, df)
 
+    # -- DDL: CREATE TABLE with MergeTree-family policy --------------------
+    def create_table(self, name: str, path: str, **policy_kwargs):
+        """CREATE TABLE ... ENGINE = <MergeTree family>: returns a
+        PolicyTable and registers its FINAL view under `name` once data
+        exists. policy_kwargs → policies.PolicyTable (order_by,
+        partition_by, policy, keys, version, sign, constraints, defaults).
+        """
+        from clickhouse_23_3_19_32_lts_spark.policies import PolicyTable
+
+        table = PolicyTable(self.spark, path, **policy_kwargs)
+        self._policy_tables = getattr(self, "_policy_tables", {})
+        self._policy_tables[name] = table
+        if os.path.exists(path):
+            self.register(name, table.final())
+        return table
+
+    def refresh(self, name: str) -> DataFrame:
+        """Re-register a policy table's FINAL view after inserts."""
+        table = self._policy_tables[name]
+        return self.register(name, table.final())
+
     # -- write path --------------------------------------------------------
     def insert(self, name: str, df: DataFrame, mode: str = "append", path: str | None = None) -> None:
         """INSERT INTO semantics: append parquet at the table's location.

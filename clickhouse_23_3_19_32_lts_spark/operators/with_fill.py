@@ -77,7 +77,17 @@ def with_fill(
             if partition_by
             else W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
         )
-        for c in interpolate:
-            joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        # list form: INTERPOLATE (c) — carry previous value forward;
+        # dict form: INTERPOLATE (c AS expr(prev)) — expr over the carried
+        # value (the reference evaluates the expr against the previous row)
+        items = (
+            interpolate.items() if isinstance(interpolate, dict) else [(c, None) for c in interpolate]
+        )
+        for c, expr_fn in items:
+            prev = F.last(c, ignorenulls=True).over(w)
+            joined = joined.withColumn(
+                c,
+                F.coalesce(F.col(c), expr_fn(prev) if expr_fn is not None else prev),
+            )
 
     return joined.orderBy(*partition_by, col)

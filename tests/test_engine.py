@@ -43,3 +43,18 @@ def test_describe_rename_drop(engine, spark):
     assert engine.sql("SELECT count(*) AS n FROM tmp_t2").collect()[0]["n"] == 3
     engine.drop("tmp_t2")
     assert "tmp_t2" not in engine.tables()
+
+
+def test_create_table_policy_integration(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from clickhouse_23_3_19_32_lts_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.create_table(
+        "kv", str(tmp_path / "kv"), policy="replacing", keys=["k"], version="ver"
+    )
+    t.insert(spark.createDataFrame([Row(k=1, v="a", ver=1), Row(k=1, v="b", ver=2)]))
+    eng.refresh("kv")
+    rows = eng.sql("SELECT k, v FROM kv").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1, "b")]  # FINAL view

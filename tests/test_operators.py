@@ -213,3 +213,11 @@ def test_limit_by(spark):
     out = limit_by(df, by=["g"], order=[F.desc("v")], n=2).collect()
     got = sorted((r["g"], r["v"]) for r in out)
     assert got == [("a", 3), ("a", 4), ("b", 9)]
+
+
+def test_with_fill_interpolate_expr(spark):
+    """Dict-form INTERPOLATE (c AS expr(prev)): filled rows get expr over
+    the previous real value (single-step, documented non-recursive)."""
+    df = spark.createDataFrame([Row(x=1, v=10.0), Row(x=4, v=40.0)])
+    out = with_fill(df, "x", interpolate={"v": lambda prev: prev + 1}).collect()
+    assert [r["v"] for r in out] == [10.0, 11.0, 11.0, 40.0]
