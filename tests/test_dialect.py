@@ -197,3 +197,17 @@ def test_ch_sql_parametric_and_arrays_end_to_end(spark):
         assert len(r["qs"]) == 2 and r["qs"][0] <= r["qs"][1]
         assert len(r["top_users"]) == 3
         assert sorted(r["cohorts"]) == [0, 1, 2, 3, 4]
+
+
+def test_translate_idempotent():
+    """Valid Spark SQL must pass through unchanged — translating an
+    already-translated query is a no-op (the pass-through guarantee)."""
+    queries = [
+        "SELECT toYear(d) AS y, count() FROM t GROUP BY y",
+        "SELECT quantile(0.9)(x), sumIf(v, c > 0) FROM t",
+        "SELECT ['a', 'b'], arr[1], multiIf(a, 1, b, 2, 3) FROM t",
+        "SELECT CAST(x AS Int64) FROM t ARRAY JOIN arr AS a",
+    ]
+    for q in queries:
+        once = translate(q)
+        assert translate(once) == once, q
