@@ -252,3 +252,67 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q_join_kinds",
+    oracle="""
+    WITH big_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+         urgent AS (SELECT o_custkey, count(*) AS n_urgent FROM orders
+                    WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+    SELECT 'full' AS kind, count(*) AS n,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_left,
+           CAST(sum(CASE WHEN n_urgent IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_right
+    FROM big_cust FULL OUTER JOIN urgent ON c_custkey = o_custkey
+    UNION ALL
+    SELECT 'right' AS kind, count(*) AS n,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_left,
+           CAST(0 AS BIGINT) AS null_right
+    FROM big_cust RIGHT JOIN urgent ON c_custkey = o_custkey
+    UNION ALL
+    SELECT 'cross' AS kind, count(*) AS n, CAST(0 AS BIGINT) AS null_left, CAST(0 AS BIGINT) AS null_right
+    FROM (SELECT * FROM big_cust LIMIT 10) CROSS JOIN (SELECT * FROM urgent LIMIT 10)
+    ORDER BY kind
+    """,
+)
+def q_join_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER / RIGHT / CROSS join kinds (src/Core/Joins.h:9) with
+    ANSI-NULL non-match semantics (= join_use_nulls=1, SURVEY §1.3)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_acctbal"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    full = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "full_outer")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("null_left"),
+            F.sum(F.when(F.col("n_urgent").isNull(), 1).otherwise(0)).alias("null_right"),
+        )
+        .select(F.lit("full").alias("kind"), "n", "null_left", "null_right")
+    )
+    right = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "right")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("null_left"),
+        )
+        .select(F.lit("right").alias("kind"), "n", "null_left", F.lit(0).cast("long").alias("null_right"))
+    )
+    cross = (
+        cust.orderBy("c_custkey").limit(10)
+        .crossJoin(urgent.orderBy("o_custkey").limit(10))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("cross").alias("kind"),
+            "n",
+            F.lit(0).cast("long").alias("null_left"),
+            F.lit(0).cast("long").alias("null_right"),
+        )
+    )
+    return full.unionByName(right).unionByName(cross).orderBy("kind")
