@@ -61,8 +61,16 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     DuckDB truncates ns→µs the same way (its TIMESTAMP is µs), so the oracle
     sees identical values. The division happens in codegen, JVM-side.
     """
+    nanos_cols = _nanos_ts_columns(path)
+    if nanos_cols:
+        # Spark 4 rejects TIMESTAMP(NANOS) outright unless this (runtime-
+        # settable) conf is on — the driver may hand us a session without it.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001 — conf may be locked; reads then fail loudly
+            pass
     df = spark.read.parquet(path)
-    for c in _nanos_ts_columns(path):
+    for c in nanos_cols:
         # integer division: double division would lose precision at ~1.7e18 ns
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
