@@ -46,6 +46,18 @@ def query(name: str, oracle: str | None = None):
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from clickhouse_23_3_19_32_lts_spark.engine import read_parquet_table
 
+    # Driver-session hardening: the driver constructs its own SparkSession;
+    # these runtime-settable confs pin the semantics every oracle assumes
+    # (UTC timestamps; ClickHouse wrap-not-raise arithmetic — Spark 4
+    # defaults ANSI on, which would turn benign casts into errors).
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — locked conf: proceed, fail loudly later
+            pass
     return read_parquet_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
