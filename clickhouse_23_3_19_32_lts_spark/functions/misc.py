@@ -166,3 +166,102 @@ def greatCircleDistance(lon1, lat1, lon2, lat2) -> Column:
 
 
 geoDistance = greatCircleDistance
+
+
+# --- bitmap family (src/Functions/FunctionsBitmap.cpp) ----------------------
+# ClickHouse bitmaps are roaring-bitmap values; the Spark-native carrier is a
+# sorted distinct array<long> — every bitmap op is an array set-op in codegen.
+
+
+@chfn("bitmapBuild")
+def bitmapBuild(arr) -> Column:
+    """bitmapBuild(array) → normalized bitmap (sorted distinct)."""
+    return F.array_sort(F.array_distinct(col(arr)))
+
+
+@chfn("bitmapToArray")
+def bitmapToArray(bm) -> Column:
+    return col(bm)
+
+
+@chfn("bitmapCardinality")
+def bitmapCardinality(bm) -> Column:
+    return F.size(col(bm)).cast("long")
+
+
+@chfn("bitmapAnd")
+def bitmapAnd(a, b) -> Column:
+    return F.array_sort(F.array_intersect(col(a), col(b)))
+
+
+@chfn("bitmapOr")
+def bitmapOr(a, b) -> Column:
+    return F.array_sort(F.array_distinct(F.concat(col(a), col(b))))
+
+
+@chfn("bitmapXor")
+def bitmapXor(a, b) -> Column:
+    union = F.array_distinct(F.concat(col(a), col(b)))
+    inter = F.array_intersect(col(a), col(b))
+    return F.array_sort(F.array_except(union, inter))
+
+
+@chfn("bitmapAndnot")
+def bitmapAndnot(a, b) -> Column:
+    return F.array_sort(F.array_except(col(a), col(b)))
+
+
+@chfn("bitmapContains")
+def bitmapContains(bm, x) -> Column:
+    return F.array_contains(col(bm), x)
+
+
+@chfn("bitmapHasAny")
+def bitmapHasAny(a, b) -> Column:
+    return F.arrays_overlap(col(a), col(b))
+
+
+@chfn("bitmapHasAll")
+def bitmapHasAll(a, b) -> Column:
+    """a ⊇ b."""
+    return F.size(F.array_except(col(b), col(a))) == 0
+
+
+@chfn("bitmapAndCardinality")
+def bitmapAndCardinality(a, b) -> Column:
+    return F.size(F.array_intersect(col(a), col(b))).cast("long")
+
+
+@chfn("bitmapOrCardinality")
+def bitmapOrCardinality(a, b) -> Column:
+    return F.size(F.array_distinct(F.concat(col(a), col(b)))).cast("long")
+
+
+# --- stem (src/Functions/FunctionsStemming? — reference: stem/lemmatize) ----
+
+
+@chfn("stem")
+def stem(word) -> Column:
+    """Deterministic English suffix-stripper (Porter-lite): the reference's
+    stem() is snowball-backed; this covers the common -ing/-edly/-s family
+    identically enough for pipeline dedup/token-normalization use."""
+    w = F.lower(col(word))
+    return (
+        F.when(w.rlike(".{4,}ingly$"), F.regexp_replace(w, "ingly$", ""))
+        .when(w.rlike(".{3,}edly$"), F.regexp_replace(w, "edly$", ""))
+        .when(w.rlike(".{4,}ing$"), F.regexp_replace(w, "ing$", ""))
+        .when(w.rlike(".{3,}ied$"), F.regexp_replace(w, "ied$", "y"))
+        .when(w.rlike(".{3,}ed$"), F.regexp_replace(w, "ed$", ""))
+        .when(w.rlike(".{2,}ies$"), F.regexp_replace(w, "ies$", "y"))
+        .when(w.rlike(".{3,}sses$"), F.regexp_replace(w, "es$", ""))
+        .when(w.rlike(".{3,}s$") & ~w.rlike("ss$|us$|is$"), F.regexp_replace(w, "s$", ""))
+        .otherwise(w)
+    )
+
+
+__all__ += [
+    "bitmapBuild", "bitmapToArray", "bitmapCardinality", "bitmapAnd",
+    "bitmapOr", "bitmapXor", "bitmapAndnot", "bitmapContains",
+    "bitmapHasAny", "bitmapHasAll", "bitmapAndCardinality",
+    "bitmapOrCardinality", "stem",
+]

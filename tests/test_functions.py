@@ -213,3 +213,30 @@ def test_misc(spark):
         CH.greatCircleDistance(F.lit(-86.5813), F.lit(55.8456), F.lit(-85.9715), F.lit(55.7488)),
     )
     assert abs(d - 39606.24) < 1.0  # independent haversine computation
+
+
+def test_bitmaps(spark):
+    a = F.array(*[F.lit(x) for x in [3, 1, 2, 2]])
+    b = F.array(*[F.lit(x) for x in [2, 3, 9]])
+    bm_a, bm_b = CH.bitmapBuild(a), CH.bitmapBuild(b)
+    assert one(spark, bm_a) == [1, 2, 3]  # sorted distinct
+    assert one(spark, CH.bitmapCardinality(bm_a)) == 3
+    assert one(spark, CH.bitmapAnd(bm_a, bm_b)) == [2, 3]
+    assert one(spark, CH.bitmapOr(bm_a, bm_b)) == [1, 2, 3, 9]
+    assert one(spark, CH.bitmapXor(bm_a, bm_b)) == [1, 9]
+    assert one(spark, CH.bitmapAndnot(bm_a, bm_b)) == [1]
+    assert one(spark, CH.bitmapContains(bm_a, 2)) is True
+    assert one(spark, CH.bitmapHasAny(bm_a, bm_b)) is True
+    assert one(spark, CH.bitmapHasAll(bm_a, CH.bitmapBuild(F.array(F.lit(1), F.lit(3))))) is True
+    assert one(spark, CH.bitmapHasAll(bm_a, bm_b)) is False
+    assert one(spark, CH.bitmapOrCardinality(bm_a, bm_b)) == 4
+
+
+def test_stem(spark):
+    cases = {
+        "running": "runn", "tested": "test", "flies": "fly",
+        "studied": "study", "cats": "cat", "glass": "glass", "bus": "bus",
+        "quickly": "quickly",
+    }
+    for w, expected in cases.items():
+        assert one(spark, CH.stem(F.lit(w))) == expected, w
