@@ -226,3 +226,67 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_sequence_count",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 2 END AS s
+      FROM events WHERE event_type IN ('signup', 'purchase')),
+    lists AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list(struct_pack(ts := ts, event_id := event_id, s := s))),
+               x -> x.s) AS ss
+      FROM ev GROUP BY user_id)
+    -- integer-encoded state machine: acc = chains*10 + state (DuckDB's
+    -- list_reduce struct accumulators misbehave across multiple rows)
+    SELECT user_id,
+           CAST(list_reduce(
+                  list_prepend(CAST(0 AS BIGINT), list_transform(ss, v -> CAST(v AS BIGINT))),
+                  (acc, e) -> CASE WHEN e = 1 THEN (acc // 10) * 10 + 1
+                                   WHEN (acc % 10) = 1 AND e = 2 THEN ((acc // 10) + 1) * 10
+                                   ELSE acc END) // 10 AS BIGINT) AS n_chains
+    FROM lists ORDER BY user_id
+    """,
+)
+def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceCount('(?1).*(?2)')(ts, signup, purchase)
+    (AggregateFunctionSequenceMatch.cpp): non-overlapping signup→purchase
+    chains per user — a state machine folded over the time-sorted event
+    array with a struct accumulator (aggregate() HOF, codegen, no UDAF;
+    per-user buffering is the reference's own strategy for this family)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.when(F.col("event_type") == "signup", 1).otherwise(2).alias("s"),
+            ).alias("e"),
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    acc0 = F.struct(F.lit(0).alias("s"), F.lit(0).alias("c"))
+    folded = F.aggregate(
+        "evs",
+        acc0,
+        lambda acc, e: F.struct(
+            F.when(e.getField("s") == 1, 1)
+            .when((acc.getField("s") == 1) & (e.getField("s") == 2), 0)
+            .otherwise(acc.getField("s"))
+            .alias("s"),
+            (
+                acc.getField("c")
+                + F.when((acc.getField("s") == 1) & (e.getField("s") == 2), 1).otherwise(0)
+            ).alias("c"),
+        ),
+    )
+    return (
+        per_user.select("user_id", folded.getField("c").cast("long").alias("n_chains"))
+        .orderBy("user_id")
+    )
