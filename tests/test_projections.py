@@ -1,0 +1,99 @@
+"""Aggregate-projection tests: summary answers == base-table answers,
+coarser GROUP BYs re-aggregate partials, incremental refresh equals a full
+rebuild, and the registry falls back when a query isn't derivable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_23_3_19_32_lts_spark.projections import AggregateProjection, ProjectionRegistry
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+@pytest.fixture()
+def proj(spark, lineitem, tmp_path):
+    p = AggregateProjection(
+        spark,
+        str(tmp_path / "proj"),
+        keys=["l_returnflag", "l_linestatus"],
+        measures=["l_quantity", "l_extendedprice"],
+    )
+    p.build(lineitem)
+    return p
+
+
+def _agg_map(df, keys):
+    return {tuple(r[k] for k in keys): tuple(r[c] for c in df.columns if c not in keys) for r in df.collect()}
+
+
+def test_projection_exact_keys(proj, lineitem):
+    aggs = {"sum_qty": ("sum", "l_quantity"), "n": ("count", "*"), "avg_price": ("avg", "l_extendedprice")}
+    got = proj.query(["l_returnflag", "l_linestatus"], aggs)
+    want = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.avg("l_extendedprice").alias("avg_price"),
+    )
+    g, w = _agg_map(got, ["l_returnflag", "l_linestatus"]), _agg_map(want, ["l_returnflag", "l_linestatus"])
+    assert g.keys() == w.keys()
+    for k in g:
+        for a, b in zip(g[k], w[k]):
+            assert a == pytest.approx(b)
+
+
+def test_projection_coarser_group(proj, lineitem):
+    """GROUP BY a subset of keys re-aggregates stored partials (the
+    two-level-groupings trick projections exist for)."""
+    got = proj.query(["l_returnflag"], {"mx": ("max", "l_extendedprice"), "s": ("sum", "l_quantity")})
+    want = lineitem.groupBy("l_returnflag").agg(
+        F.max("l_extendedprice").alias("mx"), F.sum("l_quantity").alias("s")
+    )
+    assert _agg_map(got, ["l_returnflag"]) == pytest.approx(_agg_map(want, ["l_returnflag"]))
+
+
+def test_projection_scan_is_summary_not_base(proj):
+    plan = proj.query(["l_returnflag"], {"s": ("sum", "l_quantity")})._jdf.queryExecution().executedPlan().toString()
+    assert "proj" in plan and "lineitem.parquet" not in plan  # summary scan only
+
+
+def test_incremental_refresh_equals_rebuild(spark, lineitem, tmp_path):
+    old = lineitem.filter(F.col("l_orderkey") % 2 == 0)
+    new = lineitem.filter(F.col("l_orderkey") % 2 == 1)
+    inc = AggregateProjection(spark, str(tmp_path / "inc"), keys=["l_returnflag"], measures=["l_quantity"])
+    inc.build(old)
+    inc.refresh(new)
+    full = AggregateProjection(spark, str(tmp_path / "full"), keys=["l_returnflag"], measures=["l_quantity"])
+    full.build(lineitem)
+    aggs = {"s": ("sum", "l_quantity"), "n": ("count", "*"), "mn": ("min", "l_quantity")}
+    a = _agg_map(inc.query(["l_returnflag"], aggs), ["l_returnflag"])
+    b = _agg_map(full.query(["l_returnflag"], aggs), ["l_returnflag"])
+    assert a == pytest.approx(b)
+
+
+def test_cannot_answer(proj):
+    assert not proj.can_answer(["l_suppkey"], {"s": ("sum", "l_quantity")})  # key not covered
+    assert not proj.can_answer(["l_returnflag"], {"d": ("avg", "l_discount")})  # measure missing
+    assert not proj.can_answer(["l_returnflag"], {"u": ("countDistinct", "l_quantity")})  # not derivable
+    with pytest.raises(ValueError):
+        proj.query(["l_suppkey"], {"s": ("sum", "l_quantity")})
+
+
+def test_registry_rewrite_and_fallback(spark, lineitem, proj):
+    reg = ProjectionRegistry()
+    reg.register("lineitem", proj)
+    got, used = reg.aggregate(
+        "lineitem", lineitem, ["l_returnflag"], {"s": ("sum", "l_quantity")}
+    )
+    assert used is True
+    want = {r["l_returnflag"]: r["s"] for r in lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()}
+    assert {r["l_returnflag"]: r["s"] for r in got.collect()} == pytest.approx(want)
+    # non-derivable → falls back to the base table
+    got2, used2 = reg.aggregate(
+        "lineitem", lineitem, ["l_suppkey"], {"s": ("sum", "l_quantity")}
+    )
+    assert used2 is False and got2.count() > 0
