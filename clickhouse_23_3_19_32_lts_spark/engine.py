@@ -195,6 +195,40 @@ class Engine:
         table = self._policy_tables[name]
         return self.register(name, table.final())
 
+    # -- aggregate projections (SURVEY §4.1 rewrite layer) -----------------
+    def create_projection(
+        self, table: str, path: str, keys: list[str], measures: list[str]
+    ):
+        """ALTER TABLE ... ADD PROJECTION + MATERIALIZE: build a partial-
+        aggregate summary for `table` and register it for agg() rewrites."""
+        from clickhouse_23_3_19_32_lts_spark.projections import (
+            AggregateProjection,
+            ProjectionRegistry,
+        )
+
+        if not hasattr(self, "_projection_registry"):
+            self._projection_registry = ProjectionRegistry()
+        proj = AggregateProjection(self.spark, path, keys, measures)
+        proj.build(self.table(table))
+        self._projection_registry.register(table, proj)
+        return proj
+
+    def aggregate(
+        self, table: str, group_cols: list[str], aggs: dict[str, tuple[str, str]]
+    ) -> DataFrame:
+        """GROUP BY with projection substitution: answered from a matching
+        materialized summary when possible, else from the base table —
+        the optimizeUseAggregateProjection behavior at the API layer."""
+        if hasattr(self, "_projection_registry"):
+            df, _ = self._projection_registry.aggregate(
+                table, self.table(table), group_cols, aggs
+            )
+            return df
+        from clickhouse_23_3_19_32_lts_spark.projections import ProjectionRegistry
+
+        df, _ = ProjectionRegistry().aggregate(table, self.table(table), group_cols, aggs)
+        return df
+
     # -- write path --------------------------------------------------------
     def insert(self, name: str, df: DataFrame, mode: str = "append", path: str | None = None) -> None:
         """INSERT INTO semantics: append parquet at the table's location.

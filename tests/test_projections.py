@@ -97,3 +97,20 @@ def test_registry_rewrite_and_fallback(spark, lineitem, proj):
         "lineitem", lineitem, ["l_suppkey"], {"s": ("sum", "l_quantity")}
     )
     assert used2 is False and got2.count() > 0
+
+
+def test_engine_projection_substitution(spark, sf_dir, tmp_path):
+    from clickhouse_23_3_19_32_lts_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.create_projection(
+        "lineitem", str(tmp_path / "li_proj"), keys=["l_returnflag"], measures=["l_quantity"]
+    )
+    got = eng.aggregate("lineitem", ["l_returnflag"], {"s": ("sum", "l_quantity")})
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__sum_l_quantity" in plan  # answered from the summary partials
+    want = {
+        r["l_returnflag"]: r["s"]
+        for r in eng.table("lineitem").groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+    }
+    assert {r["l_returnflag"]: r["s"] for r in got.collect()} == pytest.approx(want)
