@@ -40,8 +40,6 @@ NAME_MAP: dict[str, str] = {
     "formatDateTime": "date_format",
     "addDays": "date_add",
     "subtractDays": "date_sub",
-    "dateDiff": "datediff",
-    "date_diff": "datediff",
     "toLastDayOfMonth": "last_day",
     "now": "current_timestamp",
     "today": "current_date",
@@ -53,11 +51,8 @@ NAME_MAP: dict[str, str] = {
     "character_length": "length",
     "mid": "substring",
     "substr": "substring",
-    "position": "locate",
-    "locate": "locate",
     "replaceAll": "replace",
     "concatWithSeparator": "concat_ws",
-    "splitByChar": "split",
     "trimBoth": "trim",
     "trimLeft": "ltrim",
     "trimRight": "rtrim",
@@ -176,11 +171,10 @@ TEMPLATES: dict[str, str] = {
     "toStartOfYear": "date_trunc('year', {0})",
     "toStartOfQuarter": "date_trunc('quarter', {0})",
     "toStartOfMonth": "date_trunc('month', {0})",
-    "toStartOfWeek": "date_trunc('week', {0})",
     "toStartOfDay": "date_trunc('day', {0})",
     "toStartOfHour": "date_trunc('hour', {0})",
     "toStartOfMinute": "date_trunc('minute', {0})",
-    "toMonday": "date_trunc('week', {0})",
+    "toMonday": "CAST(date_trunc('week', {0}) AS DATE)",
     "toYYYYMM": "(year({0}) * 100 + month({0}))",
     "toYYYYMMDD": "(year({0}) * 10000 + month({0}) * 100 + dayofmonth({0}))",
     "toDayOfWeek": "(((dayofweek({0}) + 5) % 7) + 1)",  # ISO: Mon=1..Sun=7
@@ -210,7 +204,6 @@ TEMPLATES: dict[str, str] = {
     "positionCaseInsensitive": "locate(lower({1}), lower({0}))",
     "toQuarter": "quarter({0})",
     "timeSlot": "date_trunc('hour', {0})",
-    "age": "datediff({2}, {1})",
     # identity / introspection shims
     "materialize": "{0}",
     "toNullable": "{0}",
@@ -286,6 +279,83 @@ TEMPLATES: dict[str, str] = {
     "transform": None,  # (x, from_arr, to_arr, default) — handled specially
 }
 
+# --- arity-dependent templates: CH call → {n_args: Spark template} -----------
+# Functions whose translation depends on how many arguments were passed; an
+# arity with no entry falls through to the NAME_MAP/default path (e.g. the
+# SQL-standard `position(needle IN haystack)` single-arg form, which Spark
+# accepts verbatim with needle-first semantics on both sides).
+ARITY_TEMPLATES: dict[str, dict[int, str]] = {
+    # ClickHouse position/locate are haystack-first (FunctionsStringSearch.h:20);
+    # Spark locate is (substr, str[, pos]) — swap.
+    "position": {2: "locate({1}, {0})", 3: "locate({1}, {0}, {2})"},
+    "locate": {2: "locate({1}, {0})", 3: "locate({1}, {0}, {2})"},
+    # splitByChar(sep, s[, max]): swap to Spark (str, regex[, limit]) and
+    # regex-quote the separator (Spark split treats it as a regex; CH treats it
+    # as a literal char — '\\Q…\\E' makes '|', '.' etc. safe).
+    "splitByChar": {
+        2: "split({1}, concat('\\\\Q', {0}, '\\\\E'))",
+        3: "split({1}, concat('\\\\Q', {0}, '\\\\E'), {2})",
+    },
+    "splitByString": {
+        2: "split({1}, concat('\\\\Q', {0}, '\\\\E'))",
+        3: "split({1}, concat('\\\\Q', {0}, '\\\\E'), {2})",
+    },
+    # CH 23.3 default week mode 0 starts weeks on SUNDAY (DateLUTImpl.h
+    # week_mode); Spark date_trunc('week') is Monday. Mirror
+    # functions/datetime.py:toStartOfWeek, returning Date as CH does.
+    # Odd modes (1, 3) are Monday-start.
+    "toStartOfWeek": {
+        1: "date_sub(next_day(CAST({0} AS DATE), 'Sun'), 7)",
+        2: (
+            "(CASE WHEN ({1}) % 2 = 1 THEN CAST(date_trunc('week', {0}) AS DATE)"
+            " ELSE date_sub(next_day(CAST({0} AS DATE), 'Sun'), 7) END)"
+        ),
+    },
+}
+
+# --- dateDiff / age: unit-keyword dispatch ----------------------------------
+# ClickHouse dateDiff('unit', s, e) counts UNIT-BOUNDARY crossings
+# (src/Functions/dateDiff.cpp via toRelative*Num); age('unit', s, e) counts
+# COMPLETE elapsed units. Spark's timestampdiff matches age; dateDiff needs
+# truncate-then-diff per unit. Week boundaries are Monday
+# (DateLUTImpl.h:668 toRelativeWeekNum).
+_UNIT_ALIASES = {
+    "second": "second", "seconds": "second", "ss": "second", "s": "second",
+    "minute": "minute", "minutes": "minute", "mi": "minute", "n": "minute",
+    "hour": "hour", "hours": "hour", "hh": "hour", "h": "hour",
+    "day": "day", "days": "day", "dd": "day", "d": "day",
+    "week": "week", "weeks": "week", "wk": "week", "ww": "week",
+    "month": "month", "months": "month", "mm": "month", "m": "month",
+    "quarter": "quarter", "quarters": "quarter", "qq": "quarter", "q": "quarter",
+    "year": "year", "years": "year", "yyyy": "year", "yy": "year",
+}
+
+_DATEDIFF_TEMPLATES = {
+    "year": "(year({2}) - year({1}))",
+    "quarter": "((year({2}) * 4 + quarter({2})) - (year({1}) * 4 + quarter({1})))",
+    "month": "((year({2}) * 12 + month({2})) - (year({1}) * 12 + month({1})))",
+    "week": "(datediff(CAST(date_trunc('week', {2}) AS DATE), CAST(date_trunc('week', {1}) AS DATE)) div 7)",
+    "day": "datediff(CAST({2} AS DATE), CAST({1} AS DATE))",
+    "hour": "((unix_timestamp(date_trunc('hour', {2})) - unix_timestamp(date_trunc('hour', {1}))) div 3600)",
+    "minute": "((unix_timestamp(date_trunc('minute', {2})) - unix_timestamp(date_trunc('minute', {1}))) div 60)",
+    "second": "(unix_timestamp({2}) - unix_timestamp({1}))",
+}
+
+
+def _datediff_expr(fname: str, arg_sql: list[str]) -> str:
+    if len(arg_sql) < 3:
+        raise ChSqlError(f"{fname} needs ('unit', start, end); got {arg_sql}")
+    m = re.fullmatch(r"'(\w+)'", arg_sql[0])
+    if not m or m.group(1).lower() not in _UNIT_ALIASES:
+        raise ChSqlError(f"{fname}: unit must be a literal like 'day'; got {arg_sql[0]}")
+    unit = _UNIT_ALIASES[m.group(1).lower()]
+    if fname == "age":
+        return f"timestampdiff({unit.upper()}, {arg_sql[1]}, {arg_sql[2]})"
+    s = _DATEDIFF_TEMPLATES[unit]
+    for j, a in enumerate(arg_sql):
+        s = s.replace(f"{{{j}}}", a)
+    return s
+
 # ClickHouse type names → Spark SQL types (2-arg CAST form)
 _CH_TYPE_MAP: dict[str, str] = {
     "Int8": "TINYINT",
@@ -314,7 +384,14 @@ PARAMETRIC: dict[str, str] = {
     "quantileTDigest": "percentile_approx({a0}, {p0})",
     "quantileDeterministic": "percentile({a0}, {p0})",
     "quantiles": "array({percentiles})",
-    "topK": "slice(array_sort(collect_list({a0})), 1, {p0})",  # documented approximation
+    # k MOST FREQUENT values (AggregateFunctionTopK.h), most-frequent first,
+    # value-ascending tiebreak; exact (the reference's space-saving sketch is
+    # an approximation of this same ordering)
+    "topK": (
+        "transform(slice(array_sort(transform(array_distinct(collect_list({a0})),"
+        " v -> struct(-size(filter(collect_list({a0}), y -> y = v)) AS neg, v AS val))),"
+        " 1, {p0}), s -> s.val)"
+    ),
     "groupArraySample": "slice(collect_list({a0}), 1, {p0})",
 }
 
@@ -505,6 +582,19 @@ def _rewrite(tokens: list[str]) -> str:
             out.append(
                 f"coalesce(element_at(map_from_arrays({arg_sql[1]}, {arg_sql[2]}), {arg_sql[0]}), {arg_sql[3]})"
             )
+            i = close + 1
+            continue
+
+        if t in ("dateDiff", "date_diff", "age"):
+            out.append(_datediff_expr("age" if t == "age" else "dateDiff", arg_sql))
+            i = close + 1
+            continue
+
+        if t in ARITY_TEMPLATES and len(arg_sql) in ARITY_TEMPLATES[t]:
+            s = ARITY_TEMPLATES[t][len(arg_sql)]
+            for j, a in enumerate(arg_sql):
+                s = s.replace(f"{{{j}}}", a)
+            out.append(s)
             i = close + 1
             continue
 

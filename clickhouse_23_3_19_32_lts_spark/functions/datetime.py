@@ -107,7 +107,8 @@ def toStartOfWeek(x, mode: int = 0) -> Column:
     """mode 0: week starts Sunday (ClickHouse default); mode 1: Monday."""
     if mode == 1:
         return F.date_trunc("week", col(x)).cast("date")
-    return F.date_sub(F.next_day(F.date_sub(col(x).cast("date"), 1), "Sun"), 7)
+    # next_day is strictly-after, so next_day(d,'Sun')-7 maps a Sunday to itself
+    return F.date_sub(F.next_day(col(x).cast("date"), "Sun"), 7)
 
 
 @chfn("toStartOfDay")

@@ -16,15 +16,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _HASH_BUCKETS = 1 << 32
+_PORTABLE_BUCKETS = 1 << 60
 
 
-def sample_deterministic(df: DataFrame, fraction: float, key: str | Column) -> DataFrame:
-    """SAMPLE <fraction> over a sampling key: keep rows whose 32-bit key
-    hash falls in [0, fraction * 2^32) — reference semantics (same subset
-    every query, sub-ranges compose: SAMPLE 0.1 ⊂ SAMPLE 0.2)."""
+def sample_deterministic(
+    df: DataFrame, fraction: float, key: str | Column, portable: bool = False
+) -> DataFrame:
+    """SAMPLE <fraction> over a sampling key: keep rows whose key hash falls
+    in [0, fraction * 2^N) — reference semantics (same subset every query,
+    sub-ranges compose: SAMPLE 0.1 ⊂ SAMPLE 0.2).
+
+    portable=False (default): 32-bit xxhash64 range — pure codegen, fastest.
+    portable=True: 60-bit md5-hex-prefix hash, bit-identical to
+    `CAST(('0x' || substr(md5(k::VARCHAR),1,15)) AS BIGINT)` in DuckDB/ANSI
+    engines, so the sample is oracle-reproducible across engines.
+    """
     if not (0 < fraction <= 1):
         raise ValueError("fraction in (0, 1]")
-    h = F.pmod(F.xxhash64(F.col(key) if isinstance(key, str) else key), F.lit(_HASH_BUCKETS))
+    k = F.col(key) if isinstance(key, str) else key
+    if portable:
+        h = F.conv(F.substring(F.md5(k.cast("string")), 1, 15), 16, 10).cast("long")
+        return df.filter(h < int(fraction * _PORTABLE_BUCKETS))
+    h = F.pmod(F.xxhash64(k), F.lit(_HASH_BUCKETS))
     return df.filter(h < int(fraction * _HASH_BUCKETS))
 
 

@@ -576,12 +576,12 @@ def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stats_moments",
     oracle="""
     SELECT o_orderstatus,
-           CAST(avg(o_totalprice) AS DOUBLE)          AS avg_price,
-           CAST(stddev_pop(o_totalprice) AS DOUBLE)   AS std_pop,
-           CAST(stddev_samp(o_totalprice) AS DOUBLE)  AS std_samp,
-           CAST(var_pop(o_totalprice) AS DOUBLE)      AS v_pop,
-           CAST(skewness(o_totalprice) AS DOUBLE)     AS skew,
-           CAST(kurtosis(o_totalprice) AS DOUBLE)     AS kurt
+           round(CAST(avg(o_totalprice) AS DOUBLE), 4)          AS avg_price,
+           round(CAST(stddev_pop(o_totalprice) AS DOUBLE), 4)   AS std_pop,
+           round(CAST(stddev_samp(o_totalprice) AS DOUBLE), 4)  AS std_samp,
+           round(CAST(var_pop(o_totalprice) AS DOUBLE), -2)     AS v_pop,
+           round(CAST(skewness(o_totalprice) AS DOUBLE), 8)     AS skew,
+           round(CAST(kurtosis(o_totalprice) AS DOUBLE), 8)     AS kurt
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -594,6 +594,10 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB — like the reference's skewSamp/kurtSamp — reports sample-adjusted
     (G1, G2). Convert exactly: G1 = g1·√(n(n−1))/(n−2),
     G2 = ((n+1)g2 + 6)(n−1)/((n−2)(n−3)).
+
+    Both sides round to grids coarse relative to one-pass-vs-two-pass FP drift
+    (observed ≤1 ulp: 4e-6 on v_pop≈2e10, 3e-13 on kurt≈1): var to hundreds,
+    moments to 8 decimals — so the driver's value hash is deterministic.
     """
     orders = _t(spark, sf_dir, "orders")
     n = F.col("__n").cast("double")
@@ -609,8 +613,12 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.kurtosis("o_totalprice").alias("__g2"),
             F.count(F.lit(1)).alias("__n"),
         )
-        .withColumn("skew", g1 * F.sqrt(n * (n - 1)) / (n - 2))
-        .withColumn("kurt", ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)))
+        .withColumn("skew", F.round(g1 * F.sqrt(n * (n - 1)) / (n - 2), 8))
+        .withColumn("kurt", F.round(((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)), 8))
+        .withColumn("avg_price", F.round("avg_price", 4))
+        .withColumn("std_pop", F.round("std_pop", 4))
+        .withColumn("std_samp", F.round("std_samp", 4))
+        .withColumn("v_pop", F.round("v_pop", -2))
         .drop("__g1", "__g2", "__n")
         .orderBy("o_orderstatus")
     )

@@ -153,16 +153,27 @@ def q_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.asc_nulls_last("l_returnflag"))
 
 
-@query("q_sample_deterministic")  # hash-function-specific: rows-only check
+@query(
+    "q_sample_deterministic",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+          < 115292150460684697
+    """,
+)
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAMPLE k (MergeTreeDataSelectExecutor.cpp:496-610): deterministic
-    hash-range sample on the sampling key. No oracle — the 32-bit key-hash
-    function is engine-specific; unit tests assert determinism and the
-    reference's subset property (SAMPLE 0.1 ⊂ SAMPLE 0.2) instead."""
+    hash-range sample on the sampling key. Uses the portable 60-bit
+    md5-prefix hash so the exact subset is engine-reproducible (DuckDB
+    computes the identical hash range); determinism and the reference's
+    subset property (SAMPLE 0.1 ⊂ SAMPLE 0.2) are unit-tested."""
     from clickhouse_23_3_19_32_lts_spark.operators.sampling import sample_deterministic
 
     li = _t(spark, sf_dir, "lineitem")
-    s = sample_deterministic(li, 0.1, "l_orderkey")
+    s = sample_deterministic(li, 0.1, "l_orderkey", portable=True)
     return s.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_quantity").cast("double").alias("sum_qty"),
@@ -232,12 +243,34 @@ def q_final_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_session_window")  # no SQL-expressible oracle: session merge is iterative
+@query(
+    "q_session_window",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 20),
+         m AS (SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(value) AS DOUBLE) AS total
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows in batch (session_window §2.9 — a superset of the
-    reference's WindowView, which lacks sessions). Rows-only check: DuckDB
-    cannot express gap-based session merging in one SQL statement; the
-    streaming equivalence is tested in tests/test_streaming.py."""
+    reference's WindowView, which lacks sessions). Oracle: gap-based
+    sessionization via lag + cumulative-sum session ids (a new session
+    starts when the gap to the previous event is >= the 30-minute gap,
+    matching Spark's merge-on-overlap rule); the streaming equivalence is
+    tested in tests/test_streaming.py."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.filter(F.col("user_id") < 20)

@@ -211,3 +211,88 @@ def test_translate_idempotent():
     for q in queries:
         once = translate(q)
         assert translate(once) == once, q
+
+
+# --- round-2 advisory fixes (ADVICE.md r1): arg order / units / frequency ---
+
+
+def test_position_locate_haystack_first(spark):
+    # CH position(haystack, needle) — FunctionsStringSearch.h:20
+    assert spark.sql(translate("SELECT position('hello world', 'world') AS p")).first()["p"] == 7
+    assert spark.sql(translate("SELECT locate('hello', 'lo') AS p")).first()["p"] == 4
+    assert spark.sql(translate("SELECT position('ababab', 'ab', 3) AS p")).first()["p"] == 3
+    # needle absent → 0, CH convention
+    assert spark.sql(translate("SELECT position('abc', 'z') AS p")).first()["p"] == 0
+    # SQL-standard needle-IN-haystack form passes through
+    assert spark.sql(translate("SELECT position('lo' IN 'hello') AS p")).first()["p"] == 4
+    assert (
+        spark.sql(translate("SELECT positionCaseInsensitive('Hello', 'HELL') AS p")).first()["p"]
+        == 1
+    )
+
+
+def test_split_by_char_and_string(spark):
+    # separator-first in CH; regex metachars must be literal
+    assert spark.sql(translate("SELECT splitByChar('|', 'a|b|c') AS a")).first()["a"] == [
+        "a", "b", "c",
+    ]
+    assert spark.sql(translate("SELECT splitByChar('.', '1.2.3') AS a")).first()["a"] == [
+        "1", "2", "3",
+    ]
+    assert spark.sql(translate("SELECT splitByChar(',', 'a,b,') AS a")).first()["a"] == [
+        "a", "b", "",
+    ]
+    assert spark.sql(translate("SELECT splitByString('::', 'a::b::c') AS a")).first()["a"] == [
+        "a", "b", "c",
+    ]
+
+
+def test_to_start_of_week_sunday_default(spark):
+    # 2024-01-03 is a Wednesday; CH mode 0 week starts Sunday 2023-12-31
+    r = spark.sql(
+        translate(
+            "SELECT toStartOfWeek(toDate('2024-01-03')) AS w0, "
+            "toStartOfWeek(toDate('2024-01-03'), 1) AS w1, "
+            "toMonday(toDate('2024-01-03')) AS mon"
+        )
+    ).first()
+    assert str(r["w0"]) == "2023-12-31"
+    assert str(r["w1"]) == "2024-01-01"
+    assert str(r["mon"]) == "2024-01-01"
+    # a Sunday maps to itself in mode 0
+    r2 = spark.sql(translate("SELECT toStartOfWeek(toDate('2024-01-07')) AS w")).first()
+    assert str(r2["w"]) == "2024-01-07"
+
+
+def test_datediff_boundary_vs_age_complete(spark):
+    # dateDiff counts boundary crossings; age counts complete units
+    r = spark.sql(
+        translate(
+            "SELECT dateDiff('month', toDate('2023-01-31'), toDate('2023-02-01')) AS dd_m, "
+            "age('month', toDate('2023-01-31'), toDate('2023-02-01')) AS age_m, "
+            "dateDiff('hour', toDateTime('2023-01-01 10:59:00'), toDateTime('2023-01-01 11:01:00')) AS dd_h, "
+            "age('hour', toDateTime('2023-01-01 10:59:00'), toDateTime('2023-01-01 11:01:00')) AS age_h, "
+            "dateDiff('day', toDate('2023-01-01'), toDate('2023-03-01')) AS dd_d, "
+            "dateDiff('week', toDate('2024-01-07'), toDate('2024-01-08')) AS dd_w, "
+            "dateDiff('year', toDate('2023-12-31'), toDate('2024-01-01')) AS dd_y"
+        )
+    ).first()
+    assert r["dd_m"] == 1 and r["age_m"] == 0
+    assert r["dd_h"] == 1 and r["age_h"] == 0
+    assert r["dd_d"] == 59
+    # Sunday 2024-01-07 and Monday 2024-01-08 straddle a Monday week boundary
+    assert r["dd_w"] == 1
+    assert r["dd_y"] == 1
+
+
+def test_datediff_requires_literal_unit():
+    with pytest.raises(ChSqlError):
+        translate("SELECT dateDiff(u, a, b) FROM t")
+
+
+def test_topk_is_most_frequent(spark):
+    spark.createDataFrame(
+        [(v,) for v in [1, 1, 1, 2, 2, 9, 9, 9, 9, 5]], "x int"
+    ).createOrReplaceTempView("topk_t")
+    r = spark.sql(translate("SELECT topK(2)(x) AS t FROM topk_t")).first()
+    assert r["t"] == [9, 1]
