@@ -631,6 +631,183 @@ _ARRAY_JOIN_AS = re.compile(
 )
 
 
+def _depth_at(s: str, pos: int) -> int:
+    """Paren nesting depth at pos, ignoring parens inside string literals."""
+    depth = 0
+    in_str = False
+    i = 0
+    while i < pos:
+        c = s[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    return depth
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, in_str, cur = [], 0, False, []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            cur.append(c)
+            if c == "\\" and i + 1 < len(s):
+                cur.append(s[i + 1])
+                i += 2
+                continue
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c in "([":
+            depth += 1
+            cur.append(c)
+        elif c in ")]":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+# --- GROUP BY ... WITH TOTALS → GROUPING SETS ((keys), ()) ------------------
+# TotalsHavingTransform.h:24 — totals as an extra all-NULL-keys row computed
+# in the SAME aggregation pass (Spark grouping sets), mirroring
+# operators/totals.with_totals.
+_TOTALS_RE = re.compile(r"\bGROUP\s+BY\s+(.+?)\s+WITH\s+TOTALS\b", re.IGNORECASE | re.DOTALL)
+
+
+def _rewrite_totals_clause(s: str) -> str:
+    return _TOTALS_RE.sub(lambda m: f"GROUP BY GROUPING SETS (({m.group(1)}), ())", s)
+
+
+# --- LIMIT [off,] n BY keys → row_number window ------------------------------
+# LimitByTransform.h:10 — first n rows per key tuple; with ORDER BY this is
+# bounded per-group top-n (one shuffle, rank + filter), mirroring
+# operators/limit_by.limit_by.
+_LIMIT_BY_RE = re.compile(r"\bLIMIT\s+(\d+)\s*(?:,\s*(\d+))?\s+BY\s+", re.IGNORECASE)
+
+
+def _rewrite_limit_by_clause(s: str) -> str:
+    m = next((c for c in _LIMIT_BY_RE.finditer(s) if _depth_at(s, c.start()) == 0), None)
+    if m is None:
+        return s
+    off, n = (int(m.group(1)), int(m.group(2))) if m.group(2) else (0, int(m.group(1)))
+    head = s[: m.start()].rstrip()
+    rest = s[m.end() :]
+    # BY list runs to the next top-level LIMIT (the final row limit) or EOS
+    tail = ""
+    tm = next(
+        (c for c in re.finditer(r"\bLIMIT\b", rest, re.IGNORECASE) if _depth_at(rest, c.start()) == 0),
+        None,
+    )
+    if tm is not None:
+        tail = " " + rest[tm.start() :].strip()
+        rest = rest[: tm.start()]
+    by = rest.strip()
+    # hoist the query's top-level ORDER BY into the window (and back outside)
+    om = None
+    for c in re.finditer(r"\bORDER\s+BY\s+", head, re.IGNORECASE):
+        if _depth_at(head, c.start()) == 0:
+            om = c
+    if om is not None:
+        order = head[om.end() :].strip()
+        head = head[: om.start()].rstrip()
+    else:
+        # no ORDER BY: any row per key (reference stream order is arbitrary
+        # too); key order makes it deterministic per group of equal keys
+        order = by
+    outer_order = f" ORDER BY {order}" if om is not None else ""
+    return (
+        f"SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {by} ORDER BY {order}) AS __rn FROM ({head}) __lb) "
+        f"WHERE __rn > {off} AND __rn <= {off + n}{outer_order}{tail}"
+    )
+
+
+# --- ORDER BY col WITH FILL [FROM a] [TO b] [STEP s] ------------------------
+# FillingTransform.h:16 — insert rows for missing sort-key values. Spark
+# form: sequence()+explode grid LEFT JOINed onto the source (mirrors
+# operators/with_fill.with_fill; distributed, no driver loop). Scope: single
+# ascending fill column; DESC/multi-column/INTERPOLATE raise toward the
+# library operator.
+_FILL_ITEM_RE = re.compile(
+    r"(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<dir>ASC|DESC)?\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(?P<from>.+?))?(?:\s+TO\s+(?P<to>.+?))?(?:\s+STEP\s+(?P<step>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_with_fill_clause(s: str) -> str:
+    if not re.search(r"\bWITH\s+FILL\b", s, re.IGNORECASE):
+        return s
+    if re.search(r"\bINTERPOLATE\b", s, re.IGNORECASE):
+        raise ChSqlError("INTERPOLATE needs operators.with_fill")
+    om = None
+    for c in re.finditer(r"\bORDER\s+BY\s+", s, re.IGNORECASE):
+        if _depth_at(s, c.start()) == 0:
+            om = c
+    if om is None:
+        raise ChSqlError("WITH FILL inside a subquery needs operators.with_fill")
+    head = s[: om.start()].rstrip()
+    order_clause = s[om.end() :].strip()
+    tail = ""
+    tm = next(
+        (
+            c
+            for c in re.finditer(r"\bLIMIT\b", order_clause, re.IGNORECASE)
+            if _depth_at(order_clause, c.start()) == 0
+        ),
+        None,
+    )
+    if tm is not None:
+        tail = " " + order_clause[tm.start() :].strip()
+        order_clause = order_clause[: tm.start()].strip()
+    items = _split_top_commas(order_clause)
+    if len(items) != 1:
+        raise ChSqlError("multi-column WITH FILL needs operators.with_fill")
+    fm = _FILL_ITEM_RE.match(items[0])
+    if not fm or (fm.group("dir") or "").upper() == "DESC":
+        raise ChSqlError("this WITH FILL shape needs operators.with_fill")
+    col, frm, to, step = fm.group("col"), fm.group("from"), fm.group("to"), fm.group("step")
+    is_date = bool(re.search(r"toDate|DATE '", f"{frm} {to}", re.IGNORECASE))
+    if step is None:
+        # no explicit step: sequence() defaults to 1 for integers and
+        # 1 day for dates/timestamps — type-correct without schema knowledge
+        step_expr = None
+    elif is_date and re.fullmatch(r"\d+", step.strip()):
+        step_expr = f"INTERVAL {step.strip()} DAY"
+    else:
+        step_expr = step.strip()
+    unit = "INTERVAL 1 DAY" if is_date else "1"
+    lo = f"({frm})" if frm else f"min({col})"
+    hi = f"(({to}) - {unit})" if to else f"max({col})"  # CH TO bound is exclusive
+    src = "" if (frm and to) else " FROM __src"
+    seq = f"sequence(lo, hi, {step_expr})" if step_expr is not None else "sequence(lo, hi)"
+    return (
+        f"SELECT * FROM (WITH __src AS ({head}), "
+        f"__b AS (SELECT {lo} AS lo, {hi} AS hi{src}), "
+        f"__grid AS (SELECT explode({seq}) AS {col} FROM __b) "
+        f"SELECT * FROM __grid LEFT JOIN __src USING ({col})) ORDER BY {col}{tail}"
+    )
+
+
 def _rewrite_array_join_clause(s: str) -> str:
     def repl(m: re.Match) -> str:
         outer = "OUTER " if m.group(1) else ""
@@ -641,21 +818,19 @@ def _rewrite_array_join_clause(s: str) -> str:
 
 def translate(ch_sql: str) -> str:
     """ClickHouse SQL → Spark SQL. Raises ChSqlError on constructs that need
-    the library operators instead (LIMIT BY, WITH FILL, array join clause)."""
+    the library operators instead (INTERPOLATE, multi-column WITH FILL,
+    bare ARRAY JOIN clause)."""
     s = ch_sql.strip().rstrip(";")
     s = _FORMAT_TAIL.sub("", s)
     s = _SETTINGS_TAIL.sub("", s)
     s = _rewrite_array_join_clause(s)
-    upper = s.upper()
-    for construct, hint in (
-        ("WITH FILL", "use operators.with_fill"),
-        ("ARRAY JOIN", "use operators.arrayjoin.array_join / explode()"),
-        ("WITH TOTALS", "use operators.totals.with_totals"),
-    ):
-        if construct in upper:
-            raise ChSqlError(f"{construct} needs the library operator ({hint})")
-    if re.search(r"\bLIMIT\s+\d+\s+BY\b", upper):
-        raise ChSqlError("LIMIT n BY needs operators.limit_by")
+    s = _rewrite_totals_clause(s)
+    s = _rewrite_limit_by_clause(s)
+    s = _rewrite_with_fill_clause(s)
+    if "ARRAY JOIN" in s.upper():
+        raise ChSqlError(
+            "bare ARRAY JOIN needs the library operator (use operators.arrayjoin.array_join / explode())"
+        )
     out = _rewrite(_tokenize(s))
     # CAST(x AS Int64) / ::Int64 style ClickHouse type names → Spark types
     for ch_t, spark_t in _CH_TYPE_MAP.items():

@@ -51,12 +51,13 @@ def test_translate_strings(ch, expected):
 
 def test_unsupported_constructs_raise():
     with pytest.raises(ChSqlError):
-        translate("SELECT x FROM t ORDER BY x WITH FILL")
-    with pytest.raises(ChSqlError):
-        translate("SELECT x FROM t LIMIT 3 BY x")
-    with pytest.raises(ChSqlError):
         # bare ARRAY JOIN (no AS alias) is the unsupported form
         translate("SELECT arr FROM t ARRAY JOIN arr")
+    with pytest.raises(ChSqlError):
+        translate("SELECT x FROM t ORDER BY x WITH FILL INTERPOLATE (y)")
+    with pytest.raises(ChSqlError):
+        # multi-column fill needs the library operator
+        translate("SELECT x, y FROM t ORDER BY x WITH FILL, y WITH FILL")
 
 
 def test_array_join_clause_translates():
@@ -296,3 +297,78 @@ def test_topk_is_most_frequent(spark):
     ).createOrReplaceTempView("topk_t")
     r = spark.sql(translate("SELECT topK(2)(x) AS t FROM topk_t")).first()
     assert r["t"] == [9, 1]
+
+
+# --- round-2: LIMIT BY / WITH FILL / WITH TOTALS in SQL form ----------------
+
+
+def test_sql_limit_by(spark):
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 5), (2, 6), (3, 1)], "g int, v int"
+    ).createOrReplaceTempView("lb_t")
+    rows = spark.sql(
+        translate("SELECT g, v FROM lb_t ORDER BY g, v LIMIT 2 BY g")
+    ).collect()
+    assert [(r["g"], r["v"]) for r in rows] == [(1, 10), (1, 20), (2, 5), (2, 6), (3, 1)]
+    # offset form: LIMIT 1, 2 BY g → skip 1, take 2 per group
+    rows = spark.sql(
+        translate("SELECT g, v FROM lb_t ORDER BY g, v LIMIT 1, 2 BY g")
+    ).collect()
+    assert [(r["g"], r["v"]) for r in rows] == [(1, 20), (1, 30), (2, 6)]
+    # trailing total LIMIT applies after the per-group limit
+    rows = spark.sql(
+        translate("SELECT g, v FROM lb_t ORDER BY g, v LIMIT 2 BY g LIMIT 3")
+    ).collect()
+    assert len(rows) == 3
+    # no ORDER BY: acts as per-key dedup with deterministic count
+    rows = spark.sql(translate("SELECT g FROM lb_t LIMIT 1 BY g")).collect()
+    assert sorted(r["g"] for r in rows) == [1, 2, 3]
+
+
+def test_sql_with_fill(spark):
+    spark.createDataFrame([(2, "a"), (5, "b"), (9, "c")], "n int, s string").createOrReplaceTempView(
+        "fill_t"
+    )
+    rows = spark.sql(translate("SELECT n, s FROM fill_t ORDER BY n WITH FILL")).collect()
+    assert [r["n"] for r in rows] == list(range(2, 10))
+    assert rows[0]["s"] == "a" and rows[1]["s"] is None
+    rows = spark.sql(
+        translate("SELECT n, s FROM fill_t ORDER BY n WITH FILL FROM 1 TO 12 STEP 2")
+    ).collect()
+    assert [r["n"] for r in rows] == [1, 3, 5, 7, 9, 11]
+    # date fill with implicit 1-day step
+    spark.sql(
+        "SELECT to_date('2019-05-01') AS d, 1 AS v UNION ALL SELECT to_date('2019-05-04'), 2"
+    ).createOrReplaceTempView("fill_d")
+    rows = spark.sql(translate("SELECT d, v FROM fill_d ORDER BY d WITH FILL")).collect()
+    assert [str(r["d"]) for r in rows] == [
+        "2019-05-01", "2019-05-02", "2019-05-03", "2019-05-04",
+    ]
+
+
+def test_sql_with_totals(spark, duck):
+    rows = spark.sql(
+        translate(
+            "SELECT o_orderstatus, count() AS n FROM orders "
+            "GROUP BY o_orderstatus WITH TOTALS ORDER BY o_orderstatus NULLS LAST"
+        )
+    ).collect()
+    want = duck.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY ROLLUP (o_orderstatus) "
+        "ORDER BY o_orderstatus NULLS LAST"
+    ).fetchall()
+    assert [(r["o_orderstatus"], r["n"]) for r in rows] == [tuple(w) for w in want]
+    # totals row = all rows total
+    assert rows[-1]["o_orderstatus"] is None and rows[-1]["n"] == sum(r["n"] for r in rows[:-1])
+
+
+def test_sql_with_totals_having(spark):
+    spark.range(0, 100).selectExpr("id % 7 AS g").createOrReplaceTempView("tot_t")
+    rows = spark.sql(
+        translate(
+            "SELECT g, count() AS n FROM tot_t GROUP BY g WITH TOTALS "
+            "HAVING count() > 14 ORDER BY g NULLS LAST"
+        )
+    ).collect()
+    # groups 0,1 have 15 rows; totals row (100) also passes HAVING
+    assert [(r["g"], r["n"]) for r in rows] == [(0, 15), (1, 15), (None, 100)]

@@ -1,0 +1,90 @@
+"""Rescan the reference stateless corpus through the dialect layer.
+
+Filters to DDL-free candidate files (pure SELECT statements with a
+.reference file), runs each through tools.golden.run_golden, and writes the
+passing names to stdout / a results file. Used to (re)generate
+tests/golden_corpus.txt after dialect improvements.
+
+Usage: python tools/golden_scan.py [out_file]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import signal
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/reference/tests/queries/0_stateless"
+
+# statements we cannot run (DDL, mutation, server introspection, shell tests)
+_SKIP = re.compile(
+    r"\b(CREATE|INSERT|DROP|ALTER|ATTACH|DETACH|OPTIMIZE|TRUNCATE|RENAME|"
+    r"SYSTEM|KILL|GRANT|REVOKE|SHOW|DESCRIBE|DESC|USE|EXISTS|SET\s|WATCH|"
+    r"remote|cluster|file|url|currentDatabase|sleep|system\.)\b",
+    re.IGNORECASE,
+)
+
+
+def candidates() -> list[str]:
+    names = []
+    for f in sorted(os.listdir(BASE)):
+        if not f.endswith(".sql"):
+            continue
+        name = f[:-4]
+        ref = os.path.join(BASE, name + ".reference")
+        if not os.path.exists(ref):
+            continue
+        try:
+            text = open(os.path.join(BASE, f), errors="replace").read()
+        except OSError:
+            continue
+        if len(text) > 20_000 or _SKIP.search(text):
+            continue
+        names.append(name)
+    return names
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise _Timeout()
+
+
+def main() -> None:
+    from clickhouse_23_3_19_32_lts_spark.session import get_spark
+    from tools.golden import run_golden
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/golden_scan_results.txt"
+    spark = get_spark(app_name="golden-scan", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    names = candidates()
+    print(f"{len(names)} candidate files", flush=True)
+    passed: list[str] = []
+    signal.signal(signal.SIGALRM, _alarm)
+    with open(out_path, "w") as out:
+        for i, name in enumerate(names):
+            signal.alarm(60)
+            try:
+                ok, _msg = run_golden(spark, f"{BASE}/{name}.sql", f"{BASE}/{name}.reference")
+            except _Timeout:
+                ok = False
+            except Exception:  # noqa: BLE001 — scan must survive anything
+                ok = False
+            finally:
+                signal.alarm(0)
+            if ok:
+                passed.append(name)
+                out.write(name + "\n")
+                out.flush()
+            if (i + 1) % 200 == 0:
+                print(f"{i + 1}/{len(names)} scanned, {len(passed)} pass", flush=True)
+    print(f"DONE {len(passed)}/{len(names)} pass -> {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
