@@ -75,6 +75,31 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # Per-query regression diff vs the previous round's recorded bench
+    # (BENCH_r{N}.json files next to this script); >1.5x slower is flagged.
+    prev_files = sorted(
+        f for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if prev_files:
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), prev_files[-1])) as fh:
+                prev = json.load(fh)
+            if "parsed" in prev:  # driver wraps the bench line under "parsed"
+                prev = prev["parsed"]
+            regressions = {
+                n: {"prev": p, "now": timings[n], "ratio": round(timings[n] / p, 2)}
+                for n, p in prev.get("queries", {}).items()
+                if n in timings and p > 0 and timings[n] / p > 1.5
+            }
+            out["vs_prev"] = {
+                "file": prev_files[-1],
+                "prev_total": prev.get("value"),
+                "regressions": regressions,
+            }
+        except (OSError, ValueError, KeyError):
+            pass
     print(json.dumps(out))
 
 

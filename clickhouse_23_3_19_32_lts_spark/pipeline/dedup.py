@@ -289,13 +289,19 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 2,
     threshold: float = 0.4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard pairs >= threshold: (id_a, id_b, jaccard).
 
-    Inverted-index plan: explode distinct shingles → self-join on shingle
-    (shuffle keyed by shingle — the classic similarity-join; frequency skew
-    is bounded because shingles are k-word, far more selective than words)
-    → count common → |A∪B| from per-doc sizes.
+    Candidate/verify plan: the inverted index (explode distinct shingles →
+    self-join keyed on shingle) only GENERATES candidate pairs, and drops
+    shingles shared by > max_bucket docs first — one boilerplate shingle
+    (license header, nav text) shared by k docs would otherwise emit k²
+    join rows. Verification then recomputes the EXACT Jaccard over the full
+    shingle sets of candidates only, so the guard affects which pairs are
+    considered (those sharing ≥1 non-hot shingle — for near-dup thresholds
+    a pair sharing ONLY ubiquitous shingles is far below threshold anyway)
+    but never the reported similarity values.
     """
     sh = df.select(
         F.col(id_col).alias("__id"),
@@ -303,10 +309,21 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
+    freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
+    idx = sh.join(freq.filter(F.col("__f") <= max_bucket).drop("__f"), "__sh")
+
+    ia, ib = idx.alias("ia"), idx.alias("ib")
+    cand = (
+        ia.join(ib, (F.col("ia.__sh") == F.col("ib.__sh")) & (F.col("ia.__id") < F.col("ib.__id")))
+        .select(F.col("ia.__id").alias("id_a"), F.col("ib.__id").alias("id_b"))
+        .distinct()
+    )
+
     a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        cand.join(a, F.col("a.__id") == F.col("id_a"))
+        .join(b, (F.col("b.__id") == F.col("id_b")) & (F.col("a.__sh") == F.col("b.__sh")))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))

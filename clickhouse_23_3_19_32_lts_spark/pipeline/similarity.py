@@ -73,11 +73,19 @@ def brute_force_topk(
         F.col(probe_id_col),
         F.col(id_col),
         score.alias("score"),
+        F.spark_partition_id().alias("__part"),
     )
+    # two-phase top-k: partition-local rank first (keys = probe × source
+    # partition, so no single reducer ever sorts all n scores for a probe),
+    # then the global per-probe rank over only k × n_partitions survivors.
+    w_local = W.partitionBy(probe_id_col, "__part").orderBy(F.desc("score"), F.asc(id_col))
     w = W.partitionBy(probe_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .drop("__part", "__lr")
     )
 
 
@@ -220,22 +228,73 @@ def ivf_index_topk(
     )
 
 
+def nearest_centroid_blocks(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Multi-probe IVF block assignment: each vector → its `nprobe` nearest
+    centroids (L2, centroid-id tiebreak). Returns (id_col, block).
+
+    Centroids broadcast; ranking is a per-vector window over n_centroids
+    rows — map-side work only, no shuffle of the vector table. Deterministic
+    (no RNG), so an external engine can recompute identical blocks.
+    """
+    d2 = F.aggregate(
+        F.zip_with(
+            vec_col, centroid_vec_col, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("block"))
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select(F.col(id_col), F.col(centroid_id_col).alias("block"), d2.alias("__d2"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(id_col, "block")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_on: Column | None = None,
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim).
 
-    Default is the exact O(n²) pair scan (fine for verification tiers and
-    per-bucket use); pass `block_on` (e.g. an LSH sketch or cluster id from
-    assign_clusters) to restrict pairs to equal blocks — then the join is
-    keyed and shuffles O(n) rows instead of materializing n²/2 pairs.
+    `blocks` ((id_col, block), possibly several blocks per id — e.g. from
+    nearest_centroid_blocks) is the scale path: candidate pairs come from a
+    keyed equi-join on block (shuffles (id, block) tuples, never n²/2
+    pairs), deduped, then scored by joining the vectors back. `block_on`
+    (a Column over `vectors`) is the single-key variant. Default (neither)
+    is the exact O(n²) pair scan — verification tiers only.
     """
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if blocks is not None:
+        x = blocks.select(F.col(id_col).alias("id_a"), "block")
+        y = blocks.select(F.col(id_col).alias("id_b"), "block")
+        cand = (
+            x.join(y, "block")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select("id_a", "id_b", cosine_sim("__va", "__vb").alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+        )
     if block_on is not None:
         blocked = vectors.select(F.col(id_col).alias("__id"), block_on.alias("__blk"))
         a = a.join(blocked.withColumnRenamed("__id", "id_a"), "id_a")

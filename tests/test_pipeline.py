@@ -237,3 +237,31 @@ def test_ivf_materialized_index(spark, emb, tmp_path):
     a = {(r["probe_id"], r["vec_id"], r["rank"]) for r in got.collect()}
     b = {(r["probe_id"], r["vec_id"], r["rank"]) for r in mem.collect()}
     assert a == b
+
+
+def test_blocked_near_dup_recall(spark, emb):
+    """IVF-blocked near-dup (the registered 100 TB path) must find a
+    documented majority of the exact all-pairs result — recall is bounded
+    by blocking, values are exact for every found pair."""
+    from clickhouse_23_3_19_32_lts_spark.pipeline.similarity import (
+        embedding_near_dup_pairs,
+        nearest_centroid_blocks,
+    )
+
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    blocks = nearest_centroid_blocks(emb, cents, nprobe=2)
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.4, blocks=blocks).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert set(blocked) <= set(exact)
+    recall = len(blocked) / max(len(exact), 1)
+    assert recall >= 0.6, f"blocking recall degraded: {recall:.2f}"
+    for pair, sim in blocked.items():
+        assert abs(sim - exact[pair]) < 1e-9  # found pairs score exactly

@@ -86,3 +86,34 @@ def test_dedup_sketch_is_map_side(spark):
     first_exchange = p.find("Exchange")
     first_partial_agg = p.find("partial_min")
     assert first_partial_agg != -1
+
+
+def test_embedding_near_dup_no_pair_cartesian(spark):
+    """The registered near-dup path must generate candidates with a KEYED
+    join on block — never an O(n²) cartesian over vector pairs. The only
+    nested-loop allowed is the broadcast of the tiny centroid set (O(n·C)
+    map-side, the IVF assignment shape)."""
+    p = plan_of(spark, "q_embedding_near_dup")
+    assert "CartesianProduct" not in p
+    # the block assignment appears on both sides of the candidate join, so
+    # the centroid broadcast shows up (at most) twice; anything more means
+    # a pair-level nested loop crept in
+    assert p.count("BroadcastNestedLoopJoin") <= 2, "only the centroid broadcasts may nest-loop"
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[block", p), (
+        "candidate generation must be a keyed join on block"
+    )
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    p = plan_of(spark, "q_ngram_jaccard")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ann_topk_two_phase(spark):
+    """Brute-force ANN must rank in two phases: a partition-local top-k
+    (probe × source-partition keys) before the global per-probe rank, so no
+    single reducer sorts all n scores for one probe."""
+    p = plan_of(spark, "q_ann_topk")
+    assert p.count("Window") >= 2, "expected partition-local + global rank windows"
+    assert "SPARK_PARTITION_ID" in p.upper() or "spark_partition_id" in p
