@@ -277,6 +277,23 @@ TEMPLATES: dict[str, str] = {
     "runningDifference": "({0} - lag({0}) OVER (ORDER BY monotonically_increasing_id()))",
     "multiIf": None,  # variadic — handled specially
     "transform": None,  # (x, from_arr, to_arr, default) — handled specially
+    # -State / -Merge combinators (AggregateFunctionState.cpp /
+    # AggregateFunctionMerge.cpp): partial states as storable column values.
+    # uniqState is a Datasketches HLL binary (constant-size, mergeable).
+    "countState": "count({0})",
+    "countMerge": "sum({0})",
+    "sumState": "sum({0})",
+    "sumMerge": "sum({0})",
+    "minState": "min({0})",
+    "minMerge": "min({0})",
+    "maxState": "max({0})",
+    "maxMerge": "max({0})",
+    "avgState": "struct(sum({0}) AS sum, count({0}) AS cnt)",
+    "avgMerge": "(sum({0}.sum) / sum({0}.cnt))",
+    "uniqExactState": "collect_set({0})",
+    "uniqExactMerge": "size(array_distinct(flatten(collect_list({0}))))",
+    "uniqState": "hll_sketch_agg({0})",
+    "uniqMerge": "hll_sketch_estimate(hll_union_agg({0}))",
 }
 
 # --- arity-dependent templates: CH call → {n_args: Spark template} -----------

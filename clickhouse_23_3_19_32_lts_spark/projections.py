@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # aggregates derivable from the stored partials
-_DERIVABLE = {"sum", "count", "min", "max", "avg"}
+_DERIVABLE = {"sum", "count", "min", "max", "avg", "uniq"}
 
 
 class AggregateProjection:
@@ -40,11 +40,22 @@ class AggregateProjection:
     >>> proj.query(["l_returnflag"], {"s": ("sum", "l_quantity")})
     """
 
-    def __init__(self, spark: SparkSession, path: str, keys: list[str], measures: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        measures: list[str],
+        uniq_measures: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.keys = keys
         self.measures = measures
+        # columns whose distinct count is served from a stored HLL sketch
+        # state (functions.states.uniqState — constant-size, mergeable,
+        # the AggregateFunction(uniq, T) column of AggregatingMergeTree)
+        self.uniq_measures = uniq_measures or []
 
     # -- storage schema: per group, per measure: sum/count/min/max ---------
     def _partials(self, df: DataFrame) -> DataFrame:
@@ -56,6 +67,8 @@ class AggregateProjection:
                 F.min(m).alias(f"__min_{m}"),
                 F.max(m).alias(f"__max_{m}"),
             ]
+        for m in self.uniq_measures:
+            aggs.append(F.hll_sketch_agg(m).alias(f"__hll_{m}"))
         aggs.append(F.count(F.lit(1)).alias("__rows"))
         return df.groupBy(*self.keys).agg(*aggs)
 
@@ -69,6 +82,8 @@ class AggregateProjection:
                 F.min(f"__min_{m}").alias(f"__min_{m}"),
                 F.max(f"__max_{m}").alias(f"__max_{m}"),
             ]
+        for m in self.uniq_measures:
+            aggs.append(F.hll_union_agg(f"__hll_{m}").alias(f"__hll_{m}"))
         aggs.append(F.sum("__rows").alias("__rows"))
         return partials.groupBy(*self.keys).agg(*aggs)
 
@@ -102,6 +117,10 @@ class AggregateProjection:
                 return False
             if fn == "count" and m == "*":
                 continue
+            if fn == "uniq":
+                if m not in self.uniq_measures:
+                    return False
+                continue
             if m not in self.measures:
                 return False
         return True
@@ -128,6 +147,10 @@ class AggregateProjection:
                 out_aggs.append(F.max(f"__max_{m}").alias(name))
             elif fn == "avg":
                 out_aggs.append((F.sum(f"__sum_{m}") / F.sum(f"__cnt_{m}")).alias(name))
+            elif fn == "uniq":
+                out_aggs.append(
+                    F.hll_sketch_estimate(F.hll_union_agg(f"__hll_{m}")).alias(name)
+                )
         return self.read().groupBy(*group_cols).agg(*out_aggs)
 
 
@@ -156,5 +179,9 @@ class ProjectionRegistry:
         out_aggs = []
         for name, (fn, m) in aggs.items():
             col = F.lit(1) if m == "*" else F.col(m)
-            out_aggs.append(getattr(F, fn if fn != "count" else "count")(col).alias(name))
+            if fn == "uniq":
+                # same estimator as the projection path (one-shot sketch)
+                out_aggs.append(F.hll_sketch_estimate(F.hll_sketch_agg(col)).alias(name))
+            else:
+                out_aggs.append(getattr(F, fn if fn != "count" else "count")(col).alias(name))
         return base_df.groupBy(*group_cols).agg(*out_aggs), False

@@ -464,3 +464,60 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"), gid)
         .orderBy("gid", F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
     )
+
+
+@query(
+    "q_state_merge",
+    oracle="""
+    WITH sampled AS (
+      SELECT o_orderstatus, o_totalprice
+      FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 100 < 20)
+    SELECT o.o_orderstatus,
+           CAST(sum(o.o_totalprice) AS DOUBLE) AS total,
+           count(*) AS n,
+           CAST(avg(o.o_totalprice) AS DOUBLE) AS mean,
+           count(DISTINCT o.o_custkey) AS n_cust,
+           (SELECT CAST(lst[greatest(1, CAST(ceil(0.5 * len(lst)) AS INT))] AS DOUBLE)
+            FROM (SELECT list_sort(list(o_totalprice)) AS lst FROM sampled s
+                  WHERE s.o_orderstatus = o.o_orderstatus)) AS approx_median
+    FROM orders o
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def q_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-State / -Merge combinators over AggregateFunction-style columns
+    (AggregateFunctionState.cpp / AggregateFunctionMerge.cpp §2.4): build
+    partial states in THREE separate batches (simulating
+    AggregatingMergeTree parts), union the partials, merge — results must
+    equal a one-shot aggregation, which is exactly what the DuckDB oracle
+    computes. uniq uses the exact set state here (oracle-comparable); the
+    constant-size HLL sketch state is asserted separately in
+    tests/test_projections.py (sketch merge == one-shot sketch)."""
+    from clickhouse_23_3_19_32_lts_spark.functions import states as S
+
+    orders = _t(spark, sf_dir, "orders")
+    parts = [
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == i).groupBy("o_orderstatus").agg(
+            S.sumState("o_totalprice").alias("st_sum"),
+            S.countState(F.lit(1)).alias("st_cnt"),
+            S.avgState("o_totalprice").alias("st_avg"),
+            S.uniqExactState("o_custkey").alias("st_uniq"),
+            S.quantileState("o_totalprice", "o_orderkey").alias("st_q"),
+        )
+        for i in range(3)
+    ]
+    partials = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        partials.groupBy("o_orderstatus")
+        .agg(
+            S.sumMerge("st_sum").cast("double").alias("total"),
+            S.countMerge("st_cnt").alias("n"),
+            S.avgMerge("st_avg").cast("double").alias("mean"),
+            S.uniqExactMerge("st_uniq").cast("long").alias("n_cust"),
+            S.quantileMerge("st_q", 0.5).cast("double").alias("approx_median"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -372,3 +372,28 @@ def test_sql_with_totals_having(spark):
     ).collect()
     # groups 0,1 have 15 rows; totals row (100) also passes HAVING
     assert [(r["g"], r["n"]) for r in rows] == [(0, 15), (1, 15), (None, 100)]
+
+
+def test_sql_state_merge_combinators(spark):
+    """-State / -Merge in SQL form: partials in a subquery per batch,
+    merged outer — equals the direct aggregate."""
+    spark.range(0, 1000).selectExpr("id % 3 AS g", "id % 2 AS b", "id % 97 AS v").createOrReplaceTempView(
+        "st_t"
+    )
+    rows = spark.sql(
+        translate(
+            "SELECT g, uniqMerge(st) AS u, sumMerge(ss) AS s, avgMerge(sa) AS a, "
+            "uniqExactMerge(se) AS ue FROM ("
+            "  SELECT g, b, uniqState(v) AS st, sumState(v) AS ss, avgState(v) AS sa, "
+            "         uniqExactState(v) AS se FROM st_t GROUP BY g, b"
+            ") GROUP BY g ORDER BY g"
+        )
+    ).collect()
+    direct = spark.sql(
+        "SELECT g, count(DISTINCT v) AS ue, sum(v) AS s, avg(v) AS a FROM st_t GROUP BY g ORDER BY g"
+    ).collect()
+    for r, d in zip(rows, direct):
+        assert r["ue"] == d["ue"]
+        assert r["s"] == d["s"]
+        assert abs(r["a"] - d["a"]) < 1e-9
+        assert abs(r["u"] - d["ue"]) / d["ue"] < 0.05  # HLL estimate

@@ -114,3 +114,95 @@ def test_engine_projection_substitution(spark, sf_dir, tmp_path):
         for r in eng.table("lineitem").groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
     }
     assert {r["l_returnflag"]: r["s"] for r in got.collect()} == pytest.approx(want)
+
+
+# --- -State / -Merge (AggregateFunction columns) ----------------------------
+
+
+def test_hll_state_merge_equals_oneshot(spark, lineitem):
+    """Sketch states built per batch and merged must give EXACTLY the same
+    estimate as a one-shot sketch (Datasketches HLL union is deterministic
+    and order-insensitive) — the AggregatingMergeTree guarantee."""
+    from clickhouse_23_3_19_32_lts_spark.functions import states as S
+
+    batches = [
+        lineitem.filter(F.pmod("l_orderkey", F.lit(2)) == i)
+        .groupBy("l_returnflag")
+        .agg(S.uniqState("l_partkey").alias("st"))
+        for i in range(2)
+    ]
+    merged = (
+        batches[0].unionByName(batches[1])
+        .groupBy("l_returnflag")
+        .agg(S.uniqMerge("st").alias("u"))
+    )
+    oneshot = lineitem.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("u")
+    )
+    g = {r["l_returnflag"]: r["u"] for r in merged.collect()}
+    w = {r["l_returnflag"]: r["u"] for r in oneshot.collect()}
+    assert g == w
+    exact = {
+        r["l_returnflag"]: r["u"]
+        for r in lineitem.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("u")).collect()
+    }
+    for k in exact:  # HLL lgK=12 error ~1.6%; assert a loose 5% envelope
+        assert abs(g[k] - exact[k]) / exact[k] < 0.05
+
+
+def test_state_roundtrip_through_parquet(spark, lineitem, tmp_path):
+    """States must survive storage: write partials to parquet, read back,
+    merge — equal to the in-memory merge (DataTypeAggregateFunction's
+    serialized-state contract)."""
+    from clickhouse_23_3_19_32_lts_spark.functions import states as S
+
+    partials = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        S.uniqState("l_partkey").alias("st_u"),
+        S.avgState("l_quantity").alias("st_a"),
+    )
+    path = str(tmp_path / "states")
+    partials.write.parquet(path)
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(S.uniqMerge("st_u").alias("u"), S.avgMerge("st_a").alias("a"))
+    )
+    direct = partials.groupBy("l_returnflag").agg(
+        S.uniqMerge("st_u").alias("u"), S.avgMerge("st_a").alias("a")
+    )
+    g = {r["l_returnflag"]: (r["u"], round(r["a"], 9)) for r in merged.collect()}
+    w = {r["l_returnflag"]: (r["u"], round(r["a"], 9)) for r in direct.collect()}
+    assert g == w
+
+
+def test_projection_uniq_measure(spark, lineitem, tmp_path):
+    """A projection with uniq_measures answers uniq() queries from stored
+    HLL states — including after incremental refresh — with the same
+    estimate as a one-shot sketch over the full table."""
+    p = AggregateProjection(
+        spark,
+        str(tmp_path / "uproj"),
+        keys=["l_returnflag"],
+        measures=["l_quantity"],
+        uniq_measures=["l_partkey"],
+    )
+    old = lineitem.filter(F.col("l_orderkey") % 5 != 0)
+    new = lineitem.filter(F.col("l_orderkey") % 5 == 0)
+    p.build(old)
+    p.refresh(new)
+    got = p.query(["l_returnflag"], {"u": ("uniq", "l_partkey"), "s": ("sum", "l_quantity")})
+    want = lineitem.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("u"),
+        F.sum("l_quantity").alias("s"),
+    )
+    g = {r["l_returnflag"]: (r["u"], float(r["s"])) for r in got.collect()}
+    w = {r["l_returnflag"]: (r["u"], float(r["s"])) for r in want.collect()}
+    assert g == w
+
+
+def test_registry_uniq_fallback(spark, lineitem, tmp_path):
+    reg = ProjectionRegistry()
+    df, used = reg.aggregate(
+        "lineitem", lineitem, ["l_returnflag"], {"u": ("uniq", "l_partkey")}
+    )
+    assert not used and df.collect()
