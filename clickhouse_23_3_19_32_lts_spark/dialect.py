@@ -721,10 +721,61 @@ def _rewrite_totals_clause(s: str) -> str:
 _LIMIT_BY_RE = re.compile(r"\bLIMIT\s+(\d+)\s*(?:,\s*(\d+))?\s+BY\s+", re.IGNORECASE)
 
 
-def _rewrite_limit_by_clause(s: str) -> str:
-    m = next((c for c in _LIMIT_BY_RE.finditer(s) if _depth_at(s, c.start()) == 0), None)
+def _enclosing_scope(s: str, pos: int) -> tuple[int, int]:
+    """(open_idx, close_idx) of the innermost paren scope containing pos."""
+    opens: list[int] = []
+    in_str = False
+    i = 0
+    while i < pos:
+        c = s[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            opens.append(i)
+        elif c == ")":
+            opens.pop()
+        i += 1
+    open_idx = opens[-1]
+    depth = 0
+    in_str = False
+    i = open_idx
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return open_idx, i
+        i += 1
+    raise ChSqlError("unbalanced parentheses")
+
+
+def _rewrite_limit_by_clause(s: str, _guard: int = 0) -> str:
+    if _guard > 16:
+        return s
+    m = next(iter(_LIMIT_BY_RE.finditer(s)), None)
     if m is None:
         return s
+    if _depth_at(s, m.start()) > 0:
+        # LIMIT BY inside a subquery: rewrite the innermost enclosing scope
+        o, c = _enclosing_scope(s, m.start())
+        inner = _rewrite_limit_by_clause(s[o + 1 : c], _guard + 1)
+        return _rewrite_limit_by_clause(s[: o + 1] + inner + s[c:], _guard + 1)
     off, n = (int(m.group(1)), int(m.group(2))) if m.group(2) else (0, int(m.group(1)))
     head = s[: m.start()].rstrip()
     rest = s[m.end() :]

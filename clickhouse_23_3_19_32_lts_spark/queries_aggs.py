@@ -521,3 +521,103 @@ def q_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_compat_aggs",
+    oracle="""
+    WITH expanded AS (
+      SELECT o.o_orderstatus, o.o_totalprice
+      FROM orders o, unnest(generate_series(1, 3)) AS t(i)
+      WHERE t.i <= o.o_orderkey % 3 + 1)
+    SELECT o.o_orderstatus,
+           mode(o.o_orderpriority) AS heavy,
+           (SELECT CAST(quantile_cont(e.o_totalprice, 0.5) AS DOUBLE) FROM expanded e
+             WHERE e.o_orderstatus = o.o_orderstatus) AS wmedian,
+           CAST(sum(o.o_totalprice) AS DOUBLE) AS total
+    FROM orders o
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def q_compat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compat aggregate family (§2.4 long tail): anyHeavy (heavy hitter),
+    medianExactWeighted (percentile with frequency weights — mirrored in
+    DuckDB by row expansion), sumKahan."""
+    from clickhouse_23_3_19_32_lts_spark import functions as CH
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("w", F.pmod("o_orderkey", F.lit(3)) + 1)
+        .groupBy("o_orderstatus")
+        .agg(
+            CH.anyHeavy("o_orderpriority").alias("heavy"),
+            CH.medianExactWeighted("o_totalprice", "w").cast("double").alias("wmedian"),
+            CH.sumKahan("o_totalprice").cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q_categorical_iv",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderpriority AS cat,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE AS g,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)::DOUBLE AS b
+      FROM orders GROUP BY 1),
+    tot AS (SELECT sum(g) AS gt, sum(b) AS bt FROM stats)
+    SELECT round(CAST(sum(CASE WHEN g > 0 AND b > 0
+                     THEN (g/gt - b/bt) * ln((g/gt) / (b/bt)) ELSE 0 END) AS DOUBLE), 10) AS iv
+    FROM stats, tot
+    """,
+)
+def q_categorical_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """categoricalInformationValue (AggregateFunctionCategoricalIV.cpp):
+    predictive power of o_orderpriority for the order-finished flag."""
+    from clickhouse_23_3_19_32_lts_spark import functions as CH
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.round(
+            CH.categoricalInformationValue(
+                "o_orderpriority", (F.col("o_orderstatus") == "F").cast("int")
+            ),
+            10,
+        ).alias("iv")
+    )
+
+
+@query(
+    "q_sequence_next_node",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    starts AS (
+      SELECT a.user_id, min(a.rn) AS first_start
+      FROM ordered a JOIN ordered b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+      GROUP BY a.user_id)
+    SELECT u.user_id, o.event_type AS next_ev
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN starts s ON s.user_id = u.user_id
+    LEFT JOIN ordered o ON o.user_id = u.user_id AND o.rn = s.first_start + 2
+    ORDER BY u.user_id
+    """,
+)
+def q_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceNextNode (AggregateFunctionSequenceNextNode.cpp): the event
+    right after the first view→click chain per user. Tie-break on
+    (ts, event_id) to keep the chain deterministic."""
+    from clickhouse_23_3_19_32_lts_spark import functions as CH
+
+    ev = _t(spark, sf_dir, "events")
+    arr_ts = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(CH.sequenceNextNode(arr_ts, "event_type", "view", "click").alias("next_ev"))
+        .orderBy("user_id")
+    )

@@ -106,22 +106,182 @@ def split_statements(sql_text: str) -> list[str]:
     return [s.strip() for s in stmts if s.strip()]
 
 
+# --- DDL support: CREATE TABLE / INSERT / DROP on the Spark catalog --------
+# ClickHouse type → Spark SQL type for CREATE TABLE column lists.
+
+_SIMPLE_TYPES = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT", "int64": "BIGINT",
+    "int128": "DECIMAL(38,0)", "int256": "DECIMAL(38,0)",
+    "uint8": "INT", "uint16": "INT", "uint32": "BIGINT", "uint64": "BIGINT",
+    "uint128": "DECIMAL(38,0)", "uint256": "DECIMAL(38,0)",
+    "float32": "FLOAT", "float64": "DOUBLE",
+    "string": "STRING", "uuid": "STRING", "ipv4": "STRING", "ipv6": "STRING",
+    "date": "DATE", "date32": "DATE",
+    "datetime": "TIMESTAMP", "bool": "BOOLEAN", "boolean": "BOOLEAN",
+}
+
+
+def _ch_type_to_spark(t: str) -> str:
+    """Recursive ClickHouse→Spark type mapping (Nullable/LowCardinality
+    unwrap; Array/Map/Tuple recurse; Enum→STRING; unknown raises)."""
+    t = t.strip()
+    low = t.lower()
+    if low in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[low]
+    m = re.match(r"(Nullable|LowCardinality)\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        return _ch_type_to_spark(m.group(2))
+    m = re.match(r"Array\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        return f"ARRAY<{_ch_type_to_spark(m.group(1))}>"
+    m = re.match(r"Map\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        parts = _split_top_level_commas(m.group(1))
+        if len(parts) == 2:
+            return f"MAP<{_ch_type_to_spark(parts[0])}, {_ch_type_to_spark(parts[1])}>"
+    m = re.match(r"Tuple\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        fields = []
+        for i, p in enumerate(_split_top_level_commas(m.group(1))):
+            nm = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s+(.+)$", p.strip(), re.DOTALL)
+            if nm and not re.match(r"(?i)(nullable|lowcardinality|array|map|tuple)\s*\(", p.strip()):
+                fields.append(f"{nm.group(1)}: {_ch_type_to_spark(nm.group(2))}")
+            else:
+                fields.append(f"_{i + 1}: {_ch_type_to_spark(p)}")
+        return "STRUCT<" + ", ".join(fields) + ">"
+    if re.match(r"Enum(8|16)?\s*\(", t, re.IGNORECASE):
+        return "STRING"
+    m = re.match(r"FixedString\s*\(\s*\d+\s*\)$", t, re.IGNORECASE)
+    if m:
+        return "STRING"
+    m = re.match(r"DateTime64\s*(\(.*\))?$", t, re.IGNORECASE)
+    if m:
+        return "TIMESTAMP"
+    m = re.match(r"DateTime\s*\(", t, re.IGNORECASE)
+    if m:
+        return "TIMESTAMP"
+    m = re.match(r"Decimal\s*\((\d+)\s*,\s*(\d+)\)$", t, re.IGNORECASE)
+    if m:
+        return f"DECIMAL({m.group(1)},{m.group(2)})"
+    m = re.match(r"Decimal(32|64|128)\s*\(\s*(\d+)\s*\)$", t, re.IGNORECASE)
+    if m:
+        prec = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        return f"DECIMAL({prec},{m.group(2)})"
+    raise ChSqlError(f"unsupported ClickHouse type: {t}")
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    in_str = False
+    for c in s:
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    parts.append("".join(cur))
+    return [p for p in (p.strip() for p in parts) if p]
+
+
+_CREATE_RE = re.compile(
+    r"^CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s*\((.*)\)\s*"
+    r"(?:ENGINE|AS\s|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_.]*)", re.IGNORECASE
+)
+
+
+def _translate_create(stmt: str) -> tuple[str, str]:
+    """CH CREATE TABLE → (Spark CREATE, table name). Strips ENGINE/ORDER
+    BY/PARTITION BY/SETTINGS tails, DEFAULT/CODEC/TTL column attributes."""
+    m = _CREATE_RE.match(stmt.strip())
+    if not m:
+        raise ChSqlError(f"unparsed CREATE TABLE: {stmt[:80]}")
+    name = m.group(1).split(".")[-1]
+    cols = []
+    for cdef in _split_top_level_commas(m.group(2)):
+        cm = re.match(r"([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s+(.+)$", cdef.strip(), re.DOTALL)
+        if not cm:
+            raise ChSqlError(f"unparsed column def: {cdef[:60]}")
+        cname = cm.group(1)
+        ctype = cm.group(2)
+        # drop column attributes after the type
+        ctype = re.split(
+            r"\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\s", ctype, flags=re.IGNORECASE
+        )[0]
+        cols.append(f"{cname} {_ch_type_to_spark(ctype)}")
+    return f"CREATE TABLE {name} ({', '.join(cols)}) USING parquet", name
+
+
 def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     """Run every statement; compare concatenated formatted output to the
-    .reference file. Returns (ok, detail)."""
+    .reference file. Returns (ok, detail). Handles CREATE TABLE / INSERT /
+    DROP TABLE statements against the Spark session catalog (parquet
+    tables), mirroring clickhouse-test's stateful-statement support."""
     sql_text = open(sql_path).read()
     want = open(reference_path).read().rstrip("\n")
     out_lines: list[str] = []
-    for stmt in split_statements(sql_text):
-        try:
-            spark_sql = translate(stmt)
-            rows = spark.sql(spark_sql).collect()
-        except ChSqlError as ex:
-            return False, f"translate error: {ex}"
-        except Exception as ex:  # noqa: BLE001 — report engine errors as diffs
-            return False, f"exec error: {str(ex).splitlines()[0][:200]}"
-        for r in rows:
-            out_lines.append("\t".join(_fmt_top(v) for v in r))
+    created: list[str] = []
+    # ClickHouse coerces INSERT literals to column types ('2016-01-01' →
+    # Date); Spark's default store-assignment policy rejects string→date
+    prev_policy = spark.conf.get("spark.sql.storeAssignmentPolicy", "ANSI")
+    spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    try:
+        for stmt in split_statements(sql_text):
+            up = stmt.lstrip().upper()
+            try:
+                if up.startswith("SET "):
+                    continue  # session settings: pinned by the engine
+                if up.startswith("DROP TABLE"):
+                    dm = _DROP_RE.match(stmt.strip())
+                    if dm:
+                        spark.sql(f"DROP TABLE IF EXISTS {dm.group(1).split('.')[-1]}")
+                    continue
+                if up.startswith("CREATE"):
+                    create_sql, name = _translate_create(stmt)
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
+                    spark.sql(create_sql)
+                    created.append(name)
+                    continue
+                if up.startswith("INSERT INTO"):
+                    # strip [db.] prefix; translate CH literals ([..] arrays,
+                    # functions) through the expression rewriter
+                    s = re.sub(
+                        r"(?i)^(\s*INSERT\s+INTO\s+)(?:[A-Za-z_][A-Za-z0-9_]*\.)?",
+                        r"\1", stmt, count=1,
+                    )
+                    spark.sql(translate(s))
+                    continue
+                spark_sql = translate(stmt)
+                rows = spark.sql(spark_sql).collect()
+            except ChSqlError as ex:
+                return False, f"translate error: {ex}"
+            except Exception as ex:  # noqa: BLE001 — report engine errors as diffs
+                return False, f"exec error: {str(ex).splitlines()[0][:200]}"
+            for r in rows:
+                out_lines.append("\t".join(_fmt_top(v) for v in r))
+    finally:
+        spark.conf.set("spark.sql.storeAssignmentPolicy", prev_policy)
+        for name in created:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+            except Exception:  # noqa: BLE001
+                pass
     got = "\n".join(out_lines)
     if got == want:
         return True, "ok"

@@ -19,11 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/reference/tests/queries/0_stateless"
 
-# statements we cannot run (DDL, mutation, server introspection, shell tests)
+# statements we cannot run (mutations, server introspection, shell tests).
+# CREATE TABLE / INSERT / DROP TABLE are handled by the runner's catalog
+# support; other CREATE kinds and server-state statements are not.
 _SKIP = re.compile(
-    r"\b(CREATE|INSERT|DROP|ALTER|ATTACH|DETACH|OPTIMIZE|TRUNCATE|RENAME|"
-    r"SYSTEM|KILL|GRANT|REVOKE|SHOW|DESCRIBE|DESC|USE|EXISTS|SET\s|WATCH|"
-    r"remote|cluster|file|url|currentDatabase|sleep|system\.)\b",
+    r"\b(CREATE\s+(?:MATERIALIZED|LIVE|WINDOW)?\s*(?:DATABASE|VIEW|DICTIONARY|"
+    r"FUNCTION|USER|ROLE|QUOTA|POLICY)|ALTER|ATTACH|DETACH|OPTIMIZE|TRUNCATE|"
+    r"RENAME|SYSTEM|KILL|GRANT|REVOKE|SHOW|DESCRIBE|DESC\s|USE\s|WATCH|"
+    r"remote|cluster\(|file\(|url\(|currentDatabase|sleep|system\.)\b",
     re.IGNORECASE,
 )
 
@@ -56,6 +59,10 @@ def _alarm(_sig, _frm):
 
 
 def main() -> None:
+    import tempfile
+
+    os.chdir(tempfile.mkdtemp(prefix="golden_scan_"))  # isolate spark-warehouse
+
     from clickhouse_23_3_19_32_lts_spark.session import get_spark
     from tools.golden import run_golden
 
