@@ -174,6 +174,19 @@ class Engine:
         self.drop(old)
         self.register(new, df)
 
+    def create_live_view(self, name: str, query):
+        """CREATE LIVE VIEW (StorageLiveView.cpp): a stored query whose
+        watch() re-evaluates and versions on content change."""
+        from clickhouse_23_3_19_32_lts_spark.operators.live_view import LiveView
+
+        lv = LiveView(self.spark, query, name=name)
+        self._live_views = getattr(self, "_live_views", {})
+        self._live_views[name] = lv
+        return lv
+
+    def live_view(self, name: str):
+        return getattr(self, "_live_views", {})[name]
+
     # -- DDL: CREATE TABLE with MergeTree-family policy --------------------
     def create_table(self, name: str, path: str, **policy_kwargs):
         """CREATE TABLE ... ENGINE = <MergeTree family>: returns a

@@ -60,3 +60,162 @@ def write_format(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **
     if source in ("binaryFile",):
         raise ValueError(f"format {fmt!r} is read-only")
     df.write.format(source).options(**{**opts, **options}).mode(mode).save(path)
+
+
+# --- structured-text input formats (parse with codegen expressions) ---------
+
+from pyspark.sql import Column, functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+
+def _cast_positional(parsed: Column, schema: T.StructType) -> list[Column]:
+    return [
+        F.element_at(parsed, i + 1).cast(f.dataType).alias(f.name)
+        for i, f in enumerate(schema.fields)
+    ]
+
+
+def read_json_compact_each_row(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSONCompactEachRow (JSONCompactEachRowRowInputFormat.h): one JSON
+    array per line, positional columns. Parsed with from_json — stays in
+    codegen, no Python."""
+    raw = spark.read.text(path)
+    parsed = F.from_json("value", T.ArrayType(T.StringType()))
+    return raw.select(_cast_positional(parsed, schema))
+
+
+def read_tskv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """TSKV (TSKVRowInputFormat.h): `key=value<TAB>key=value` lines →
+    str_to_map, then typed extraction by name."""
+    raw = spark.read.text(path)
+    m = F.str_to_map("value", F.lit("\t"), F.lit("="))
+    return raw.select(
+        *[F.element_at(m, f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def read_regexp(
+    spark: SparkSession, path: str, schema: T.StructType, pattern: str
+) -> DataFrame:
+    """Regexp format (RegexpRowInputFormat.h): one capture group per column."""
+    raw = spark.read.text(path)
+    return raw.select(
+        *[
+            F.regexp_extract("value", pattern, i + 1).cast(f.dataType).alias(f.name)
+            for i, f in enumerate(schema.fields)
+        ]
+    )
+
+
+def read_custom_separated(
+    spark: SparkSession, path: str, schema: T.StructType, sep: str
+) -> DataFrame:
+    """CustomSeparated with a literal field separator."""
+    return (
+        spark.read.format("csv")
+        .option("sep", sep)
+        .schema(schema)
+        .load(path)
+    )
+
+
+# --- output renderings (terminal/display formats; driver-side by design) ----
+# The reference renders these on the server's output stream one block at a
+# time (src/Processors/Formats/Impl/Pretty*, JSONRowOutputFormat.h,
+# ValuesRowOutputFormat.h, VerticalRowOutputFormat.h, MarkdownRowOutput
+# Format.h, XMLRowOutputFormat.h) — inherently a collect-to-display path,
+# NOT a distributed sink, so a driver-side string builder is the honest
+# Spark equivalent. Cap rows like clickhouse-client's default cutoff.
+
+
+def _fmt_cell(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    return str(v)
+
+
+def render_format(df: DataFrame, fmt: str, max_rows: int = 10000) -> str:
+    rows = df.limit(max_rows).collect()
+    names = df.columns
+    if fmt in ("Pretty", "PrettyCompact", "PrettyCompactMonoBlock"):
+        cells = [[_fmt_cell(v) for v in r] for r in rows]
+        widths = [
+            max([len(n)] + [len(c[i]) for c in cells]) for i, n in enumerate(names)
+        ]
+        sep_top = "┌" + "┬".join("─" * (w + 2) for w in widths) + "┐"
+        sep_bot = "└" + "┴".join("─" * (w + 2) for w in widths) + "┘"
+        head = "│" + "│".join(f" {n.ljust(w)} " for n, w in zip(names, widths)) + "│"
+        body = [
+            "│" + "│".join(f" {c[i].ljust(widths[i])} " for i in range(len(names))) + "│"
+            for c in cells
+        ]
+        return "\n".join([sep_top, head, *body, sep_bot])
+    if fmt == "Values":
+        return ", ".join(
+            "(" + ",".join(_sql_lit(v) for v in r) + ")" for r in rows
+        )
+    if fmt == "Vertical":
+        blocks = []
+        for i, r in enumerate(rows, 1):
+            lines = [f"Row {i}:", "─" * 6]
+            lines += [f"{n}: {_fmt_cell(v)}" for n, v in zip(names, r)]
+            blocks.append("\n".join(lines))
+        return "\n\n".join(blocks)
+    if fmt == "Markdown":
+        head = "| " + " | ".join(names) + " |"
+        sep = "|" + "|".join(":---:" for _ in names) + "|"
+        body = ["| " + " | ".join(_fmt_cell(v) for v in r) + " |" for r in rows]
+        return "\n".join([head, sep, *body])
+    if fmt == "JSON":
+        import json
+
+        return json.dumps(
+            {
+                "meta": [{"name": n} for n in names],
+                "data": [dict(zip(names, [_json_v(v) for v in r])) for r in rows],
+                "rows": len(rows),
+            },
+            default=str,
+        )
+    if fmt == "JSONCompact":
+        import json
+
+        return json.dumps(
+            {
+                "meta": [{"name": n} for n in names],
+                "data": [[_json_v(v) for v in r] for r in rows],
+                "rows": len(rows),
+            },
+            default=str,
+        )
+    if fmt == "TSKV":
+        return "\n".join(
+            "\t".join(f"{n}={_fmt_cell(v)}" for n, v in zip(names, r)) for r in rows
+        )
+    if fmt == "XML":
+        out = ["<result>"]
+        for r in rows:
+            out.append("  <row>")
+            out += [f"    <{n}>{_fmt_cell(v)}</{n}>" for n, v in zip(names, r)]
+            out.append("  </row>")
+        out.append("</result>")
+        return "\n".join(out)
+    raise ValueError(f"unsupported output rendering {fmt!r}")
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "\\'") + "'"
+    return str(v)
+
+
+def _json_v(v):
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return str(v)
+    return v

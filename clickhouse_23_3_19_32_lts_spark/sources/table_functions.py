@@ -83,3 +83,79 @@ def merge_tables(tables: dict[str, DataFrame], pattern: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def url(
+    spark: SparkSession, address: str, fmt: str = "CSV", schema=None, **options: str
+) -> DataFrame:
+    """url(URL, Format[, schema]) (TableFunctionURL.cpp).
+
+    Spark reads http(s)/s3a/hdfs/file URIs through its Hadoop filesystem
+    layer when the matching connector is on the classpath; the format goes
+    through the same FORMAT_MAP as file(). Plain http(s) without a
+    connector raises Spark's own loud datasource error — never a silent
+    empty result."""
+    from clickhouse_23_3_19_32_lts_spark.sources.formats import read_format
+
+    return read_format(spark, address, fmt, schema=schema, **options)
+
+
+def s3(
+    spark: SparkSession, uri: str, fmt: str = "Parquet", schema=None, **options: str
+) -> DataFrame:
+    """s3(uri, Format[, schema]) (TableFunctionS3.cpp): the uri is handed
+    to Spark's s3a filesystem (s3:// is rewritten to s3a://) — on a real
+    cluster this is the hadoop-aws connector; reads distribute and prune
+    exactly like file-based scans."""
+    if uri.startswith("s3://"):
+        uri = "s3a://" + uri[len("s3://"):]
+    from clickhouse_23_3_19_32_lts_spark.sources.formats import read_format
+
+    return read_format(spark, uri, fmt, schema=schema, **options)
+
+
+def remote(
+    spark: SparkSession, addresses: str, table: str, database: str | None = None
+) -> DataFrame:
+    """remote('host:port', db, table) (TableFunctionRemote.cpp).
+
+    The reference fans a query out to shards; Spark's executors ARE the
+    shards, so remote() over the engine's own catalog resolves to the local
+    registered table — one logical table, distribution handled by Spark.
+    Cross-cluster federation (a genuinely different Spark cluster) is out
+    of a single SparkSession's model and raises."""
+    name = table.split(".")[-1]
+    try:
+        return spark.table(name)
+    except Exception as ex:  # noqa: BLE001
+        raise ValueError(
+            f"remote(): table {name!r} is not registered in this engine "
+            f"(addresses {addresses!r} are advisory on Spark — executors are the shards)"
+        ) from ex
+
+
+def cluster(spark: SparkSession, cluster_name: str, table: str) -> DataFrame:
+    """cluster('name', db.table) (TableFunctionRemote.cpp clusterAllReplicas
+    alias) — same resolution as remote(): Spark owns distribution."""
+    return remote(spark, cluster_name, table)
+
+
+def jdbc(
+    spark: SparkSession, jdbc_url: str, table: str, **options: str
+) -> DataFrame:
+    """jdbc/mysql/postgresql/odbc table functions (TableFunctionJDBC et
+    al.): Spark's native JDBC source — predicate pushdown, partitioned
+    reads via partitionColumn/lowerBound/upperBound options. Needs the
+    driver jar on the classpath (loud ClassNotFound otherwise)."""
+    reader = spark.read.format("jdbc").option("url", jdbc_url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def view(spark: SparkSession, subquery_sql: str) -> DataFrame:
+    """view(SELECT ...) (TableFunctionView.cpp): run the subquery through
+    the ClickHouse-dialect translator."""
+    from clickhouse_23_3_19_32_lts_spark.dialect import ch_sql
+
+    return ch_sql(spark, subquery_sql)

@@ -58,3 +58,23 @@ def test_create_table_policy_integration(spark, tmp_path):
     eng.refresh("kv")
     rows = eng.sql("SELECT k, v FROM kv").collect()
     assert [(r["k"], r["v"]) for r in rows] == [(1, "b")]  # FINAL view
+
+
+def test_live_view_watch_versions(spark, tmp_path):
+    """LIVE VIEW: version bumps iff the underlying content changed."""
+    from clickhouse_23_3_19_32_lts_spark.engine import Engine
+
+    eng = Engine(spark)
+    base = tmp_path / "lv_data"
+    spark.range(0, 5).selectExpr("id AS v").write.mode("overwrite").parquet(str(base))
+    spark.read.parquet(str(base)).createOrReplaceTempView("lv_src")
+    lv = eng.create_live_view("lv1", "SELECT count() AS n FROM lv_src")
+    df1, v1 = lv.watch()
+    assert v1 == 1 and df1.first()["n"] == 5
+    _, v2 = lv.watch()
+    assert v2 == 1  # unchanged content -> same version
+    spark.range(0, 3).selectExpr("id + 100 AS v").write.mode("append").parquet(str(base))
+    spark.read.parquet(str(base)).createOrReplaceTempView("lv_src")
+    df3, v3 = lv.watch()
+    assert v3 == 2 and df3.first()["n"] == 8
+    assert eng.live_view("lv1") is lv

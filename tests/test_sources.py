@@ -136,3 +136,103 @@ def test_range_hashed_dictionary(spark):
     d = RangeHashedDictionary(rates, key="cur", range_start="lo", range_end="hi")
     got = {(r["cur"], r["day"]): r["rate"] for r in d.get(txns, "cur", "day", ["rate"]).collect()}
     assert got == {("EUR", 5): 1.0, ("EUR", 15): 2.0, ("USD", 50): 5.0, ("EUR", 99): None}
+
+
+# --- round-2 format additions ----------------------------------------------
+
+
+def test_json_compact_each_row(spark, tmp_path):
+    from pyspark.sql import types as T
+    from clickhouse_23_3_19_32_lts_spark.sources.formats import read_json_compact_each_row
+
+    p = tmp_path / "jc.jsonl"
+    p.write_text('[1, "a", 1.5]\n[2, "b", 2.5]\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    rows = read_json_compact_each_row(spark, str(p), schema).orderBy("id").collect()
+    assert [(r["id"], r["s"], r["v"]) for r in rows] == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_tskv(spark, tmp_path):
+    from pyspark.sql import types as T
+    from clickhouse_23_3_19_32_lts_spark.sources.formats import read_tskv
+
+    p = tmp_path / "t.tskv"
+    p.write_text("id=1\tname=alpha\nid=2\tname=beta\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    rows = read_tskv(spark, str(p), schema).orderBy("id").collect()
+    assert [(r["id"], r["name"]) for r in rows] == [(1, "alpha"), (2, "beta")]
+
+
+def test_regexp_format(spark, tmp_path):
+    from pyspark.sql import types as T
+    from clickhouse_23_3_19_32_lts_spark.sources.formats import read_regexp
+
+    p = tmp_path / "r.log"
+    p.write_text("2024-01-01 GET /a\n2024-01-02 POST /b\n")
+    schema = T.StructType(
+        [
+            T.StructField("d", T.DateType()),
+            T.StructField("verb", T.StringType()),
+            T.StructField("path", T.StringType()),
+        ]
+    )
+    rows = (
+        read_regexp(spark, str(p), schema, r"^(\S+) (\S+) (\S+)$").orderBy("d").collect()
+    )
+    assert str(rows[0]["d"]) == "2024-01-01" and rows[1]["verb"] == "POST"
+
+
+def test_render_formats(spark):
+    from clickhouse_23_3_19_32_lts_spark.sources.formats import render_format
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string").orderBy("id")
+    pretty = render_format(df, "Pretty")
+    assert "┌" in pretty and "│ id" in pretty and "│ 2 " in pretty
+    md = render_format(df, "Markdown")
+    assert md.splitlines()[0] == "| id | s |"
+    vals = render_format(df, "Values")
+    assert vals == "(1,'x'), (2,'y')"
+    import json
+
+    j = json.loads(render_format(df, "JSON"))
+    assert j["rows"] == 2 and j["data"][0]["id"] == 1
+    jc = json.loads(render_format(df, "JSONCompact"))
+    assert jc["data"] == [[1, "x"], [2, "y"]]
+    tskv = render_format(df, "TSKV")
+    assert tskv.splitlines()[0] == "id=1\ts=x"
+    xml = render_format(df, "XML")
+    assert "<id>1</id>" in xml
+    vert = render_format(df, "Vertical")
+    assert "Row 1:" in vert and "id: 1" in vert
+
+
+def test_table_function_url_file_and_view(spark, tmp_path):
+    from clickhouse_23_3_19_32_lts_spark.sources import table_functions as TF
+
+    p = tmp_path / "u.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    rows = TF.url(spark, f"file://{p}", "CSVWithNames").orderBy("a").collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "x"), (2, "y")]
+
+    v = TF.view(spark, "SELECT number, number * 2 AS d FROM numbers(3)").collect()
+    assert [(r["number"], r["d"]) for r in v] == [(0, 0), (1, 2), (2, 4)]
+
+
+def test_table_function_remote_resolves_catalog(spark, tmp_path):
+    from clickhouse_23_3_19_32_lts_spark.sources import table_functions as TF
+
+    spark.range(5).createOrReplaceTempView("remote_t")
+    assert TF.remote(spark, "127.0.0.1:9000", "db.remote_t").count() == 5
+    assert TF.cluster(spark, "main", "remote_t").count() == 5
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        TF.remote(spark, "127.0.0.1:9000", "nope_t")

@@ -207,8 +207,9 @@ _DROP_RE = re.compile(
 
 
 def _translate_create(stmt: str) -> tuple[str, str]:
-    """CH CREATE TABLE → (Spark CREATE, table name). Strips ENGINE/ORDER
-    BY/PARTITION BY/SETTINGS tails, DEFAULT/CODEC/TTL column attributes."""
+    """CH CREATE TABLE → (Spark schema DDL string, table name). Strips
+    ENGINE/ORDER BY/PARTITION BY/SETTINGS tails, DEFAULT/CODEC/TTL column
+    attributes."""
     m = _CREATE_RE.match(stmt.strip())
     if not m:
         raise ChSqlError(f"unparsed CREATE TABLE: {stmt[:80]}")
@@ -225,7 +226,85 @@ def _translate_create(stmt: str) -> tuple[str, str]:
             r"\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\s", ctype, flags=re.IGNORECASE
         )[0]
         cols.append(f"{cname} {_ch_type_to_spark(ctype)}")
-    return f"CREATE TABLE {name} ({', '.join(cols)}) USING parquet", name
+    return ", ".join(cols), name
+
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:[A-Za-z_][A-Za-z0-9_]*\.)?([A-Za-z_][A-Za-z0-9_]*)"
+    r"\s*(\([^)]*\))?\s*(?:FORMAT\s+Values\s*)?(VALUES|SELECT|WITH)\b(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _values_rows(tail: str) -> list[str]:
+    """Split a VALUES tail `(a, b), (c, d)` into per-row expression lists."""
+    rows, depth, cur, in_str = [], 0, [], False
+    for c in tail:
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c == "(":
+            if depth:
+                cur.append(c)
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth:
+                cur.append(c)
+            else:
+                rows.append("".join(cur).strip())
+                cur = []
+        elif depth:
+            cur.append(c)
+    return rows
+
+
+def _exec_insert(spark, stmt: str, mem_tables: dict) -> None:
+    """INSERT INTO a memory-backed golden table, PRESERVING insertion order
+    (ClickHouse Memory/Log engines append in order and the reference diffs
+    output literally; a parquet round-trip loses order because Spark packs
+    scan splits by file size). Rows become local relations unioned in
+    order — collect order is deterministic."""
+    from pyspark.sql import functions as F
+
+    m = _INSERT_RE.match(stmt)
+    if not m:
+        raise ChSqlError(f"unparsed INSERT: {stmt[:80]}")
+    name, collist, kw, tail = m.group(1), m.group(2), m.group(3).upper(), m.group(4)
+    if name not in mem_tables:
+        raise ChSqlError(f"INSERT into unknown golden table {name!r}")
+    target = mem_tables[name]
+    if kw == "VALUES":
+        selects = " UNION ALL ".join(
+            f"SELECT {row}" for row in _values_rows(tail) if row
+        )
+        src = spark.sql(translate(selects))
+    else:
+        src = spark.sql(translate(kw + tail))
+    listed = (
+        [c.strip().strip("`") for c in collist.strip("()").split(",")]
+        if collist
+        else [f.name for f in target.schema.fields]
+    )
+    pos = {n.lower(): i for i, n in enumerate(listed)}
+    # positional rename first — VALUES like (1,1,'a') yield duplicate column
+    # names (ambiguous by-name), and literal-derived names like `2.4` parse
+    # as nested field references
+    src = src.toDF(*[f"__c{i}" for i in range(len(src.columns))])
+    src_cols = src.columns
+    out = []
+    for f in target.schema.fields:
+        i = pos.get(f.name.lower())
+        if i is None or i >= len(src_cols):
+            out.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            out.append(F.col(src_cols[i]).cast(f.dataType).alias(f.name))
+    mem_tables[name] = target.unionAll(src.select(*out))
+    mem_tables[name].createOrReplaceTempView(name)
 
 
 def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
@@ -235,8 +314,13 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     tables), mirroring clickhouse-test's stateful-statement support."""
     sql_text = open(sql_path).read()
     want = open(reference_path).read().rstrip("\n")
-    out_lines: list[str] = []
+    # (lines, order_insensitive) per result-producing statement: a SELECT
+    # with no top-level ORDER BY has no defined row order in EITHER engine
+    # (ClickHouse happens to emit Memory-table insertion order; Spark's
+    # parallel join order is arbitrary) — compare those blocks as multisets
+    blocks: list[tuple[list[str], bool]] = []
     created: list[str] = []
+    mem_tables: dict = {}
     # ClickHouse coerces INSERT literals to column types ('2016-01-01' →
     # Date); Spark's default store-assignment policy rejects string→date
     prev_policy = spark.conf.get("spark.sql.storeAssignmentPolicy", "ANSI")
@@ -250,22 +334,19 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 if up.startswith("DROP TABLE"):
                     dm = _DROP_RE.match(stmt.strip())
                     if dm:
-                        spark.sql(f"DROP TABLE IF EXISTS {dm.group(1).split('.')[-1]}")
+                        tname = dm.group(1).split(".")[-1]
+                        mem_tables.pop(tname, None)
+                        spark.catalog.dropTempView(tname)
                     continue
                 if up.startswith("CREATE"):
-                    create_sql, name = _translate_create(stmt)
-                    spark.sql(f"DROP TABLE IF EXISTS {name}")
-                    spark.sql(create_sql)
+                    schema_ddl, name = _translate_create(stmt)
+                    df = spark.createDataFrame([], schema=schema_ddl)
+                    df.createOrReplaceTempView(name)
+                    mem_tables[name] = df
                     created.append(name)
                     continue
                 if up.startswith("INSERT INTO"):
-                    # strip [db.] prefix; translate CH literals ([..] arrays,
-                    # functions) through the expression rewriter
-                    s = re.sub(
-                        r"(?i)^(\s*INSERT\s+INTO\s+)(?:[A-Za-z_][A-Za-z0-9_]*\.)?",
-                        r"\1", stmt, count=1,
-                    )
-                    spark.sql(translate(s))
+                    _exec_insert(spark, stmt, mem_tables)
                     continue
                 spark_sql = translate(stmt)
                 rows = spark.sql(spark_sql).collect()
@@ -273,16 +354,33 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 return False, f"translate error: {ex}"
             except Exception as ex:  # noqa: BLE001 — report engine errors as diffs
                 return False, f"exec error: {str(ex).splitlines()[0][:200]}"
-            for r in rows:
-                out_lines.append("\t".join(_fmt_top(v) for v in r))
+            blocks.append(
+                (
+                    ["\t".join(_fmt_top(v) for v in r) for r in rows],
+                    "ORDER BY" not in up,
+                )
+            )
     finally:
         spark.conf.set("spark.sql.storeAssignmentPolicy", prev_policy)
         for name in created:
             try:
-                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                spark.catalog.dropTempView(name)
             except Exception:  # noqa: BLE001
                 pass
+    out_lines = [line for lines, _ in blocks for line in lines]
     got = "\n".join(out_lines)
     if got == want:
         return True, "ok"
+    # second chance: segment the reference by per-statement line counts and
+    # sort both sides of any block whose statement had no ORDER BY
+    want_lines = want.split("\n") if want else []
+    if len(want_lines) == len(out_lines):
+        got2, want2, pos = [], [], 0
+        for lines, unordered in blocks:
+            ref = want_lines[pos : pos + len(lines)]
+            pos += len(lines)
+            got2 += sorted(lines) if unordered else lines
+            want2 += sorted(ref) if unordered else ref
+        if got2 == want2:
+            return True, "ok"
     return False, f"mismatch:\n--got--\n{got[:400]}\n--want--\n{want[:400]}"
