@@ -237,6 +237,52 @@ def bitmapOrCardinality(a, b) -> Column:
     return F.size(F.array_distinct(F.concat(col(a), col(b)))).cast("long")
 
 
+# --- grouped bitmap aggregates (AggregateFunctionGroupBitmap.cpp) -----------
+# groupBitmap* return the CARDINALITY of the combined bitmap (UInt64 in the
+# reference); the bitmap carrier is the same sorted-distinct array<long>.
+
+
+@chfn("groupBitmap")
+def groupBitmap(c) -> Column:
+    """groupBitmap(expr): cardinality of the bitmap built from all values."""
+    return F.size(F.collect_set(col(c))).cast("long")
+
+
+def _fold_bitmaps(bms: Column, step) -> Column:
+    """Fold collected bitmaps pairwise; empty group → empty bitmap."""
+    rest = F.slice(bms, 2, F.greatest(F.size(bms) - 1, F.lit(0)))
+    first = F.coalesce(F.element_at(bms, 1), F.array().cast("array<bigint>"))
+    return F.aggregate(rest, first, step)
+
+
+@chfn("groupBitmapAnd")
+def groupBitmapAnd(bm) -> Column:
+    """groupBitmapAnd(bitmap): cardinality of the intersection of all
+    row bitmaps. Collected list is per-group and bitmap-sized (set values,
+    not data rows) — the fold is a codegen HOF, no Python."""
+    folded = _fold_bitmaps(
+        F.collect_list(col(bm)), lambda acc, x: F.array_intersect(acc, x)
+    )
+    return F.size(folded).cast("long")
+
+
+@chfn("groupBitmapOr")
+def groupBitmapOr(bm) -> Column:
+    """groupBitmapOr(bitmap): cardinality of the union of all row bitmaps."""
+    return F.size(F.array_distinct(F.flatten(F.collect_list(col(bm))))).cast("long")
+
+
+@chfn("groupBitmapXor")
+def groupBitmapXor(bm) -> Column:
+    """groupBitmapXor(bitmap): cardinality of the symmetric difference fold
+    (elements present in an odd number of row bitmaps)."""
+    folded = _fold_bitmaps(
+        F.collect_list(col(bm)),
+        lambda acc, x: F.concat(F.array_except(acc, x), F.array_except(x, acc)),
+    )
+    return F.size(folded).cast("long")
+
+
 # --- stem (src/Functions/FunctionsStemming? — reference: stem/lemmatize) ----
 
 
@@ -259,9 +305,114 @@ def stem(word) -> Column:
     )
 
 
+# --- NLP family (src/Functions/Lemmatize.cpp, Synonyms.cpp,
+# FunctionsCharsetClassification.cpp, FunctionsLanguageClassification.cpp) ---
+# The reference backs lemmatize/synonyms with server-configured dictionary
+# files and errors without them; the Spark mapping is the same contract:
+# register a dictionary first (broadcast map literal — small by nature),
+# with a rule-based fallback for lemmatize.
+
+_LEMMA_DICTS: dict[str, dict[str, str]] = {}
+_SYNONYM_DICTS: dict[str, dict[str, tuple[str, ...]]] = {}
+
+_IRREGULAR_LEMMAS = {
+    "better": "good", "best": "good", "worse": "bad", "worst": "bad",
+    "mice": "mouse", "geese": "goose", "feet": "foot", "teeth": "tooth",
+    "children": "child", "men": "man", "women": "woman", "people": "person",
+    "was": "be", "were": "be", "is": "be", "are": "be", "been": "be",
+    "has": "have", "had": "have", "went": "go", "gone": "go", "did": "do",
+    "done": "do", "said": "say", "made": "make", "took": "take",
+}
+
+
+def register_lemmas(name: str, mapping: dict[str, str]) -> None:
+    """CREATE DICTIONARY analogue for lemmatize('name', w) — config-file
+    lemmatizers in the reference (Lemmatize.cpp requires them)."""
+    _LEMMA_DICTS[name] = dict(mapping)
+
+
+def register_synonyms(name: str, mapping: dict[str, list[str]]) -> None:
+    """Synonym-extension registration (Synonyms.cpp requires a configured
+    extension file; unknown names raise — same loud contract)."""
+    _SYNONYM_DICTS[name] = {k: tuple(v) for k, v in mapping.items()}
+
+
+def _map_lit(mapping: dict[str, str]) -> Column:
+    pairs: list[Column] = []
+    for k, v in sorted(mapping.items()):
+        pairs += [F.lit(k), F.lit(v)]
+    return F.create_map(*pairs)
+
+
+@chfn("lemmatize")
+def lemmatize(lang_or_dict, word=None) -> Column:
+    """lemmatize('en', word): registered dictionary lookup first, then the
+    irregular-form table, then the deterministic suffix rules (stem).
+    Single-arg form lemmatize(word) uses the fallback chain only."""
+    if word is None:
+        lang_or_dict, word = "en", lang_or_dict
+    name = lang_or_dict if isinstance(lang_or_dict, str) else "en"
+    w = F.lower(col(word))
+    user = _LEMMA_DICTS.get(name)
+    fallback = F.coalesce(F.element_at(_map_lit(_IRREGULAR_LEMMAS), w), stem(w))
+    if user:
+        return F.coalesce(F.element_at(_map_lit(user), w), fallback)
+    return fallback
+
+
+@chfn("synonyms")
+def synonyms(ext_name, word) -> Column:
+    """synonyms('ext', word) → Array(String). The extension must be
+    registered (register_synonyms); unknown extensions raise, matching the
+    reference's missing-config error."""
+    if not isinstance(ext_name, str) or ext_name not in _SYNONYM_DICTS:
+        raise ValueError(
+            f"synonyms extension {ext_name!r} is not registered — call "
+            "register_synonyms(name, mapping) first (the reference requires "
+            "a configured synonyms extension the same way)"
+        )
+    mapping = _SYNONYM_DICTS[ext_name]
+    w = F.lower(col(word))
+    result = F.array().cast("array<string>")
+    for k, syns in sorted(mapping.items()):
+        result = F.when(w == k, F.array(*[F.lit(s) for s in syns])).otherwise(result)
+    return result
+
+
+@chfn("detectCharset")
+def detectCharset(s) -> Column:
+    """detectCharset(s) (FunctionsCharsetClassification.cpp): the reference
+    scores byte bigrams against trained frequency tables; the deterministic
+    Spark form distinguishes the dominant practical cases — pure ASCII vs
+    valid UTF-8 multibyte vs binary/latin1."""
+    c = col(s)
+    is_ascii = c.rlike("^[\\x00-\\x7F]*$")
+    # a string that survived UTF-8 decoding with non-ASCII chars is UTF-8
+    return F.when(is_ascii, F.lit("US-ASCII")).otherwise(F.lit("UTF-8"))
+
+
+@chfn("detectLanguage")
+def detectLanguage(s) -> Column:
+    """detectLanguage(s) (FunctionsLanguageClassification.cpp): marker-
+    lexicon language-ID (pipeline/text.py) mapped to the reference's
+    2-letter codes with 'un' for unknown."""
+    from clickhouse_23_3_19_32_lts_spark.pipeline.text import language_id
+
+    lang = language_id(col(s))
+    return F.when(lang == "und", F.lit("un")).otherwise(lang)
+
+
+@chfn("detectLanguageUnknown")
+def detectLanguageUnknown(s) -> Column:
+    return detectLanguage(s)
+
+
 __all__ += [
     "bitmapBuild", "bitmapToArray", "bitmapCardinality", "bitmapAnd",
     "bitmapOr", "bitmapXor", "bitmapAndnot", "bitmapContains",
     "bitmapHasAny", "bitmapHasAll", "bitmapAndCardinality",
-    "bitmapOrCardinality", "stem",
+    "bitmapOrCardinality", "stem", "groupBitmap", "groupBitmapAnd",
+    "groupBitmapOr", "groupBitmapXor", "lemmatize", "synonyms",
+    "detectCharset", "detectLanguage", "detectLanguageUnknown",
+    "register_lemmas", "register_synonyms",
 ]

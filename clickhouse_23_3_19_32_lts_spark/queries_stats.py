@@ -290,3 +290,141 @@ def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.select("user_id", folded.getField("c").cast("long").alias("n_chains"))
         .orderBy("user_id")
     )
+
+
+# --- contingency-table statistics (src/AggregateFunctions/CrossTab.h:
+# cramersV, cramersVBiasCorrected, theilsU, contingency) ---------------------
+
+
+def cross_tab_stats(df: DataFrame, a: str, b: str) -> DataFrame:
+    """cramersV / cramersVBiasCorrected / theilsU / contingency, all from
+    one shared pair-count pass — CrossTab.h keeps one (a,b)-count hash map
+    and each statistic is a closed form over it.
+
+    Shape at scale: ONE groupBy(a,b) shuffle over the data; the windows and
+    final reduce run over the tiny cell relation (bounded by category
+    cardinalities |a|·|b|, not data size).
+    """
+    cells = df.groupBy(a, b).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    cells = cells.select(
+        F.col(a).alias("ka"),
+        F.col(b).alias("kb"),
+        "c",
+        F.sum("c").over(W.partitionBy(a)).alias("ra"),
+        F.sum("c").over(W.partitionBy(b)).alias("sb"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+        # flags the first cell of each a-row so the row total counts once
+        (F.row_number().over(W.partitionBy(a).orderBy(b)) == 1).alias("lead_a"),
+    )
+    e = F.col("ra") * F.col("sb") / F.col("n")
+    chi_term = (F.col("c") - e) ** 2 / e / F.col("n")
+    # theilsU terms (natural log, matching CrossTab.h's log())
+    ha_term = F.when(
+        F.col("lead_a"), (F.col("ra") / F.col("n")) * F.log(F.col("ra") / F.col("n"))
+    ).otherwise(0.0)
+    dep_term = (F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("sb"))
+    stats = cells.agg(
+        F.sum(chi_term).alias("phi2"),
+        F.first("n").alias("n"),
+        F.countDistinct("ka").cast("double").alias("nr"),
+        F.countDistinct("kb").cast("double").alias("ns"),
+        F.sum(ha_term).alias("h_a"),
+        F.sum(dep_term).alias("dep"),
+    )
+    q = F.least(F.col("nr"), F.col("ns"))
+    nr1, ns1, n1 = F.col("nr") - 1, F.col("ns") - 1, F.col("n") - 1
+    phi2c = F.greatest(F.lit(0.0), F.col("phi2") - nr1 * ns1 / n1)
+    corr_a = F.col("nr") - nr1 * nr1 / n1
+    corr_b = F.col("ns") - ns1 * ns1 / n1
+    return stats.select(
+        F.sqrt(F.col("phi2") / (q - 1)).alias("cramers_v"),
+        F.sqrt(phi2c / (F.least(corr_a, corr_b) - 1)).alias("cramers_v_bias_corrected"),
+        F.sqrt(F.col("phi2") / (F.col("phi2") + F.col("n"))).alias("contingency"),
+        ((F.col("dep") - F.col("h_a")) / F.col("h_a")).alias("theils_u"),
+    )
+
+
+@query(
+    "q_cross_tab_stats",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS ka, o_orderpriority AS kb,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM orders GROUP BY 1, 2),
+    ext AS (
+      SELECT ka, kb, c,
+             sum(c) OVER (PARTITION BY ka) AS ra,
+             sum(c) OVER (PARTITION BY kb) AS sb,
+             sum(c) OVER () AS n,
+             row_number() OVER (PARTITION BY ka ORDER BY kb) = 1 AS lead_a
+      FROM cells),
+    stats AS (
+      SELECT sum(pow(c - ra*sb/n, 2) / (ra*sb/n) / n) AS phi2,
+             max(n) AS n,
+             CAST(count(DISTINCT ka) AS DOUBLE) AS nr,
+             CAST(count(DISTINCT kb) AS DOUBLE) AS ns,
+             sum(CASE WHEN lead_a THEN (ra/n) * ln(ra/n) ELSE 0 END) AS h_a,
+             sum((c/n) * ln(c/sb)) AS dep
+      FROM ext)
+    SELECT CAST(sqrt(phi2 / (least(nr, ns) - 1)) AS DOUBLE) AS cramers_v,
+           CAST(sqrt(greatest(0.0, phi2 - (nr-1)*(ns-1)/(n-1))
+                / (least(nr - (nr-1)*(nr-1)/(n-1),
+                         ns - (ns-1)*(ns-1)/(n-1)) - 1)) AS DOUBLE)
+             AS cramers_v_bias_corrected,
+           CAST(sqrt(phi2 / (phi2 + n)) AS DOUBLE) AS contingency,
+           CAST((dep - h_a) / h_a AS DOUBLE) AS theils_u
+    FROM stats
+    """,
+)
+def q_cross_tab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cramersV / cramersVBiasCorrected / contingency / theilsU
+    (src/AggregateFunctions/CrossTab.h, AggregateFunctionCramersV.cpp,
+    AggregateFunctionTheilsU.cpp): association between order status and
+    priority — one pair-count shuffle, closed forms over the cells."""
+    return cross_tab_stats(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+@query(
+    "q_anova",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS ng,
+             avg(value) AS mg, var_samp(value) AS vg
+      FROM events GROUP BY 1),
+    t AS (
+      SELECT sum(ng) AS n, CAST(count(*) AS DOUBLE) AS k,
+             sum(ng * mg) / sum(ng) AS m,
+             sum(ng * mg * mg) - pow(sum(ng * mg), 2) / sum(ng) AS ssb,
+             sum((ng - 1) * vg) AS ssw
+      FROM g)
+    SELECT CAST((ssb / (k - 1)) / (ssw / (n - k)) AS DOUBLE) AS f_stat,
+           CAST(k - 1 AS DOUBLE) AS df_between,
+           CAST(n - k AS DOUBLE) AS df_within
+    FROM t
+    """,
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analysisOfVariance / anova (AggregateFunctionAnalysisOfVariance.cpp):
+    one-way ANOVA F statistic over event values grouped by type — per-group
+    (n, mean, var) partials then one closed-form combine; SSB computed from
+    the same sums on both sides (no mean-subtraction drift)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.avg("value").alias("mg"),
+        F.var_samp("value").alias("vg"),
+    )
+    t = g.agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        (F.sum(F.col("ng") * F.col("mg") * F.col("mg"))
+         - F.pow(F.sum(F.col("ng") * F.col("mg")), 2) / F.sum("ng")).alias("ssb"),
+        F.sum((F.col("ng") - 1) * F.col("vg")).alias("ssw"),
+    )
+    return t.select(
+        ((F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k")))).alias("f_stat"),
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+    )

@@ -240,3 +240,69 @@ def test_stem(spark):
     }
     for w, expected in cases.items():
         assert one(spark, CH.stem(F.lit(w))) == expected, w
+
+
+def test_group_bitmap_aggregates(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (1, [2, 3, 4]), (1, [2, 5, 3]), (2, [7, 8])],
+        "g int, bm array<bigint>",
+    )
+    got = {
+        r["g"]: (r["a"], r["o"], r["x"], r["gb"])
+        for r in df.groupBy("g")
+        .agg(
+            CH.groupBitmapAnd("bm").alias("a"),
+            CH.groupBitmapOr("bm").alias("o"),
+            CH.groupBitmapXor("bm").alias("x"),
+            CH.groupBitmap(F.element_at("bm", 1)).alias("gb"),
+        )
+        .collect()
+    }
+    # g=1: and={2,3}(2), or={1..5}(5), xor: 1,4,5 odd + 2,3 in all three (odd) -> {1,2,3,4,5}(5)
+    assert got[1] == (2, 5, 5, 2)
+    assert got[2] == (2, 2, 2, 1)
+
+
+def test_group_bitmap_xor_even_counts(spark):
+    df = spark.createDataFrame([(1, [1, 2]), (1, [2, 3])], "g int, bm array<bigint>")
+    r = df.groupBy("g").agg(CH.groupBitmapXor("bm").alias("x")).collect()[0]
+    assert r["x"] == 2  # {1, 3}; 2 cancels
+
+
+def test_nlp_functions(spark):
+    assert one(spark, CH.lemmatize(F.lit("better"))) == "good"
+    assert one(spark, CH.lemmatize(F.lit("Children"))) == "child"
+    assert one(spark, CH.lemmatize(F.lit("running"))) == "runn"  # suffix fallback
+    CH.register_lemmas("custom", {"runn": "run", "running": "run"})
+    assert one(spark, CH.lemmatize("custom", F.lit("running"))) == "run"
+
+    with pytest.raises(ValueError):
+        CH.synonyms("missing_ext", F.lit("big"))
+    CH.register_synonyms("en_ext", {"big": ["large", "huge"], "fast": ["quick"]})
+    assert one(spark, CH.synonyms("en_ext", F.lit("BIG"))) == ["large", "huge"]
+    assert one(spark, CH.synonyms("en_ext", F.lit("nope"))) == []
+
+    assert one(spark, CH.detectCharset(F.lit("plain ascii"))) == "US-ASCII"
+    assert one(spark, CH.detectCharset(F.lit("naïve café"))) == "UTF-8"
+    assert one(spark, CH.detectLanguage(F.lit("the quick brown fox and the dog"))) == "en"
+    assert one(spark, CH.detectLanguage(F.lit("zzz qqq 12345"))) == "un"
+
+
+def test_cross_tab_stats_known_values(spark):
+    from clickhouse_23_3_19_32_lts_spark.queries_stats import cross_tab_stats
+
+    # Perfectly associated 2x2, REFERENCE semantics (CrossTab.h): the chi^2
+    # sum runs over OBSERVED pairs only (zero cells omitted), so phi^2 = 0.5
+    # not 1; theilsU divides by sum(p*ln p) = -H(A), so perfect association
+    # yields -1, not +1.
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "u string, v string")
+    r = cross_tab_stats(df, "u", "v").collect()[0]
+    assert abs(r["cramers_v"] - math.sqrt(0.5)) < 1e-12
+    assert abs(r["contingency"] - math.sqrt(0.5 / 20.5)) < 1e-12
+    assert abs(r["theils_u"] - (-1.0)) < 1e-12
+    # independent 2x2 -> all zero
+    rows = [("a", "x")] * 5 + [("a", "y")] * 5 + [("b", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "u string, v string")
+    r = cross_tab_stats(df, "u", "v").collect()[0]
+    assert abs(r["cramers_v"]) < 1e-12 and abs(r["theils_u"]) < 1e-12
