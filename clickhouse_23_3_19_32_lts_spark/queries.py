@@ -572,55 +572,66 @@ def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Moments from EXACT integer power sums: o_totalprice is cents-exact money,
+# so Σxc, Σxc², Σxc³, Σxc⁴ over cents are exact integers — order-independent,
+# identical in Spark and DuckDB regardless of partial-agg combine order. The
+# double-precision derivation below is the SAME expression text on both sides
+# (IEEE +,−,×,÷,sqrt are deterministic given identical inputs), so the
+# driver's value hash cannot drift. {xc} = the engine's exact-int cast;
+# {tbl} = the source relation.
+_MOMENTS_SQL = """
+    WITH sums AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS DOUBLE)   AS n,
+             CAST(sum(xc) AS DOUBLE)    AS s1,
+             CAST(sum(xc*xc) AS DOUBLE) AS s2,
+             CAST(sum(xc*xc*xc) AS DOUBLE) AS s3,
+             CAST(sum(xc*xc*xc*xc) AS DOUBLE) AS s4
+      FROM (SELECT o_orderstatus, {xc} AS xc FROM {tbl}) raw
+      GROUP BY o_orderstatus),
+    m AS (
+      SELECT o_orderstatus, n, s1, s2, s3, s4,
+             s1/n AS m1,
+             (s2/n) - (s1/n)*(s1/n) AS m2
+      FROM sums)
+    SELECT o_orderstatus,
+           m1 / 100 AS avg_price,
+           sqrt(m2) / 100 AS std_pop,
+           sqrt((s2 - s1*(s1/n)) / (n-1)) / 100 AS std_samp,
+           m2 / 10000 AS v_pop,
+           ((s3/n - 3*m1*(s2/n) + 2*m1*m1*m1) / (m2*sqrt(m2)))
+             * sqrt(n*(n-1)) / (n-2) AS skew,
+           ((n+1) * ((s4/n - 4*m1*(s3/n) + 6*m1*m1*(s2/n) - 3*m1*m1*m1*m1)
+                     / (m2*m2) - 3) + 6) * (n-1) / ((n-2)*(n-3)) AS kurt
+    FROM m
+    ORDER BY o_orderstatus
+"""
+
+
 @query(
     "q_stats_moments",
-    oracle="""
-    SELECT o_orderstatus,
-           round(CAST(avg(o_totalprice) AS DOUBLE), 4)          AS avg_price,
-           round(CAST(stddev_pop(o_totalprice) AS DOUBLE), 4)   AS std_pop,
-           round(CAST(stddev_samp(o_totalprice) AS DOUBLE), 4)  AS std_samp,
-           round(CAST(var_pop(o_totalprice) AS DOUBLE), -2)     AS v_pop,
-           round(CAST(skewness(o_totalprice) AS DOUBLE), 8)     AS skew,
-           round(CAST(kurtosis(o_totalprice) AS DOUBLE), 8)     AS kurt
-    FROM orders
-    GROUP BY o_orderstatus
-    ORDER BY o_orderstatus
-    """,
+    oracle=_MOMENTS_SQL.format(
+        xc="CAST(round(o_totalprice*100) AS HUGEINT)", tbl="orders"
+    ),
 )
 def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stddev*/var*/skew/kurt families (§2.4 statistics aggregates).
+    """stddev*/var*/skew/kurt families (§2.4 statistics aggregates;
+    reference skewSamp/kurtSamp are sample-adjusted:
+    G1 = g1·√(n(n−1))/(n−2), G2 = ((n+1)g2+6)(n−1)/((n−2)(n−3))).
 
-    Spark's skewness/kurtosis are population moments (g1, excess g2);
-    DuckDB — like the reference's skewSamp/kurtSamp — reports sample-adjusted
-    (G1, G2). Convert exactly: G1 = g1·√(n(n−1))/(n−2),
-    G2 = ((n+1)g2 + 6)(n−1)/((n−2)(n−3)).
-
-    Both sides round to grids coarse relative to one-pass-vs-two-pass FP drift
-    (observed ≤1 ulp: 4e-6 on v_pop≈2e10, 3e-13 on kurt≈1): var to hundreds,
-    moments to 8 decimals — so the driver's value hash is deterministic.
+    FP determinism: both engines aggregate EXACT integer cent power sums
+    (Spark DECIMAL(38,0), DuckDB HUGEINT — Σx⁴ ≈ 1e35·SF/0.01, inside both
+    38-digit ranges up to SF 10), then run the identical double-arithmetic
+    derivation — see _MOMENTS_SQL. One groupBy shuffle of 5 numeric partials;
+    scales like q01.
     """
     orders = _t(spark, sf_dir, "orders")
-    n = F.col("__n").cast("double")
-    g1, g2 = F.col("__g1"), F.col("__g2")
-    return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.avg("o_totalprice").alias("avg_price"),
-            F.stddev_pop("o_totalprice").alias("std_pop"),
-            F.stddev_samp("o_totalprice").alias("std_samp"),
-            F.var_pop("o_totalprice").alias("v_pop"),
-            F.skewness("o_totalprice").alias("__g1"),
-            F.kurtosis("o_totalprice").alias("__g2"),
-            F.count(F.lit(1)).alias("__n"),
+    view = "q_stats_moments_src"
+    orders.createOrReplaceTempView(view)
+    return spark.sql(
+        _MOMENTS_SQL.format(
+            xc="CAST(round(o_totalprice*100) AS DECIMAL(38,0))", tbl=view
         )
-        .withColumn("skew", F.round(g1 * F.sqrt(n * (n - 1)) / (n - 2), 8))
-        .withColumn("kurt", F.round(((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)), 8))
-        .withColumn("avg_price", F.round("avg_price", 4))
-        .withColumn("std_pop", F.round("std_pop", 4))
-        .withColumn("std_samp", F.round("std_samp", 4))
-        .withColumn("v_pop", F.round("v_pop", -2))
-        .drop("__g1", "__g2", "__n")
-        .orderBy("o_orderstatus")
     )
 
 
