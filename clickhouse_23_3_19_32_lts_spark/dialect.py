@@ -96,7 +96,6 @@ NAME_MAP: dict[str, str] = {
     "arrayAll": "forall",
     "arrayShuffle": "shuffle",
     "arrayJoin": "explode",
-    "range": "sequence",
     "emptyArrayUInt64": "array",
     # maps
     "mapKeys": "map_keys",
@@ -162,9 +161,28 @@ TEMPLATES: dict[str, str] = {
     "toUInt64": "CAST({0} AS BIGINT)",
     "toFloat32": "CAST({0} AS FLOAT)",
     "toFloat64": "CAST({0} AS DOUBLE)",
-    "toDate": "to_date({0})",
-    "toDateTime": "to_timestamp({0})",
-    "toDateTime64": "to_timestamp({0})",
+    # toDate/toDateTime accept strings, dates, AND numbers (DataTypeDate.cpp:
+    # numeric input is days-since-epoch below 65536, else unix seconds).
+    # Routing through STRING keeps every branch type-checkable whatever the
+    # input type; extra args (timezone) are intentionally dropped — the
+    # session is pinned UTC.
+    "toDate": (
+        "(CASE WHEN CAST({0} AS STRING) RLIKE '^[0-9]+$' THEN"
+        " (CASE WHEN CAST(CAST({0} AS STRING) AS BIGINT) < 65536"
+        " THEN date_add(DATE '1970-01-01', CAST(CAST({0} AS STRING) AS INT))"
+        " ELSE CAST(timestamp_seconds(CAST(CAST({0} AS STRING) AS BIGINT)) AS DATE) END)"
+        " ELSE to_date(substring(CAST({0} AS STRING), 1, 10)) END)"
+    ),
+    "toDateTime": (
+        "(CASE WHEN CAST({0} AS STRING) RLIKE '^[0-9]+$'"
+        " THEN timestamp_seconds(CAST(CAST({0} AS STRING) AS BIGINT))"
+        " ELSE to_timestamp(CAST({0} AS STRING)) END)"
+    ),
+    "toDateTime64": (
+        "(CASE WHEN CAST({0} AS STRING) RLIKE '^[0-9]+(\\\\.[0-9]+)?$'"
+        " THEN timestamp_seconds(CAST(CAST({0} AS STRING) AS DECIMAL(20,6)))"
+        " ELSE to_timestamp(CAST({0} AS STRING)) END)"
+    ),
     "parseDateTimeBestEffort": "to_timestamp({0})",
     "toDecimal64": "CAST({0} AS DECIMAL(18, {1}))",
     "toDecimal128": "CAST({0} AS DECIMAL(38, {1}))",
@@ -328,6 +346,20 @@ ARITY_TEMPLATES: dict[str, dict[int, str]] = {
             " ELSE date_sub(next_day(CAST({0} AS DATE), 'Sun'), 7) END)"
         ),
     },
+    # CH range is END-EXCLUSIVE ([start, end)); Spark sequence is inclusive
+    # and auto-descends when start > stop — slice to the exact length instead
+    # (src/Functions/array/range.cpp).
+    "range": {
+        1: "slice(sequence(0, greatest(CAST(({0}) AS BIGINT) - 1, 0)), 1, CAST(({0}) AS INT))",
+        2: (
+            "slice(sequence({0}, greatest(CAST(({1}) AS BIGINT) - 1, CAST(({0}) AS BIGINT))),"
+            " 1, CAST(greatest(CAST(({1}) AS BIGINT) - CAST(({0}) AS BIGINT), 0) AS INT))"
+        ),
+        3: (
+            "filter(sequence({0}, greatest(CAST(({1}) AS BIGINT) - 1, CAST(({0}) AS BIGINT)), {2}),"
+            " x -> x < ({1}))"
+        ),
+    },
 }
 
 # --- dateDiff / age: unit-keyword dispatch ----------------------------------
@@ -372,6 +404,98 @@ def _datediff_expr(fname: str, arg_sql: list[str]) -> str:
     for j, a in enumerate(arg_sql):
         s = s.replace(f"{{{j}}}", a)
     return s
+
+# --- ClickHouse type grammar → Spark SQL types ------------------------------
+# Recursive: Nullable/LowCardinality unwrap; Array/Map/Tuple recurse;
+# Enum→STRING (values validated by CHECK constraints at table level);
+# unknown raises ChSqlError (src/DataTypes/DataTypeFactory.cpp name set).
+
+_SIMPLE_TYPES = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT", "int64": "BIGINT",
+    "int128": "DECIMAL(38,0)", "int256": "DECIMAL(38,0)",
+    "uint8": "INT", "uint16": "INT", "uint32": "BIGINT", "uint64": "BIGINT",
+    "uint128": "DECIMAL(38,0)", "uint256": "DECIMAL(38,0)",
+    "float32": "FLOAT", "float64": "DOUBLE",
+    "string": "STRING", "uuid": "STRING", "ipv4": "STRING", "ipv6": "STRING",
+    "json": "STRING", "object('json')": "STRING",
+    "stringwithdictionary": "STRING",
+    "date": "DATE", "date32": "DATE",
+    "datetime": "TIMESTAMP", "bool": "BOOLEAN", "boolean": "BOOLEAN",
+}
+
+
+def _split_type_commas(s: str) -> list[str]:
+    parts, depth, cur, in_str = [], 0, [], False
+    for c in s:
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    parts.append("".join(cur))
+    return [p for p in (p.strip() for p in parts) if p]
+
+
+def ch_type_to_spark(t: str) -> str:
+    """ClickHouse type name → Spark SQL type, recursively; raises ChSqlError
+    for unknown types."""
+    t = t.strip()
+    low = t.lower()
+    if low in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[low]
+    m = re.match(r"(Nullable|LowCardinality)\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        return ch_type_to_spark(m.group(2))
+    m = re.match(r"Array\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        return f"ARRAY<{ch_type_to_spark(m.group(1))}>"
+    m = re.match(r"Map\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        parts = _split_type_commas(m.group(1))
+        if len(parts) == 2:
+            return f"MAP<{ch_type_to_spark(parts[0])}, {ch_type_to_spark(parts[1])}>"
+    m = re.match(r"Tuple\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        fields = []
+        for i, p in enumerate(_split_type_commas(m.group(1))):
+            nm = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s+(.+)$", p.strip(), re.DOTALL)
+            if nm and not re.match(
+                r"(?i)(nullable|lowcardinality|array|map|tuple)\s*\(", p.strip()
+            ):
+                fields.append(f"{nm.group(1)}: {ch_type_to_spark(nm.group(2))}")
+            else:
+                fields.append(f"_{i + 1}: {ch_type_to_spark(p)}")
+        return "STRUCT<" + ", ".join(fields) + ">"
+    if re.match(r"Enum(8|16)?\s*\(", t, re.IGNORECASE):
+        return "STRING"
+    if re.match(r"FixedString\s*\(\s*\d+\s*\)$", t, re.IGNORECASE):
+        return "STRING"
+    if re.match(r"DateTime64\s*(\(.*\))?$", t, re.IGNORECASE):
+        return "TIMESTAMP"
+    if re.match(r"DateTime\s*\(", t, re.IGNORECASE):
+        return "TIMESTAMP"
+    m = re.match(r"Decimal\s*\((\d+)\s*,\s*(\d+)\)$", t, re.IGNORECASE)
+    if m:
+        return f"DECIMAL({m.group(1)},{m.group(2)})"
+    m = re.match(r"Decimal(32|64|128|256)\s*\(\s*(\d+)\s*\)$", t, re.IGNORECASE)
+    if m:
+        prec = {"32": 9, "64": 18, "128": 38, "256": 38}[m.group(1)]
+        return f"DECIMAL({prec},{m.group(2)})"
+    raise ChSqlError(f"unsupported ClickHouse type: {t}")
+
 
 # ClickHouse type names → Spark SQL types (2-arg CAST form)
 _CH_TYPE_MAP: dict[str, str] = {
@@ -420,6 +544,7 @@ _TOKEN_RE = re.compile(
     | [A-Za-z_][A-Za-z0-9_]*       # identifier
     | \d+\.\d+ | \.\d+ | \d+       # number
     | ==                           # CH equality
+    | ::                           # CH/Postgres cast operator
     | <> | <= | >= | != | ->
     | .                            # any single char
     )""",
@@ -478,6 +603,184 @@ def _find_bracket_end(tokens: list[str], open_idx: int) -> int:
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
+# --- registry bridge: library Column builders → SQL templates ---------------
+# Every ClickHouse function implemented as a PySpark Column builder in
+# functions/ (the FunctionFactory.cpp-parity registry) becomes available in
+# the SQL dialect by rendering builder(placeholder_cols) through Catalyst's
+# Expression.sql() and splicing the caller's argument SQL back in. Lambda
+# HOFs render as lambdafunction(body, v…) — rewritten to `v -> body` arrow
+# form below. Templates are validated with the JVM parser and cached per
+# (name, arity); builders whose expression can't round-trip (window specs,
+# Python UDFs) fall through to the old loud-failure path.
+
+_BRIDGE_CACHE: dict[tuple[str, int], str | None] = {}
+_SPARK_BUILTINS: set[str] | None = None
+
+
+def _spark_builtins(spark) -> set[str]:
+    global _SPARK_BUILTINS
+    if _SPARK_BUILTINS is None:
+        _SPARK_BUILTINS = {
+            r[0].rsplit(".", 1)[-1].lower() for r in spark.sql("SHOW FUNCTIONS").collect()
+        }
+    return _SPARK_BUILTINS
+
+
+# Rendered Spark SQL uses typed-literal suffixes (123L, 0.0D, 1S, 2BD) that
+# the CH-side tokenizer would split; tokenize rendered text with a
+# suffix-aware number pattern instead.
+_SPARK_TOKEN_RE = re.compile(
+    r"""(
+      '(?:[^'\\]|\\.)*'
+    | "(?:[^"\\]|\\.)*"
+    | `(?:[^`\\]|\\.)*`
+    | [A-Za-z_][A-Za-z0-9_]*
+    | (?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?(?:BD|[LlSsYyDdFf])?
+    | <> | <= | >= | != | ->
+    | .
+    )""",
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _tokenize_spark(sql: str) -> list[str]:
+    return [t for t in _SPARK_TOKEN_RE.findall(sql) if t.strip()]
+
+
+def _fix_lambdas(tokens: list[str]) -> str:
+    """lambdafunction(body, v1[, v2]) → (v1, v2) -> body, recursively."""
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t == "lambdafunction" and i + 1 < len(tokens) and tokens[i + 1] == "(":
+            close = _find_call_end(tokens, i + 1)
+            args = _split_args(tokens[i + 2 : close])
+            body = _fix_lambdas(args[0])
+            lvars = [" ".join(a) for a in args[1:]]
+            head = lvars[0] if len(lvars) == 1 else "(" + ", ".join(lvars) + ")"
+            out.append(f"{head} -> {body}")
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    s = " ".join(out)
+    s = re.sub(r"\s+([,)\].])", r"\1", s)
+    s = re.sub(r"([(\[])\s+", r"\1", s)
+    return s.strip()
+
+
+_NUM_LIT_RE = re.compile(r"-?\d+")
+_FLOAT_LIT_RE = re.compile(r"-?(?:\d+\.\d*|\.\d+)(?:[eE]-?\d+)?|-?\d+[eE]-?\d+")
+_STR_LIT_RE = re.compile(r"'(?:[^'\\]|\\.)*'")
+
+
+def _as_py_literal(sql: str):
+    """Parse an argument's SQL into a Python literal if it is one."""
+    s = sql.strip()
+    if _NUM_LIT_RE.fullmatch(s):
+        return int(s)
+    if _FLOAT_LIT_RE.fullmatch(s):
+        return float(s)
+    if _STR_LIT_RE.fullmatch(s):
+        return s[1:-1].replace("\\'", "'").replace("\\\\", "\\")
+    return None
+
+
+def _literal_params(builder, nargs: int) -> list[bool] | None:
+    """Which of the first nargs parameters want a PYTHON literal (annotated
+    str/int/float/bool without Column) rather than a Column. None = the
+    builder can't take nargs positional args."""
+    import inspect
+
+    try:
+        params = [
+            p
+            for p in inspect.signature(builder).parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL)
+        ]
+    except (TypeError, ValueError):
+        return [False] * nargs
+    out: list[bool] = []
+    for j in range(nargs):
+        p = params[min(j, len(params) - 1)] if params else None
+        if p is None or (p.kind != p.VAR_POSITIONAL and j >= len(params)):
+            return None
+        ann = p.annotation if p.annotation is not p.empty else None
+        ann_s = ann if isinstance(ann, str) else getattr(ann, "__name__", "")
+        out.append(
+            bool(ann_s)
+            and "Column" not in ann_s
+            and any(k in ann_s for k in ("str", "int", "float", "bool"))
+        )
+    required = sum(1 for p in params if p.default is p.empty and p.kind != p.VAR_POSITIONAL)
+    if nargs < required:
+        return None
+    return out
+
+
+def _render_call(spark, builder, args) -> str | None:
+    """builder(args…) → parse-validated Spark SQL fragment, or None."""
+    try:
+        col = builder(*args)
+        sql = spark._jsparkSession.expression(col._jc).sql()
+        if "lambdafunction" in sql:
+            sql = _fix_lambdas(_tokenize_spark(sql))
+        spark._jsparkSession.sessionState().sqlParser().parseExpression(sql)
+        return sql
+    except Exception:  # noqa: BLE001 — builder shape not SQL-expressible
+        return None
+
+
+def _registry_bridge(fname: str, arg_sql: list[str]) -> str | None:
+    """SQL fragment for a registry function call, or None to fall through."""
+    try:
+        from pyspark.sql import SparkSession
+
+        from clickhouse_23_3_19_32_lts_spark.functions.registry import REGISTRY
+    except Exception:  # noqa: BLE001 — circular import during bootstrap
+        return None
+    spark = SparkSession.getActiveSession()
+    if spark is None or fname not in REGISTRY:
+        return None
+    if fname.lower() in _spark_builtins(spark):
+        return None  # Spark resolves it natively; don't shadow
+    from pyspark.sql import functions as F
+
+    builder = REGISTRY[fname]
+    lit_mask = _literal_params(builder, len(arg_sql))
+    if lit_mask is None:
+        return None
+    if not any(lit_mask):
+        # pure-Column call: render once per (name, arity), splice args in
+        key = (fname, len(arg_sql))
+        if key not in _BRIDGE_CACHE:
+            _BRIDGE_CACHE[key] = _render_call(
+                spark, builder, [F.col(f"__dlt_a{j}") for j in range(len(arg_sql))]
+            )
+        tpl = _BRIDGE_CACHE[key]
+        if tpl is None:
+            return None
+        for j, a in enumerate(arg_sql):
+            # lambda repl: arg SQL may contain backslashes (regex literals)
+            tpl = re.sub(rf"\b__dlt_a{j}\b", lambda _m, a=a: f"({a})", tpl)
+        return tpl
+    # literal-annotated params must be given literal SQL; inline them into
+    # the builder call (template is value-specific — not cached)
+    args = []
+    for j, a in enumerate(arg_sql):
+        if lit_mask[j]:
+            v = _as_py_literal(a)
+            if v is None:
+                return None
+            args.append(v)
+        else:
+            try:
+                args.append(F.expr(a))
+            except Exception:  # noqa: BLE001
+                return None
+    return _render_call(spark, builder, args)
+
 # keywords that can precede an array literal (so a following [ is NOT a
 # subscript of them)
 _KEYWORDS = {
@@ -490,11 +793,61 @@ _KEYWORDS = {
 }
 
 
+def _pop_operand(out: list[str]) -> str:
+    """Pop the preceding complete operand off the output list: a single
+    element (literal / identifier / rewritten call), or a balanced
+    parenthesized group."""
+    if not out:
+        raise ChSqlError(":: with no preceding operand")
+    last = out.pop()
+    if last != ")":
+        return last
+    parts, depth = [last], 1
+    while out and depth:
+        e = out.pop()
+        parts.append(e)
+        if e == ")":
+            depth += 1
+        elif e == "(":
+            depth -= 1
+    return " ".join(reversed(parts))
+
+
 def _rewrite(tokens: list[str]) -> str:
     out: list[str] = []
     i = 0
     while i < len(tokens):
         t = tokens[i]
+        if t == "::":
+            # x :: Type (ParserCastOperator.cpp) — consume the type tokens
+            j = i + 1
+            if j >= len(tokens) or not _IDENT_RE.fullmatch(tokens[j]):
+                raise ChSqlError(":: needs a type name")
+            tname = tokens[j]
+            j += 1
+            if j < len(tokens) and tokens[j] == "(":
+                close = _find_call_end(tokens, j)
+                tname += "".join(tokens[j : close + 1])
+                j = close + 1
+            try:
+                spark_t = ch_type_to_spark(tname)
+            except ChSqlError:
+                spark_t = tname  # already a Spark type name
+            operand = _pop_operand(out)
+            # the call-merging pass folds `SELECT (expr)` into one element;
+            # peel statement keywords back off before casting the operand
+            km = re.match(
+                r"(?i)^(select|where|prewhere|when|then|else|from|having|by|on|union)"
+                r"\s*\((.*)\)$",
+                operand,
+                re.DOTALL,
+            )
+            if km:
+                out.append(km.group(1))
+                operand = f"({km.group(2)})"
+            out.append(f"CAST({operand} AS {spark_t})")
+            i = j
+            continue
         if t == "[":
             close = _find_bracket_end(tokens, i)
             inner = _split_args(tokens[i + 1 : close])
@@ -562,10 +915,15 @@ def _rewrite(tokens: list[str]) -> str:
             i = close + 1
             continue
 
-        if t.upper() == "CAST" and len(arg_sql) == 2 and re.fullmatch(r"'[^']+'", arg_sql[1]):
+        if t.upper() == "CAST" and len(arg_sql) == 2 and re.fullmatch(
+            r"'(?:[^'\\]|\\.)+'", arg_sql[1]
+        ):
             # ClickHouse 2-arg form: CAST(x, 'Type')
-            ch_type = arg_sql[1][1:-1]
-            spark_type = _CH_TYPE_MAP.get(ch_type)
+            ch_type = arg_sql[1][1:-1].replace("\\'", "'")
+            try:
+                spark_type = ch_type_to_spark(ch_type)
+            except ChSqlError:
+                spark_type = None
             if spark_type:
                 out.append(f"CAST({arg_sql[0]} AS {spark_type})")
                 i = close + 1
@@ -626,6 +984,12 @@ def _rewrite(tokens: list[str]) -> str:
             i = close + 1
             continue
 
+        if t not in NAME_MAP:
+            bridged = _registry_bridge(t, arg_sql)
+            if bridged is not None:
+                out.append(bridged)
+                i = close + 1
+                continue
         name = NAME_MAP.get(t, t)
         out.append(f"{name}({', '.join(arg_sql)})")
         i = close + 1
@@ -900,7 +1264,23 @@ def translate(ch_sql: str) -> str:
             "bare ARRAY JOIN needs the library operator (use operators.arrayjoin.array_join / explode())"
         )
     out = _rewrite(_tokenize(s))
-    # CAST(x AS Int64) / ::Int64 style ClickHouse type names → Spark types
+
+    # CAST(x AS Nullable(Int64)) style ClickHouse type names → Spark types.
+    # Bare names are replaced only for exact CH spellings (UInt8, String, …)
+    # so column aliases are never touched; parenthesized type constructors
+    # are attempted and left alone if the mapper rejects them.
+    def _as_type(m: re.Match) -> str:
+        try:
+            return "AS " + ch_type_to_spark(m.group(1))
+        except ChSqlError:
+            return m.group(0)
+
+    out = re.sub(
+        r"\bAS\s+((?:Nullable|LowCardinality|Array|Map|Tuple|FixedString|"
+        r"Decimal\d*|DateTime64|Enum8|Enum16|Enum)\s*\((?:[^()]|\([^()]*\))*\))",
+        _as_type,
+        out,
+    )
     for ch_t, spark_t in _CH_TYPE_MAP.items():
         if "(" in ch_t:
             continue

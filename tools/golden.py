@@ -14,7 +14,11 @@ import datetime as _dt
 import math
 import re
 
-from clickhouse_23_3_19_32_lts_spark.dialect import ChSqlError, translate
+from clickhouse_23_3_19_32_lts_spark.dialect import (
+    ChSqlError,
+    ch_type_to_spark,
+    translate,
+)
 
 
 def _fmt_float(f: float) -> str:
@@ -107,67 +111,10 @@ def split_statements(sql_text: str) -> list[str]:
 
 
 # --- DDL support: CREATE TABLE / INSERT / DROP on the Spark catalog --------
-# ClickHouse type → Spark SQL type for CREATE TABLE column lists.
+# ClickHouse type → Spark SQL type for CREATE TABLE column lists: the
+# recursive mapper lives in dialect.ch_type_to_spark (shared with CAST/::).
 
-_SIMPLE_TYPES = {
-    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT", "int64": "BIGINT",
-    "int128": "DECIMAL(38,0)", "int256": "DECIMAL(38,0)",
-    "uint8": "INT", "uint16": "INT", "uint32": "BIGINT", "uint64": "BIGINT",
-    "uint128": "DECIMAL(38,0)", "uint256": "DECIMAL(38,0)",
-    "float32": "FLOAT", "float64": "DOUBLE",
-    "string": "STRING", "uuid": "STRING", "ipv4": "STRING", "ipv6": "STRING",
-    "date": "DATE", "date32": "DATE",
-    "datetime": "TIMESTAMP", "bool": "BOOLEAN", "boolean": "BOOLEAN",
-}
-
-
-def _ch_type_to_spark(t: str) -> str:
-    """Recursive ClickHouse→Spark type mapping (Nullable/LowCardinality
-    unwrap; Array/Map/Tuple recurse; Enum→STRING; unknown raises)."""
-    t = t.strip()
-    low = t.lower()
-    if low in _SIMPLE_TYPES:
-        return _SIMPLE_TYPES[low]
-    m = re.match(r"(Nullable|LowCardinality)\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
-    if m:
-        return _ch_type_to_spark(m.group(2))
-    m = re.match(r"Array\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
-    if m:
-        return f"ARRAY<{_ch_type_to_spark(m.group(1))}>"
-    m = re.match(r"Map\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
-    if m:
-        parts = _split_top_level_commas(m.group(1))
-        if len(parts) == 2:
-            return f"MAP<{_ch_type_to_spark(parts[0])}, {_ch_type_to_spark(parts[1])}>"
-    m = re.match(r"Tuple\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
-    if m:
-        fields = []
-        for i, p in enumerate(_split_top_level_commas(m.group(1))):
-            nm = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s+(.+)$", p.strip(), re.DOTALL)
-            if nm and not re.match(r"(?i)(nullable|lowcardinality|array|map|tuple)\s*\(", p.strip()):
-                fields.append(f"{nm.group(1)}: {_ch_type_to_spark(nm.group(2))}")
-            else:
-                fields.append(f"_{i + 1}: {_ch_type_to_spark(p)}")
-        return "STRUCT<" + ", ".join(fields) + ">"
-    if re.match(r"Enum(8|16)?\s*\(", t, re.IGNORECASE):
-        return "STRING"
-    m = re.match(r"FixedString\s*\(\s*\d+\s*\)$", t, re.IGNORECASE)
-    if m:
-        return "STRING"
-    m = re.match(r"DateTime64\s*(\(.*\))?$", t, re.IGNORECASE)
-    if m:
-        return "TIMESTAMP"
-    m = re.match(r"DateTime\s*\(", t, re.IGNORECASE)
-    if m:
-        return "TIMESTAMP"
-    m = re.match(r"Decimal\s*\((\d+)\s*,\s*(\d+)\)$", t, re.IGNORECASE)
-    if m:
-        return f"DECIMAL({m.group(1)},{m.group(2)})"
-    m = re.match(r"Decimal(32|64|128)\s*\(\s*(\d+)\s*\)$", t, re.IGNORECASE)
-    if m:
-        prec = {"32": 9, "64": 18, "128": 38}[m.group(1)]
-        return f"DECIMAL({prec},{m.group(2)})"
-    raise ChSqlError(f"unsupported ClickHouse type: {t}")
+_ch_type_to_spark = ch_type_to_spark
 
 
 def _split_top_level_commas(s: str) -> list[str]:
@@ -196,11 +143,41 @@ def _split_top_level_commas(s: str) -> list[str]:
     return [p for p in (p.strip() for p in parts) if p]
 
 
-_CREATE_RE = re.compile(
-    r"^CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s*\((.*)\)\s*"
-    r"(?:ENGINE|AS\s|$)",
+_CREATE_HEAD_RE = re.compile(
+    r"^CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_][A-Za-z0-9_.]*)\s*\(",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _match_create(stmt: str):
+    """(table_name, column_list_sql) — balanced-paren extraction, so
+    old-style `ENGINE = MergeTree(d, key, 8192)` tails never leak into the
+    column list the way a greedy regex would."""
+    m = _CREATE_HEAD_RE.match(stmt)
+    if not m:
+        return None
+    depth, in_str = 1, False
+    i = m.end()
+    start = i
+    while i < len(stmt) and depth:
+        c = stmt[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    return m.group(1), stmt[start : i - 1]
 _DROP_RE = re.compile(
     r"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_.]*)", re.IGNORECASE
 )
@@ -210,12 +187,12 @@ def _translate_create(stmt: str) -> tuple[str, str]:
     """CH CREATE TABLE → (Spark schema DDL string, table name). Strips
     ENGINE/ORDER BY/PARTITION BY/SETTINGS tails, DEFAULT/CODEC/TTL column
     attributes."""
-    m = _CREATE_RE.match(stmt.strip())
+    m = _match_create(stmt.strip())
     if not m:
         raise ChSqlError(f"unparsed CREATE TABLE: {stmt[:80]}")
-    name = m.group(1).split(".")[-1]
+    name = m[0].split(".")[-1]
     cols = []
-    for cdef in _split_top_level_commas(m.group(2)):
+    for cdef in _split_top_level_commas(m[1]):
         cm = re.match(r"([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s+(.+)$", cdef.strip(), re.DOTALL)
         if not cm:
             raise ChSqlError(f"unparsed column def: {cdef[:60]}")
@@ -353,7 +330,10 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
             except ChSqlError as ex:
                 return False, f"translate error: {ex}"
             except Exception as ex:  # noqa: BLE001 — report engine errors as diffs
-                return False, f"exec error: {str(ex).splitlines()[0][:200]}"
+                first = next(
+                    (ln for ln in str(ex).splitlines() if ln.strip()), repr(ex)
+                )
+                return False, f"exec error: {first[:220]}"
             blocks.append(
                 (
                     ["\t".join(_fmt_top(v) for v in r) for r in rows],
