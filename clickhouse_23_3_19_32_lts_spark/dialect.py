@@ -793,6 +793,60 @@ _KEYWORDS = {
 }
 
 
+# ClickHouse string-literal escapes (src/IO/ReadHelpers.h parseComplexEscape):
+# \a \b \f \n \r \t \v \0 \xHH plus pass-through for unknown \c → c. Spark
+# only knows the C-style subset, so literals are decoded here and re-encoded
+# with the decoded characters inline (Spark literals accept raw control
+# chars) and only backslash/quote re-escaped.
+_CH_ESCAPES = {
+    "a": "\a", "b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t",
+    "v": "\v", "0": "\0", "e": "\x1b",
+    "\\": "\\", "'": "'", '"': '"', "`": "`", "/": "/", "=": "=",
+}
+
+
+def _reencode_string_literal(tok: str) -> str:
+    body = tok[1:-1]
+    out: list[bytes] = []  # CH literals are BYTE strings: \xHH are raw bytes
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c != "\\" or i + 1 >= len(body):
+            out.append(c.encode("utf-8"))
+            i += 1
+            continue
+        e = body[i + 1]
+        if e == "x" and i + 3 < len(body) and re.fullmatch(
+            r"[0-9a-fA-F]{2}", body[i + 2 : i + 4]
+        ):
+            out.append(bytes([int(body[i + 2 : i + 4], 16)]))
+            i += 4
+            continue
+        if e == "N":  # \N parses as empty (ReadHelpers.cpp:343)
+            i += 2
+            continue
+        if e in _CH_ESCAPES:
+            out.append(_CH_ESCAPES[e].encode("utf-8"))
+        else:
+            # unknown escape KEEPS the backslash — LIKE/regex convenience
+            # (ReadHelpers.cpp:353-364: 'Hello 100\%' stays backslashed)
+            out.append(b"\\" + e.encode("utf-8"))
+        i += 2
+    raw = b"".join(out)
+    try:
+        decoded = raw.decode("utf-8")  # \xD0\xA0-style pairs → real chars
+    except UnicodeDecodeError:
+        decoded = raw.decode("latin-1")  # lone high bytes: best effort
+    decoded = decoded.replace("\\", "\\\\").replace("'", "\\'")
+    # control chars as \uXXXX so the translator's whitespace tidy and the
+    # Spark parser never see raw control bytes
+    decoded = "".join(
+        f"\\u{ord(ch):04X}" if ord(ch) < 0x20 or ord(ch) == 0x7F else ch
+        for ch in decoded
+    )
+    return "'" + decoded + "'"
+
+
 def _pop_operand(out: list[str]) -> str:
     """Pop the preceding complete operand off the output list: a single
     element (literal / identifier / rewritten call), or a balanced
@@ -864,6 +918,10 @@ def _rewrite(tokens: list[str]) -> str:
             else:
                 out.append(f"array({', '.join(inner_sql)})")
             i = close + 1
+            continue
+        if t.startswith("'") and "\\" in t:
+            out.append(_reencode_string_literal(t))
+            i += 1
             continue
         is_call = (
             re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t)

@@ -54,6 +54,10 @@ def _fmt_nested(v) -> str:
         return "(" + ",".join(_fmt_nested(x) for x in v) + ")"
     if isinstance(v, list):
         return "[" + ",".join(_fmt_nested(x) for x in v) + "]"
+    if isinstance(v, _dt.datetime):  # quoted inside arrays/tuples (CH TSV)
+        return "'" + v.strftime("%Y-%m-%d %H:%M:%S") + "'"
+    if isinstance(v, _dt.date):
+        return "'" + v.isoformat() + "'"
     return str(v)
 
 
@@ -83,31 +87,61 @@ def _fmt_top(v) -> str:
     return str(v)
 
 
-def split_statements(sql_text: str) -> list[str]:
-    """Split on ';' outside quotes; strip -- comments."""
+def _strip_comments(text: str) -> str:
     lines = []
-    for line in sql_text.splitlines():
+    for line in text.splitlines():
         # strip -- comments not inside quotes (simple heuristic: no quote after)
         idx = line.find("--")
         if idx >= 0 and line[:idx].count("'") % 2 == 0:
             line = line[:idx]
         lines.append(line)
-    text = "\n".join(lines)
-    stmts, cur, in_str = [], [], False
+    return "\n".join(lines)
+
+
+def split_statements_raw(sql_text: str) -> list[str]:
+    """Split on ';' outside quotes and outside -- comments, KEEPING each
+    statement's raw text (leading comments included) — the raw chunk is what
+    clickhouse-client --echo prints for `-- {{ echoOn }}` tests."""
+    stmts, cur = [], []
+    in_str = in_comment = False
     i = 0
-    while i < len(text):
-        c = text[i]
-        if c == "'":
-            in_str = not in_str
+    while i < len(sql_text):
+        c = sql_text[i]
+        if in_comment:
             cur.append(c)
-        elif c == ";" and not in_str:
+            if c == "\n":
+                in_comment = False
+        elif in_str:
+            cur.append(c)
+            if c == "\\" and i + 1 < len(sql_text):
+                cur.append(sql_text[i + 1])
+                i += 2
+                continue
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c == "-" and sql_text[i : i + 2] == "--":
+            in_comment = True
+            cur.append(c)
+        elif c == ";":
             stmts.append("".join(cur))
             cur = []
         else:
             cur.append(c)
         i += 1
     stmts.append("".join(cur))
-    return [s.strip() for s in stmts if s.strip()]
+    return [s for s in stmts if _strip_comments(s).strip()]
+
+
+def split_statements(sql_text: str) -> list[str]:
+    """Split on ';' outside quotes; strip -- comments."""
+    return [
+        _strip_comments(s).strip()
+        for s in split_statements_raw(sql_text)
+        if _strip_comments(s).strip()
+    ]
 
 
 # --- DDL support: CREATE TABLE / INSERT / DROP on the Spark catalog --------
@@ -240,6 +274,30 @@ def _values_rows(tail: str) -> list[str]:
     return rows
 
 
+def _type_default(dt):
+    """ClickHouse default value for a type (addMissingDefaults.cpp)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return F.array().cast(dt)
+    if isinstance(dt, T.MapType):
+        return F.map_from_arrays(F.array(), F.array()).cast(dt)
+    if isinstance(dt, T.StructType):
+        return F.struct(
+            *[_type_default(f.dataType).alias(f.name) for f in dt.fields]
+        )
+    if isinstance(dt, T.StringType):
+        return F.lit("")
+    if isinstance(dt, T.BooleanType):
+        return F.lit(False)
+    if isinstance(dt, T.DateType):
+        return F.lit("1970-01-01").cast("date")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.lit("1970-01-01 00:00:00").cast(dt)
+    return F.lit(0).cast(dt)
+
+
 def _exec_insert(spark, stmt: str, mem_tables: dict) -> None:
     """INSERT INTO a memory-backed golden table, PRESERVING insertion order
     (ClickHouse Memory/Log engines append in order and the reference diffs
@@ -277,7 +335,9 @@ def _exec_insert(spark, stmt: str, mem_tables: dict) -> None:
     for f in target.schema.fields:
         i = pos.get(f.name.lower())
         if i is None or i >= len(src_cols):
-            out.append(F.lit(None).cast(f.dataType).alias(f.name))
+            # ClickHouse fills omitted columns with TYPE DEFAULTS, not NULL
+            # (0 / '' / [] — src/Interpreters/addMissingDefaults.cpp)
+            out.append(_type_default(f.dataType).alias(f.name))
         else:
             out.append(F.col(src_cols[i]).cast(f.dataType).alias(f.name))
     mem_tables[name] = target.unionAll(src.select(*out))
@@ -302,8 +362,23 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     # Date); Spark's default store-assignment policy rejects string→date
     prev_policy = spark.conf.get("spark.sql.storeAssignmentPolicy", "ANSI")
     spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    echo = False
     try:
-        for stmt in split_statements(sql_text):
+        for raw in split_statements_raw(sql_text):
+            stmt = _strip_comments(raw).strip()
+            # clickhouse-test echo directives: from `-- { echoOn }` on, each
+            # statement's RAW text (leading comments, trailing ';') precedes
+            # its results in the reference output (tests/clickhouse-test).
+            if re.search(r"--\s*\{\s*echo(On)?\s*\}", raw):
+                echo = True
+            elif re.search(r"--\s*\{\s*echoOff\s*\}", raw):
+                echo = False
+                continue
+            if echo:
+                chunk = raw.strip("\n")
+                while chunk.startswith("\n"):
+                    chunk = chunk[1:]
+                blocks.append(([ln for ln in (chunk + ";").split("\n")], False))
             up = stmt.lstrip().upper()
             try:
                 if up.startswith("SET "):
