@@ -40,3 +40,4 @@ from clickhouse_23_3_19_32_lts_spark.functions.aggregates import *  # noqa: F401
 from clickhouse_23_3_19_32_lts_spark.functions.states import *  # noqa: F401,F403
 from clickhouse_23_3_19_32_lts_spark.functions.compat import *  # noqa: F401,F403
 from clickhouse_23_3_19_32_lts_spark.functions.variants import *  # noqa: F401,F403
+from clickhouse_23_3_19_32_lts_spark.functions.variants2 import *  # noqa: F401,F403
