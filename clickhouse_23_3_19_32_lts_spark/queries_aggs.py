@@ -529,32 +529,52 @@ def q_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH expanded AS (
       SELECT o.o_orderstatus, o.o_totalprice
       FROM orders o, unnest(generate_series(1, 3)) AS t(i)
-      WHERE t.i <= o.o_orderkey % 3 + 1)
+      WHERE t.i <= o.o_orderkey % 3 + 1),
+    counts AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      FROM orders GROUP BY 1, 2),
+    heavy AS (
+      SELECT o_orderstatus, o_orderpriority AS heavy
+      FROM (SELECT o_orderstatus, o_orderpriority, row_number() OVER (
+              PARTITION BY o_orderstatus
+              ORDER BY cnt DESC, o_orderpriority DESC) AS rn
+            FROM counts) WHERE rn = 1)
     SELECT o.o_orderstatus,
-           mode(o.o_orderpriority) AS heavy,
+           any_value(h.heavy) AS heavy,
            (SELECT CAST(quantile_cont(e.o_totalprice, 0.5) AS DOUBLE) FROM expanded e
              WHERE e.o_orderstatus = o.o_orderstatus) AS wmedian,
            CAST(sum(o.o_totalprice) AS DOUBLE) AS total
-    FROM orders o
+    FROM orders o JOIN heavy h ON h.o_orderstatus = o.o_orderstatus
     GROUP BY o.o_orderstatus
     ORDER BY o.o_orderstatus
     """,
 )
 def q_compat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compat aggregate family (§2.4 long tail): anyHeavy (heavy hitter),
-    medianExactWeighted (percentile with frequency weights — mirrored in
-    DuckDB by row expansion), sumKahan."""
+    """Compat aggregate family (§2.4 long tail): anyHeavy — gated as the
+    exact heavy hitter with a deterministic (count, value) tie-break, since
+    both anyHeavy (AggregateFunctionAnyHeavy) and DuckDB's mode() leave ties
+    unspecified — medianExactWeighted (percentile with frequency weights,
+    mirrored in DuckDB by row expansion), sumKahan."""
     from clickhouse_23_3_19_32_lts_spark import functions as CH
 
     orders = _t(spark, sf_dir, "orders")
-    return (
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    heavy = counts.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderpriority", F.struct("cnt", "o_orderpriority")).alias("heavy")
+    )
+    rest = (
         orders.withColumn("w", F.pmod("o_orderkey", F.lit(3)) + 1)
         .groupBy("o_orderstatus")
         .agg(
-            CH.anyHeavy("o_orderpriority").alias("heavy"),
             CH.medianExactWeighted("o_totalprice", "w").cast("double").alias("wmedian"),
             CH.sumKahan("o_totalprice").cast("double").alias("total"),
         )
+    )
+    return (
+        rest.join(F.broadcast(heavy), "o_orderstatus")
+        .select("o_orderstatus", "heavy", "wmedian", "total")
         .orderBy("o_orderstatus")
     )
 
