@@ -36,6 +36,7 @@ from clickhouse_23_3_19_32_lts_spark.functions.encoding import *  # noqa: F401,F
 from clickhouse_23_3_19_32_lts_spark.functions.randomfns import *  # noqa: F401,F403
 from clickhouse_23_3_19_32_lts_spark.functions.distance import *  # noqa: F401,F403
 from clickhouse_23_3_19_32_lts_spark.functions.dictfns import *  # noqa: F401,F403
+from clickhouse_23_3_19_32_lts_spark.functions.variants3 import *  # noqa: F401,F403
 from clickhouse_23_3_19_32_lts_spark.functions.misc import *  # noqa: F401,F403
 from clickhouse_23_3_19_32_lts_spark.functions.aggregates import *  # noqa: F401,F403
 from clickhouse_23_3_19_32_lts_spark.functions.states import *  # noqa: F401,F403

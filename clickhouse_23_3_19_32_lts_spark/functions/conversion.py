@@ -202,7 +202,7 @@ def accurateCast(x, to_type: str) -> Column:
 
 @chfn("accurateCastOrNull")
 def accurateCastOrNull(x, to_type: str) -> Column:
-    return F.try_cast(col(x), _ch_type_to_spark(to_type))
+    return col(x).try_cast(_ch_type_to_spark(to_type))
 
 
 _CH_TYPES = {
