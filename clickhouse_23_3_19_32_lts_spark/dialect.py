@@ -544,6 +544,16 @@ PARAMETRIC: dict[str, str] = {
         " 1, {p0}), s -> s.val)"
     ),
     "groupArraySample": "slice(collect_list({a0}), 1, {p0})",
+    # QuantileTiming.h: values clamped to [0, 30000] (BIG_THRESHOLD), stored
+    # exactly below 1024 at small counts; rank rule is elems[floor(count *
+    # level)] (0-based), elems[count-1] at level 1; empty set → NaN
+    "quantileTiming": (
+        "coalesce(cast(element_at(array_sort(collect_list("
+        "cast(least(greatest({a0}, 0), 30000) as int))),"
+        " cast(least(floor(count({a0}) * ({p0})) + 1, count({a0})) as int))"
+        " as double), cast('NaN' as double))"
+    ),
+    "quantilesTiming": "array({percentiles})",
 }
 
 _TOKEN_RE = re.compile(
@@ -1096,9 +1106,15 @@ def _rewrite(tokens: list[str]) -> str:
             args2 = _split_args(tokens[close + 2 : close2])
             arg2_sql = [_rewrite(a) for a in args2]
             tpl = PARAMETRIC[t]
-            if t == "quantiles":
-                inner = ", ".join(f"percentile({arg2_sql[0]}, {p})" for p in arg_sql)
-                out.append(f"array({inner})")
+            if tpl == "array({percentiles})":
+                base = PARAMETRIC.get(t.replace("quantiles", "quantile", 1))
+                if base is None:
+                    base = "percentile({a0}, {p0})"
+                per_p = [
+                    base.replace("{p0}", p).replace("{a0}", arg2_sql[0])
+                    for p in arg_sql
+                ]
+                out.append(f"array({', '.join(per_p)})")
             else:
                 s = tpl
                 for j, p in enumerate(arg_sql):
@@ -1108,6 +1124,24 @@ def _rewrite(tokens: list[str]) -> str:
                 out.append(s)
             i = close2 + 1
             continue
+
+        # generic parametric aggregate f(params)(args): ClickHouse library
+        # builders take (params..., args...) positionally — route the
+        # flattened call through the registry bridge (windowFunnel,
+        # sequenceMatch/Count, retention-style families)
+        if (
+            close + 1 < len(tokens)
+            and tokens[close + 1] == "("
+            and t not in PARAMETRIC
+        ):
+            close2 = _find_call_end(tokens, close + 1)
+            args2 = _split_args(tokens[close + 2 : close2])
+            arg2_sql = [_rewrite(a) for a in args2]
+            bridged = _registry_bridge(t, arg_sql + arg2_sql)
+            if bridged is not None:
+                out.append(bridged)
+                i = close2 + 1
+                continue
 
         if t == "count" and not arg_sql:
             # ClickHouse count() has zero args (SURVEY §1.3)
