@@ -459,19 +459,26 @@ def sequenceNextNode(ts, event, *chain: str) -> Column:
         raise ValueError("sequenceNextNode needs at least one chain event")
     arr = F.array_sort(F.collect_list(F.struct(col(ts).alias("ts"), col(event).alias("ev"))))
     k = len(chain)
+    chain_arr = F.array(*[F.lit(c) for c in chain])
 
-    def matches_at(i: Column) -> Column:
-        cond = F.lit(True)
-        for j, name in enumerate(chain):
-            cond = cond & (F.element_at(arr, i + j)["ev"] == name)
-        return cond
+    # Single O(n) fold. Column expressions are trees, not DAGs: naming `arr`
+    # and indexing into it from a filter lambda inlines (and re-sorts!) the
+    # whole aggregate at every use site — O(n² log n) per group, measured 80s
+    # on 10k events. F.aggregate() mentions `arr` exactly once. State: the
+    # trailing-k event-name window, a "chain just completed" flag, the answer.
+    def step(acc: Column, e: Column) -> Column:
+        ans = F.when(acc["pending"] & acc["ans"].isNull(), e["ev"]).otherwise(acc["ans"])
+        grown = F.concat(acc["win"], F.array(e["ev"]))
+        win = F.slice(grown, F.greatest(F.size(grown) - k + 1, F.lit(1)), k)
+        pending = ans.isNull() & (win == chain_arr)
+        return F.struct(win.alias("win"), pending.alias("pending"), ans.alias("ans"))
 
-    # sequence(1, hi) with hi < 1 yields a DESCENDING array in Spark, so the
-    # candidate range must be guarded for groups shorter than the chain
-    idx_range = F.sequence(F.lit(1), F.size(arr) - k + 1)
-    starts = F.when(F.size(arr) >= k, F.filter(idx_range, matches_at))
-    first = F.element_at(starts, 1)
-    return F.when(first.isNotNull(), F.try_element_at(arr, first + k)["ev"])
+    init = F.struct(
+        F.array().cast("array<string>").alias("win"),
+        F.lit(False).alias("pending"),
+        F.lit(None).cast("string").alias("ans"),
+    )
+    return F.aggregate(arr, init, step, lambda acc: acc["ans"])
 
 
 # --- vector-norm aliases (distanceL* / normL* naming family) ----------------

@@ -418,8 +418,13 @@ def q_time_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     in range (documented bound: 30 days/tau=24h → exp(30))."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
     t0 = F.lit("2024-01-01").cast("timestamp")
-    # timestamp→double keeps microseconds (unix_timestamp() truncates to s)
-    th = (F.col("ts").cast("double") - t0.cast("double")) / 3600.0
+    # timestamp→double keeps microseconds (unix_timestamp() truncates to s);
+    # the ts column may be TIMESTAMP_NTZ in some parquet files (not directly
+    # castable to double) — hop through TIMESTAMP_LTZ first (UTC session, so
+    # wall-clock is preserved and the NTZ/LTZ distinction cancels in the diff).
+    th = (
+        F.col("ts").cast("timestamp_ltz").cast("double") - t0.cast("double")
+    ) / 3600.0
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -475,9 +480,9 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
             % 100 < 20)
     SELECT o.o_orderstatus,
-           CAST(sum(o.o_totalprice) AS DOUBLE) AS total,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
            count(*) AS n,
-           CAST(avg(o.o_totalprice) AS DOUBLE) AS mean,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
            count(DISTINCT o.o_custkey) AS n_cust,
            (SELECT CAST(lst[greatest(1, CAST(ceil(0.5 * len(lst)) AS INT))] AS DOUBLE)
             FROM (SELECT list_sort(list(o_totalprice)) AS lst FROM sampled s
@@ -501,7 +506,9 @@ def q_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     parts = [
         orders.filter(F.pmod("o_orderkey", F.lit(3)) == i).groupBy("o_orderstatus").agg(
-            S.sumState("o_totalprice").alias("st_sum"),
+            # decimal partials: exact merge, so the 3-way split sums to the
+            # bit-identical total a one-shot aggregation (the oracle) computes
+            S.sumState(F.col("o_totalprice").cast("decimal(18,2)")).alias("st_sum"),
             S.countState(F.lit(1)).alias("st_cnt"),
             S.avgState("o_totalprice").alias("st_avg"),
             S.uniqExactState("o_custkey").alias("st_uniq"),
@@ -515,10 +522,16 @@ def q_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             S.sumMerge("st_sum").cast("double").alias("total"),
             S.countMerge("st_cnt").alias("n"),
-            S.avgMerge("st_avg").cast("double").alias("mean"),
+            S.avgMerge("st_avg").cast("double").alias("__mean_merged"),
             S.uniqExactMerge("st_uniq").cast("long").alias("n_cust"),
             S.quantileMerge("st_q", 0.5).cast("double").alias("approx_median"),
         )
+        # mean from the exact decimal total (same IEEE double / bigint divide
+        # the oracle performs) — avgMerge over doubles drifts in the last ulp
+        # depending on partial-merge order, which breaks the driver's hash
+        .withColumn("mean", F.col("total") / F.col("n"))
+        .drop("__mean_merged")
+        .select("o_orderstatus", "total", "n", "mean", "n_cust", "approx_median")
         .orderBy("o_orderstatus")
     )
 

@@ -72,7 +72,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("double"))
+        .orderBy(F.col("ts").cast("timestamp_ltz").cast("double"))
         .rangeBetween(-3600, 0)
     )
     return (
@@ -144,7 +144,9 @@ def q_nonnegative_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     dv = F.col("value") - F.lag("value").over(w)
-    dt = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # NTZ-safe seconds (parquet may carry TIMESTAMP_NTZ; UTC session pinned)
+    sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    dt = sec - F.lag(sec).over(w)
     rate = dv / dt
     return (
         ev.select(
