@@ -43,3 +43,4 @@ from clickhouse_23_3_19_32_lts_spark.functions.states import *  # noqa: F401,F40
 from clickhouse_23_3_19_32_lts_spark.functions.compat import *  # noqa: F401,F403
 from clickhouse_23_3_19_32_lts_spark.functions.variants import *  # noqa: F401,F403
 from clickhouse_23_3_19_32_lts_spark.functions.variants2 import *  # noqa: F401,F403
+from clickhouse_23_3_19_32_lts_spark.functions.geo import *  # noqa: F401,F403

@@ -1,0 +1,157 @@
+"""H3 index math + regionTo* geobase functions (src/Functions/h3*.cpp,
+FunctionsEmbeddedDictionaries.h). Expected values are from the public H3 v3
+spec/docs (known index 0x8928308280fffff = res-9 cell over San Francisco,
+used throughout H3's own documentation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_23_3_19_32_lts_spark.functions import geo as G
+
+SF_CELL = 0x8928308280FFFFF  # res 9, base cell 20
+RES0 = 0x8029FFFFFFFFFFF  # base cell 20 at res 0
+PENT = 0x8009FFFFFFFFFFF  # base cell 4 (pentagon) at res 0
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_h3_resolution_base_cell(spark):
+    assert _one(spark, G.h3GetResolution(F.lit(SF_CELL))) == 9
+    assert _one(spark, G.h3GetBaseCell(F.lit(SF_CELL))) == 20
+    assert _one(spark, G.h3GetResolution(F.lit(RES0))) == 0
+
+
+def test_h3_is_valid(spark):
+    assert _one(spark, G.h3IsValid(F.lit(SF_CELL))) is True
+    assert _one(spark, G.h3IsValid(F.lit(RES0))) is True
+    assert _one(spark, G.h3IsValid(F.lit(0))) is False
+    assert _one(spark, G.h3IsValid(F.lit(SF_CELL + 1))) in (True, False)  # total fn
+    # mode != 1 invalid
+    assert _one(spark, G.h3IsValid(F.lit(SF_CELL & ~(15 << 59)))) is False
+
+
+def test_h3_pentagon(spark):
+    assert _one(spark, G.h3IsPentagon(F.lit(PENT))) is True
+    assert _one(spark, G.h3IsPentagon(F.lit(SF_CELL))) is False
+    arr = _one(spark, G.h3GetPentagonIndexes(F.lit(0)))
+    assert len(arr) == 12 and PENT in arr
+    # pentagons at res 9: still 12, all valid, all pentagons
+    arr9 = _one(spark, G.h3GetPentagonIndexes(F.lit(9)))
+    assert len(arr9) == 12
+    df = spark.createDataFrame([(int(x),) for x in arr9], "h long")
+    checked = df.select(G.h3IsValid("h").alias("v"), G.h3IsPentagon("h").alias("p")).collect()
+    assert all(r["v"] and r["p"] for r in checked)
+
+
+def test_h3_parent_center_child_roundtrip(spark):
+    parent = _one(spark, G.h3ToParent(F.lit(SF_CELL), F.lit(0)))
+    assert parent == RES0
+    # center child of the parent at res 9 has all digits 0 — re-parenting
+    # any child back to res 0 recovers the base cell index
+    cc = _one(spark, G.h3ToCenterChild(F.lit(RES0), F.lit(3)))
+    assert _one(spark, G.h3GetResolution(F.lit(cc))) == 3
+    assert _one(spark, G.h3ToParent(F.lit(cc), F.lit(0))) == RES0
+    assert _one(spark, G.h3IsValid(F.lit(cc))) is True
+
+
+def test_h3_children(spark):
+    kids = _one(spark, G.h3ToChildren(F.lit(RES0), F.lit(1)))
+    assert len(kids) == 7  # hexagon: 7 children
+    df = spark.createDataFrame([(int(x),) for x in kids], "h long")
+    assert all(r["v"] for r in df.select(G.h3IsValid("h").alias("v")).collect())
+    back = df.select(G.h3ToParent("h", F.lit(0)).alias("p")).collect()
+    assert all(r["p"] == RES0 for r in back)
+    # pentagon: 6 children (K axis deleted)
+    pkids = _one(spark, G.h3ToChildren(F.lit(PENT), F.lit(1)))
+    assert len(pkids) == 6
+    # two levels down: 7^2 = 49 for hexagon, 6*7 = ... pentagon subtree = 1
+    # center (pentagon, 6 kids) + 5 hex subtrees... spec: 7^2 - 7 + 1... use
+    # counts from libh3: children(pentagon, +2) = 41
+    pkids2 = _one(spark, G.h3ToChildren(F.lit(PENT), F.lit(2)))
+    assert len(pkids2) == 41
+
+
+def test_h3_string_roundtrip(spark):
+    s = _one(spark, G.h3ToString(F.lit(SF_CELL)))
+    assert s == "8928308280fffff"
+    assert _one(spark, G.stringToH3(F.lit(s))) == SF_CELL
+
+
+def test_h3_tables(spark):
+    assert _one(spark, G.h3NumHexagons(F.lit(0))) == 122
+    assert _one(spark, G.h3NumHexagons(F.lit(15))) == 2 + 120 * 7**15
+    assert len(_one(spark, G.h3GetRes0Indexes())) == 122
+    assert _one(spark, G.h3EdgeLengthKm(F.lit(0))) == pytest.approx(1107.712591)
+    assert _one(spark, G.h3EdgeLengthM(F.lit(5))) == pytest.approx(8544.408276)
+    assert _one(spark, G.h3HexAreaKm2(F.lit(2))) == pytest.approx(86745.85403)
+    assert _one(spark, G.h3EdgeAngle(F.lit(0))) == pytest.approx(
+        8.99320592271288084e-6 * 1107712.591
+    )
+
+
+def test_s2_cells_intersect(spark):
+    # a cell intersects itself, its parent (id ranges nest), not a sibling
+    parent = (0x3 << 60) | (1 << 40)  # coarse cell, lsb at bit 40
+    child = (0x3 << 60) | (1 << 40) - (1 << 38) + (1 << 30)  # inside parent range
+    other = (0x2 << 60) | (1 << 40)
+    assert _one(spark, G.s2CellsIntersect(F.lit(parent), F.lit(parent))) is True
+    assert _one(spark, G.s2CellsIntersect(F.lit(parent), F.lit(child))) is True
+    assert _one(spark, G.s2CellsIntersect(F.lit(child), F.lit(parent))) is True
+    assert _one(spark, G.s2CellsIntersect(F.lit(parent), F.lit(other))) is False
+
+
+@pytest.fixture()
+def geobase(spark):
+    # 10=Eurasia(continent) > 20=Russia(country) > 30=Moscow-area(area) >
+    # 40=Moscow(city); 50=NAmerica(continent)
+    rows = [
+        (10, 0, 1, 5_000_000_000),
+        (20, 10, 3, 140_000_000),
+        (30, 20, 5, 20_000_000),
+        (40, 30, 6, 12_000_000),
+        (50, 0, 1, 600_000_000),
+    ]
+    df = spark.createDataFrame(rows, "region_id long, parent_id long, type int, population long")
+    names = spark.createDataFrame(
+        [(10, "Eurasia"), (20, "Russia"), (30, "Moscow area"), (40, "Moscow"), (50, "North America")],
+        "region_id long, name string",
+    )
+    G.register_geobase(df, names)
+    yield
+    G.drop_geobase()
+
+
+def test_region_functions(spark, geobase):
+    df = spark.createDataFrame([(40,), (30,), (10,), (999,)], "r long")
+    out = {
+        r["r"]: r
+        for r in df.select(
+            "r",
+            G.regionToCity("r").alias("city"),
+            G.regionToCountry("r").alias("country"),
+            G.regionToContinent("r").alias("cont"),
+            G.regionToTopContinent("r").alias("top"),
+            G.regionToPopulation("r").alias("pop"),
+            G.regionToName("r").alias("name"),
+        ).collect()
+    }
+    assert out[40]["city"] == 40 and out[40]["country"] == 20 and out[40]["cont"] == 10
+    assert out[30]["city"] == 0 and out[30]["country"] == 20
+    assert out[10]["country"] == 0 and out[10]["cont"] == 10 and out[10]["top"] == 10
+    assert out[999]["city"] == 0 and out[999]["name"] == ""
+    assert out[40]["pop"] == 12_000_000 and out[40]["name"] == "Moscow"
+
+
+def test_region_hierarchy_in(spark, geobase):
+    df = spark.createDataFrame([(40,)], "r long")
+    row = df.select(
+        G.regionHierarchy("r").alias("h"),
+        G.regionIn("r", F.lit(10)).alias("in_eurasia"),
+        G.regionIn("r", F.lit(50)).alias("in_na"),
+    ).collect()[0]
+    assert row["h"] == [40, 30, 20, 10]
+    assert row["in_eurasia"] is True and row["in_na"] is False
