@@ -431,6 +431,17 @@ _SIMPLE_TYPES = {
     "stringwithdictionary": "STRING",
     "date": "DATE", "date32": "DATE",
     "datetime": "TIMESTAMP", "bool": "BOOLEAN", "boolean": "BOOLEAN",
+    # standard-SQL aliases (DataTypeFactory::registerAlias in
+    # src/DataTypes/DataTypeFactory.cpp — case-insensitive)
+    "tinyint": "TINYINT", "smallint": "SMALLINT",
+    "int": "INT", "integer": "INT", "bigint": "BIGINT",
+    "float": "FLOAT", "real": "FLOAT", "double": "DOUBLE",
+    "double precision": "DOUBLE",
+    "char": "STRING", "varchar": "STRING", "text": "STRING",
+    "tinytext": "STRING", "mediumtext": "STRING", "longtext": "STRING",
+    "blob": "STRING", "clob": "STRING", "binary": "STRING",
+    "nchar": "STRING", "nvarchar": "STRING",
+    "timestamp": "TIMESTAMP",
 }
 
 
@@ -497,7 +508,7 @@ def ch_type_to_spark(t: str) -> str:
         return "TIMESTAMP"
     if re.match(r"DateTime\s*\(", t, re.IGNORECASE):
         return "TIMESTAMP"
-    m = re.match(r"Decimal\s*\((\d+)\s*,\s*(\d+)\)$", t, re.IGNORECASE)
+    m = re.match(r"(?:Decimal|DEC|NUMERIC|FIXED)\s*\((\d+)\s*,\s*(\d+)\)$", t, re.IGNORECASE)
     if m:
         return f"DECIMAL({m.group(1)},{m.group(2)})"
     m = re.match(r"Decimal(32|64|128|256)\s*\(\s*(\d+)\s*\)$", t, re.IGNORECASE)
@@ -987,6 +998,16 @@ def _rewrite(tokens: list[str]) -> str:
     i = 0
     while i < len(tokens):
         t = tokens[i]
+        if (
+            t.lower() in ("nan", "inf", "infinity")
+            and (i + 1 >= len(tokens) or tokens[i + 1] != "(")
+            and (not out or out[-1] != ".")
+        ):
+            # ClickHouse float literals (ParserNumber: nan/inf, any case)
+            lit = "NaN" if t.lower() == "nan" else "Infinity"
+            out.append(f"CAST('{lit}' AS DOUBLE)")
+            i += 1
+            continue
         if t == "::":
             # x :: Type (ParserCastOperator.cpp) — consume the type tokens
             j = i + 1
@@ -1262,6 +1283,34 @@ def _rewrite(tokens: list[str]) -> str:
             i = close + 1
             continue
 
+        if t in ("and", "or", "xor", "not") and arg_sql:
+            # function-form logical ops over UInt8 (FunctionsLogical.cpp):
+            # nonzero = true, result rendered as 0/1
+            bools = [f"(({a}) <> 0)" for a in arg_sql]
+            if t == "not":
+                expr = f"NOT {bools[0]}"
+            elif t == "xor":
+                expr = " != ".join(bools)
+            else:
+                expr = (" AND " if t == "and" else " OR ").join(bools)
+            out.append(f"CAST(({expr}) AS INT)")
+            i = close + 1
+            continue
+
+        if t in ("arrayMap", "arrayFilter", "arrayExists", "arrayAll") and arg_sql and "->" in arg_sql[0]:
+            # ClickHouse HOFs are lambda-FIRST (FunctionsHigherOrder); Spark's
+            # transform/filter/exists/forall are array-first — rotate. Multi-
+            # array arrayMap(f, a, b) is Spark's zip_with.
+            lam, arrs = arg_sql[0], arg_sql[1:]
+            if t == "arrayMap" and len(arrs) == 2:
+                out.append(f"zip_with({arrs[0]}, {arrs[1]}, {lam})")
+            else:
+                fn = {"arrayMap": "transform", "arrayFilter": "filter",
+                      "arrayExists": "exists", "arrayAll": "forall"}[t]
+                out.append(f"{fn}({', '.join(arrs)}, {lam})")
+            i = close + 1
+            continue
+
         if t not in NAME_MAP:
             bridged = _registry_bridge(t, arg_sql)
             if bridged is not None:
@@ -1281,7 +1330,8 @@ def _rewrite(tokens: list[str]) -> str:
 
 
 def _strip_block_comments(s: str) -> str:
-    """Remove /* … */ comments outside string literals."""
+    """Remove /* … */ and -- line comments outside string literals
+    (Lexer.cpp: both forms; `--` comments to end-of-line unconditionally)."""
     out: list[str] = []
     in_str = False
     i = 0
@@ -1303,6 +1353,12 @@ def _strip_block_comments(s: str) -> str:
             if end < 0:
                 break
             i = end + 2
+            continue
+        elif c == "-" and s[i : i + 2] == "--":
+            end = s.find("\n", i + 2)
+            if end < 0:
+                break
+            i = end  # keep the newline as whitespace
             continue
         else:
             out.append(c)
@@ -1582,6 +1638,12 @@ def translate(ch_sql: str) -> str:
         s,
         flags=re.IGNORECASE,
     )
+    # FROM-less `dummy` is system.one's single UInt8-zero column
+    # (StorageSystemOne.cpp) — give it a real FROM so GROUP BY dummy works
+    if re.search(r"(?i)\bdummy\b", s) and not re.search(r"(?i)\bfrom\b", s):
+        m = re.search(r"(?i)\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WITH\s+TOTALS)\b", s)
+        ins = " FROM (SELECT CAST(0 AS INT) AS dummy) "
+        s = (s[: m.start()] + ins + s[m.start() :]) if m else s + ins
     s = _rewrite_array_join_clause(s)
     s = _rewrite_totals_clause(s)
     s = _rewrite_limit_by_clause(s)
@@ -1604,7 +1666,8 @@ def translate(ch_sql: str) -> str:
 
     out = re.sub(
         r"\bAS\s+((?:Nullable|LowCardinality|Array|Map|Tuple|FixedString|"
-        r"Decimal\d*|DateTime64|Enum8|Enum16|Enum)\s*\((?:[^()]|\([^()]*\))*\))",
+        r"Decimal\d*|DEC|NUMERIC|FIXED|DateTime64|Enum8|Enum16|Enum)"
+        r"\s*\((?:[^()]|\([^()]*\))*\))",
         _as_type,
         out,
     )

@@ -245,10 +245,26 @@ def _translate_create(stmt: str) -> tuple[str, str]:
             raise ChSqlError(f"unparsed column def: {cdef[:60]}")
         cname = cm.group(1)
         ctype = cm.group(2)
-        # drop column attributes after the type
-        ctype = re.split(
-            r"\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\s", ctype, flags=re.IGNORECASE
-        )[0]
+        dm = re.match(r"(?i)(?:DEFAULT|MATERIALIZED)\s+(.+)$", ctype.strip(), re.DOTALL)
+        if dm:
+            # typeless `x DEFAULT expr` (ParserCreateQuery: type optional when
+            # a default exists) — infer the storage type from the literal
+            expr = dm.group(1).strip()
+            if re.fullmatch(r"-?\d+", expr):
+                ctype = "Int64"
+            elif re.fullmatch(r"-?\d*\.\d+(e-?\d+)?", expr, re.IGNORECASE):
+                ctype = "Float64"
+            elif expr.startswith("'"):
+                ctype = "String"
+            elif expr.startswith("["):
+                ctype = "Array(String)"
+            else:
+                ctype = "String"
+        else:
+            # drop column attributes after the type
+            ctype = re.split(
+                r"\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\s", ctype, flags=re.IGNORECASE
+            )[0]
         if re.match(r"Nullable\s*\(", ctype.strip(), re.IGNORECASE):
             nullable.add(cname.strip("`").lower())
         cols.append(f"{cname} {_ch_type_to_spark(ctype)}")
