@@ -993,15 +993,20 @@ def _rewrite_ternary_tokens(tokens: list[str], _guard: int = 0) -> list[str]:
     return _rewrite_ternary_tokens(new, _guard + 1)
 
 
-def _rewrite(tokens: list[str]) -> str:
+def _rewrite(tokens: list[str], ctx: str = "val") -> str:
     out: list[str] = []
+    # clause tracks whether we're in a predicate position (WHERE/HAVING/ON/
+    # WHEN) or a value position (SELECT list, …): ClickHouse renders logical
+    # function-forms as UInt8 0/1 in value position, but Spark's WHERE
+    # requires a genuine boolean — so the 0/1 CAST must not fire there.
+    clause = ctx
     i = 0
     while i < len(tokens):
         t = tokens[i]
         if (
             t.lower() in ("nan", "inf", "infinity")
             and (i + 1 >= len(tokens) or tokens[i + 1] != "(")
-            and (not out or out[-1] != ".")
+            and (not out or (out[-1] != "." and out[-1].lower() != "as"))
         ):
             # ClickHouse float literals (ParserNumber: nan/inf, any case)
             lit = "NaN" if t.lower() == "nan" else "Infinity"
@@ -1102,17 +1107,37 @@ def _rewrite(tokens: list[str]) -> str:
                 i = close + 1
                 continue
             # grouping paren / subquery: recurse so nested constructs
-            # (including tuples) are still rewritten
-            out.append("(" + _rewrite(tokens[i + 1 : close]) + ")")
+            # (including tuples) are still rewritten; inherit predicate/value
+            # context so e.g. `WHERE (not(a))` keeps its boolean rendering
+            out.append("(" + _rewrite(tokens[i + 1 : close], clause) + ")")
             i = close + 1
             continue
+        tl = t.lower()
+        # and(/or( are function calls only when the previous token does NOT
+        # end an expression — `a AND (b)` is infix, `SELECT and(1,0)` a call
+        # (FunctionsLogical.cpp registers both words as ordinary functions)
+        prev = out[-1] if out else ""
+        prev_ends_expr = bool(prev) and (
+            prev.endswith(")")
+            or prev.endswith("]")
+            or prev.endswith("'")
+            or bool(re.fullmatch(r"[\d][\w.]*", prev))
+            or (bool(_IDENT_RE.fullmatch(prev)) and prev.lower() not in _KEYWORDS)
+        )
         is_call = (
             re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t)
             and i + 1 < len(tokens)
             and tokens[i + 1] == "("
-            and t.lower() not in _NONCALLABLE_KEYWORDS
+            and (
+                tl not in _NONCALLABLE_KEYWORDS
+                or (tl in ("and", "or") and not prev_ends_expr)
+            )
         )
         if not is_call:
+            if tl in ("where", "prewhere", "having", "on", "when"):
+                clause = "pred"
+            elif tl in ("select", "then", "else", "by", "limit", "from", "settings"):
+                clause = "val"
             out.append("=" if t == "==" else t)
             i += 1
             continue
@@ -1283,17 +1308,20 @@ def _rewrite(tokens: list[str]) -> str:
             i = close + 1
             continue
 
-        if t in ("and", "or", "xor", "not") and arg_sql:
-            # function-form logical ops over UInt8 (FunctionsLogical.cpp):
-            # nonzero = true, result rendered as 0/1
+        if t.lower() in ("and", "or", "xor", "not") and arg_sql:
+            # function-form logical ops over UInt8 (FunctionsLogical.cpp,
+            # case-insensitive registry): nonzero = true. Rendered as 0/1
+            # only in value position; predicate contexts (WHERE/HAVING/ON)
+            # need a genuine boolean or Spark rejects the filter.
+            tl2 = t.lower()
             bools = [f"(({a}) <> 0)" for a in arg_sql]
-            if t == "not":
+            if tl2 == "not":
                 expr = f"NOT {bools[0]}"
-            elif t == "xor":
+            elif tl2 == "xor":
                 expr = " != ".join(bools)
             else:
-                expr = (" AND " if t == "and" else " OR ").join(bools)
-            out.append(f"CAST(({expr}) AS INT)")
+                expr = (" AND " if tl2 == "and" else " OR ").join(bools)
+            out.append(f"({expr})" if clause == "pred" else f"CAST(({expr}) AS INT)")
             i = close + 1
             continue
 
@@ -1641,7 +1669,10 @@ def translate(ch_sql: str) -> str:
     # FROM-less `dummy` is system.one's single UInt8-zero column
     # (StorageSystemOne.cpp) — give it a real FROM so GROUP BY dummy works
     if re.search(r"(?i)\bdummy\b", s) and not re.search(r"(?i)\bfrom\b", s):
-        m = re.search(r"(?i)\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WITH\s+TOTALS)\b", s)
+        m = re.search(
+            r"(?i)\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WITH\s+TOTALS)\b",
+            s,
+        )
         ins = " FROM (SELECT CAST(0 AS INT) AS dummy) "
         s = (s[: m.start()] + ins + s[m.start() :]) if m else s + ins
     s = _rewrite_array_join_clause(s)
