@@ -20,6 +20,42 @@ from pyspark.sql import functions as F
 from clickhouse_23_3_19_32_lts_spark.queries import _t, query
 
 
+def _range_bucket(df: DataFrame, col: str, npart: int):
+    """Deterministic range-bucket id column for a two-pass prefix sum.
+
+    approxQuantile boundaries (one distributed sketch pass, bounded npart-1
+    driver-side floats) become literal comparisons, so the bucket id is a
+    pure function of the value — stable across plan-branch recomputation,
+    unlike spark_partition_id after repartitionByRange, whose boundary
+    sampling can differ between the two consumers of the same subtree."""
+    qcol = F.col(col)
+    if dict(df.dtypes)[col].startswith(("timestamp", "date")):
+        qcol = qcol.cast("timestamp")
+    qcol = qcol.cast("double")
+    probs = [i / npart for i in range(1, npart)]
+    splits = sorted(set(df.select(qcol.alias("__q")).approxQuantile("__q", probs, 0.01)))
+    b = F.lit(0)
+    for s in splits:
+        b = b + F.when(qcol > F.lit(s), 1).otherwise(0)
+    return b
+
+
+def _partition_offsets(local: DataFrame, val_col: str) -> DataFrame:
+    """Exclusive prefix-sum of per-bucket totals → (pid, off).
+
+    Scale shape: the triangular self-join runs over P rows (P = shuffle
+    partition count, ~hundreds on a real cluster), so no single-partition
+    window and no driver collect is needed — the 100×-safe form of a global
+    running-sum carry."""
+    totals = local.groupBy("pid").agg(F.sum(val_col).alias("__tot"))
+    t2 = totals.select(F.col("pid").alias("pid2"), F.col("__tot").alias("__tot2"))
+    return (
+        totals.join(F.broadcast(t2), F.col("pid2") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("__tot2"), F.lit(0)).alias("off"))
+    )
+
+
 @query(
     "q_entropy",
     oracle="""
@@ -98,16 +134,29 @@ def q_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """maxIntersections(start, end) (AggregateFunctionMaxIntersections.cpp):
     max concurrent intervals — classic sweep: +1/-1 deltas, running sum,
-    max. One global sort; ends sort after starts at ties (d DESC) matching
-    the reference's closed-interval counting."""
+    max; ends sort after starts at ties (d DESC) matching the reference's
+    closed-interval counting.
+
+    Scale shape: two-pass prefix sum instead of a global window — range-
+    repartition on the sweep key, per-partition running sums (partitioned
+    window), then carry exact partition totals via _partition_offsets. No
+    single-partition WindowExec anywhere (asserted in test_plan_quality)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     iv = ev.select(F.col("ts").alias("s"), (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"))
     points = iv.select(F.col("s").alias("p"), F.lit(1).alias("d")).unionByName(
         iv.select(F.col("e").alias("p"), F.lit(-1).alias("d"))
     )
-    w = W.orderBy(F.asc("p"), F.desc("d")).rowsBetween(W.unboundedPreceding, 0)
-    return points.select(F.sum("d").over(w).alias("depth")).agg(
-        F.max("depth").cast("long").alias("max_intersections")
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pts = points.withColumn("pid", _range_bucket(points, "p", npart))
+    wloc = W.partitionBy("pid").orderBy(F.asc("p"), F.desc("d")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    local = pts.withColumn("run", F.sum("d").over(wloc))
+    offs = _partition_offsets(local, "d")
+    return (
+        local.join(F.broadcast(offs), "pid")
+        .select((F.col("run") + F.col("off")).alias("depth"))
+        .agg(F.max("depth").cast("long").alias("max_intersections"))
     )
 
 
@@ -166,8 +215,8 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp
       FROM events WHERE event_type IN ('click', 'error')),
     ranked AS (
-      SELECT grp, (rank() OVER (ORDER BY value)
-                   + count(*) OVER (PARTITION BY value) - 1) / 2.0 + 0.5 AS r
+      SELECT grp, rank() OVER (ORDER BY value)
+                  + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS r
       FROM both_samples)
     SELECT CAST(sum(CASE WHEN grp = 1 THEN r END)
                 - (sum(grp) * (sum(grp) + 1)) / 2.0 AS DOUBLE) AS u1,
@@ -178,24 +227,37 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mannWhitneyUTest (AggregateFunctionMannWhitney.cpp): U statistic via
-    midranks (rank window + tie correction), the standard rank-sum form."""
+    midranks (average rank of each tied block), the standard rank-sum form.
+
+    Scale shape: ranks come from a per-distinct-value aggregation plus a
+    two-pass prefix sum (range repartition → partitioned local window →
+    exact partition-total carry), not a global rank() window — the sweep
+    never lands on a single reducer."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "error"))
     both = ev.select(
         "value",
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("grp"),
     )
-    # midrank: min-rank + (ties-1)/2  ==  average rank of the tied block
-    r = (
-        F.rank().over(W.orderBy("value"))
-        + F.count(F.lit(1)).over(W.partitionBy("value"))
-        - 1
-    ) / 2.0 + 0.5
-    ranked = both.select("grp", r.alias("r"))
-    n1 = F.sum("grp")
+    byval = both.groupBy("value").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("grp").alias("c1")
+    )
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    v = byval.withColumn("pid", _range_bucket(byval, "value", npart))
+    wloc = W.partitionBy("pid").orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    local = v.withColumn("cum_loc", F.coalesce(F.sum("c").over(wloc), F.lit(0)))
+    offs = _partition_offsets(local, "c")
+    # midrank of a tied block starting after cum rows of c ties:
+    # min-rank + (c-1)/2 = cum + 1 + (c-1)/2 = cum + (c+1)/2
+    ranked = local.join(F.broadcast(offs), "pid").select(
+        "c",
+        "c1",
+        (F.col("cum_loc") + F.col("off") + (F.col("c") + 1) / 2.0).alias("r"),
+    )
+    n1 = F.sum("c1")
     return ranked.agg(
-        (F.sum(F.when(F.col("grp") == 1, F.col("r"))) - (n1 * (n1 + 1)) / 2.0).alias("u1"),
+        (F.sum(F.col("c1") * F.col("r")) - (n1 * (n1 + 1)) / 2.0).alias("u1"),
         n1.cast("long").alias("n1"),
-        F.sum(1 - F.col("grp")).cast("long").alias("n2"),
+        (F.sum("c") - n1).cast("long").alias("n2"),
     )
 
 
