@@ -76,7 +76,6 @@ NAME_MAP: dict[str, str] = {
     "log10": "log10",
     "exp": "exp",
     "cbrt": "cbrt",
-    "erf": "erf",
     "sign": "signum",
     "pow": "power",
     # arrays
@@ -269,6 +268,14 @@ TEMPLATES: dict[str, str] = {
     "arrayUniq": "size(array_distinct({0}))",
     "arrayStringConcat": "array_join({0}, {1})",
     "arraySum": "aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+    # -Array agg combinators (AggregateFunctionArray.cpp): aggregate over
+    # all array elements of all rows
+    "sumArray": "sum(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x))",
+    "sumArrayIf": "sum(CASE WHEN {1} THEN aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) ELSE 0 END)",
+    "countArray": "sum(size({0}))",
+    "minArray": "min(array_min({0}))",
+    "maxArray": "max(array_max({0}))",
+    "avgArray": "(sum(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)) / sum(size({0})))",
     "arrayAvg": "(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size({0}))",
     "arrayMin": "array_min({0})",
     "arrayMax": "array_max({0})",
@@ -555,6 +562,10 @@ PARAMETRIC: dict[str, str] = {
         " 1, {p0}), s -> s.val)"
     ),
     "groupArraySample": "slice(collect_list({a0}), 1, {p0})",
+    # groupUniqArray(max_size)(x): at most max_size distinct elements
+    # (AggregateFunctionGroupUniqArray.h) — which subset is unspecified
+    "groupUniqArray": "slice(array_distinct(collect_list({a0})), 1, {p0})",
+    "groupArray": "slice(collect_list({a0}), 1, {p0})",
     # QuantileTiming.h: values clamped to [0, 30000] (BIG_THRESHOLD), stored
     # exactly below 1024 at small counts; rank rule is elems[floor(count *
     # level)] (0-based), elems[count-1] at level 1; empty set → NaN
@@ -829,7 +840,7 @@ _KEYWORDS = {
 _NONCALLABLE_KEYWORDS = _KEYWORDS - {"if", "any", "range", "array", "not"}
 
 # a '(' directly after these tokens is a list/clause, never a tuple literal
-_TUPLE_EXCLUDE_PREV = {"in", "by", "using", "values", "over", "as", "join", "from", "exists"}
+_TUPLE_EXCLUDE_PREV = {"in", "by", "using", "values", "over", "as", "join", "from", "exists", "except"}
 
 
 # ClickHouse string-literal escapes (src/IO/ReadHelpers.h parseComplexEscape):
@@ -1091,6 +1102,22 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             out[-1] = out[-1] + "._" + t[1:]
             i += 1
             continue
+        if t == "(" and out and out[-1].lower() == "in" and len(out) >= 2 and "named_struct(" in out[-2]:
+            # tuple IN tuple-literal: `(a, b) IN ('x', 0)` compares against
+            # ONE tuple (ParserTupleOfLiterals), not a 2-element set — wrap
+            # the RHS into a matching named_struct. A RHS whose elements are
+            # themselves tuples stays a membership list.
+            close = _find_call_end(tokens, i)
+            args = _split_args(tokens[i + 1 : close])
+            heads = [a[0].lower() for a in args if a]
+            if len(args) >= 2 and not any(h in ("select", "with", "(") for h in heads):
+                arg_sql = [_rewrite(a) for a in args]
+                if not any(a.lstrip("(").startswith("named_struct") for a in arg_sql):
+                    inner = ", ".join(f"'_{j + 1}', {a}" for j, a in enumerate(arg_sql))
+                    out.append(f"(named_struct({inner}))")
+                    i = close + 1
+                    continue
+
         if t == "(" and (not out or out[-1].lower() not in _TUPLE_EXCLUDE_PREV):
             close = _find_call_end(tokens, i)
             args = _split_args(tokens[i + 1 : close])
@@ -1233,6 +1260,25 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 i = close + 1
                 continue
 
+        if t == "length" and len(arg_sql) == 1 and re.match(
+            r"(?:array\(|array_distinct\(|array_sort\(|array_intersect\(|"
+            r"array_except\(|array_union\(|array_repeat\(|array_remove\(|"
+            r"collect_list\(|collect_set\(|slice\(|arrays_zip\(|sequence\(|"
+            r"split\(|flatten\(|transform\(|filter\()",
+            arg_sql[0],
+        ):
+            # ClickHouse length() is polymorphic (lengthString/lengthArray);
+            # when the argument is an obvious array producer, use size()
+            out.append(f"size({arg_sql[0]})")
+            i = close + 1
+            continue
+
+        if t.lower() == "count" and not arg_sql:
+            # ClickHouse count() is zero-arg (AggregateFunctionCount.cpp)
+            out.append("count(*)")
+            i = close + 1
+            continue
+
         if t == "round":
             # ClickHouse round() is banker's rounding (FunctionsRound.cpp)
             out.append(f"bround({', '.join(arg_sql)})")
@@ -1330,6 +1376,11 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             # transform/filter/exists/forall are array-first — rotate. Multi-
             # array arrayMap(f, a, b) is Spark's zip_with.
             lam, arrs = arg_sql[0], arg_sql[1:]
+            if t != "arrayMap":
+                # predicate HOFs: ClickHouse treats any nonzero as true
+                # (UInt8 lambdas like `x -> 1`); Spark demands BOOLEAN
+                head_l, body_l = lam.split("->", 1)
+                lam = f"{head_l}-> CAST(({body_l.strip()}) AS BOOLEAN)"
             if t == "arrayMap" and len(arrs) == 2:
                 out.append(f"zip_with({arrs[0]}, {arrs[1]}, {lam})")
             else:
@@ -1397,11 +1448,6 @@ def _strip_block_comments(s: str) -> str:
 _FORMAT_TAIL = re.compile(r"\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$", re.IGNORECASE)
 _SETTINGS_TAIL = re.compile(r"\bSETTINGS\s+[^;]+;?\s*$", re.IGNORECASE)
 
-# ARRAY JOIN <ident-or-call> AS <alias>  →  LATERAL VIEW [OUTER] explode
-_ARRAY_JOIN_AS = re.compile(
-    r"\b(LEFT\s+)?ARRAY\s+JOIN\s+([A-Za-z_][A-Za-z0-9_]*(?:\([^()]*\))?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)",
-    re.IGNORECASE,
-)
 
 
 def _depth_at(s: str, pos: int) -> int:
@@ -1632,12 +1678,96 @@ def _rewrite_with_fill_clause(s: str) -> str:
     )
 
 
-def _rewrite_array_join_clause(s: str) -> str:
-    def repl(m: re.Match) -> str:
-        outer = "OUTER " if m.group(1) else ""
-        return f"LATERAL VIEW {outer}explode({m.group(2)}) __aj_{m.group(3)} AS {m.group(3)}"
+def _rewrite_array_join_clause(s: str, _guard: int = 0) -> str:
+    """ARRAY JOIN clause (ExpressionAnalyzer getArrayJoinedColumns): explode
+    one or more arrays IN LOCKSTEP (parallel traversal, not a cross product).
 
-    return _ARRAY_JOIN_AS.sub(repl, s)
+    Spark form: materialize every item as __ajs{i} in an inner subquery
+    (bare columns renamed away so the exploded output can reuse the name),
+    LATERAL VIEW explode(arrays_zip(...)) once, then re-select the struct
+    fields under their ClickHouse-visible names. LEFT ARRAY JOIN keeps
+    empty-array rows via explode_outer."""
+    if _guard > 8:
+        return s
+    any_m = next(iter(re.finditer(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", s, re.IGNORECASE)), None)
+    if any_m is None:
+        return s
+    if _depth_at(s, any_m.start()) > 0:
+        # ARRAY JOIN inside a subquery: rewrite the innermost enclosing scope
+        o, c = _enclosing_scope(s, any_m.start())
+        inner = _rewrite_array_join_clause(s[o + 1 : c], _guard + 1)
+        return _rewrite_array_join_clause(s[: o + 1] + inner + s[c:], _guard + 1)
+    m = any_m
+    outer_join = bool(m.group(1))
+    head = s[: m.start()]
+    rest = s[m.end() :]
+    # items run to the next top-level clause keyword
+    endm = next(
+        (
+            c
+            for c in re.finditer(
+                r"\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS"
+                r"|UNION|INTERSECT|WINDOW|FORMAT)\b",
+                rest,
+                re.IGNORECASE,
+            )
+            if _depth_at(rest, c.start()) == 0
+        ),
+        None,
+    )
+    items_sql = rest[: endm.start()] if endm else rest
+    tail = " " + rest[endm.start() :].strip() if endm else ""
+    # FROM source: last top-level FROM before the clause
+    fm = None
+    for c in re.finditer(r"\bFROM\b", head, re.IGNORECASE):
+        if _depth_at(head, c.start()) == 0:
+            fm = c
+    if fm is None:
+        raise ChSqlError("ARRAY JOIN without a FROM source")
+    select_part = head[: fm.start()].rstrip()
+    src = head[fm.end() :].strip()
+    inner_terms, except_cols, maps = [], [], []
+    for idx, item in enumerate(_split_top_commas(items_sql)):
+        item = item.strip()
+        # last top-level AS splits expr from alias (AS inside CAST(..) is deeper)
+        top_as = None
+        for c in re.finditer(r"\bAS\b", item, re.IGNORECASE):
+            if _depth_at(item, c.start()) == 0:
+                top_as = c
+        if top_as is not None and re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*", item[top_as.end() :].strip()
+        ):
+            expr, outname = item[: top_as.start()].strip(), item[top_as.end() :].strip()
+        elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", item):
+            expr, outname = item, item
+            except_cols.append(item)
+        else:
+            raise ChSqlError(
+                "ARRAY JOIN over an unaliased expression needs the library "
+                "operator (use operators.arrayjoin.array_join / explode())"
+            )
+        inner_terms.append(f"({expr}) AS __ajs{idx}")
+        maps.append((idx, outname))
+    n = len(maps)
+    exc = f" EXCEPT ({', '.join(except_cols)})" if except_cols else ""
+    inner = f"SELECT *{exc}, {', '.join(inner_terms)} FROM {src}"
+    explode_fn = "explode_outer" if outer_join else "explode"
+    hidden = [f"__ajs{i}" for i in range(n)]
+    if n == 1:
+        lv = f"LATERAL VIEW {explode_fn}(__ajs0) __ajt AS __aje0"
+        out_maps = [f"__aje0 AS {maps[0][1]}"]
+        hidden.append("__aje0")
+    else:
+        zip_args = ", ".join(f"__ajs{i}" for i in range(n))
+        lv = f"LATERAL VIEW {explode_fn}(arrays_zip({zip_args})) __ajt AS __ajz"
+        out_maps = [f"__ajz.__ajs{i} AS {name}" for i, name in maps]
+        hidden.append("__ajz")
+    outer_sql = (
+        f"SELECT * EXCEPT ({', '.join(hidden)}), {', '.join(out_maps)} "
+        f"FROM ({inner}) __aji {lv}"
+    )
+    new = f"{select_part} FROM ({outer_sql}) __ajq{tail}"
+    return _rewrite_array_join_clause(new, _guard + 1)
 
 
 def translate(ch_sql: str) -> str:

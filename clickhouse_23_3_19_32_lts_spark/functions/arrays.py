@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 
 from clickhouse_23_3_19_32_lts_spark.functions.registry import chfn, col, lit_or_col
 
+
+def _idx1(a: Column) -> Column:
+    """1-based index sequence over an array, [] for an empty array.
+
+    Spark's sequence(1, 0) counts DOWN to [1, 0], so a bare
+    sequence(1, size(a)) fabricates indices for empty input."""
+    return F.when(F.size(a) > 0, F.sequence(F.lit(1), F.size(a))).otherwise(
+        F.array().cast("array<int>")
+    )
+
 __all__ = [
     "array", "range_", "arrayConcat", "arrayElement", "has", "hasAll",
     "hasAny", "hasSubstr", "indexOf", "countEqual", "arrayEnumerate",
@@ -104,14 +114,16 @@ def countEqual(arr, v) -> Column:
 
 @chfn("arrayEnumerate")
 def arrayEnumerate(arr) -> Column:
-    return F.sequence(F.lit(1), F.size(col(arr)))
+    return _idx1(col(arr))
 
 
 @chfn("arrayEnumerateUniq")
 def arrayEnumerateUniq(arr) -> Column:
     """Occurrence number of each element among its equals (1st, 2nd, ...)."""
     a = col(arr)
-    idx = F.sequence(F.lit(0), F.size(a) - 1)
+    idx = F.when(F.size(a) > 0, F.sequence(F.lit(0), F.size(a) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx,
         lambda i: F.size(F.filter(F.slice(a, 1, i + 1), lambda x: x == F.element_at(a, (i + 1).cast("int")))),
@@ -181,7 +193,7 @@ def arrayDistinct(arr) -> Column:
 def arrayDifference(arr) -> Column:
     """[a0, a1-a0, a2-a1, ...]"""
     a = col(arr)
-    idx = F.sequence(F.lit(1), F.size(a))
+    idx = _idx1(a)
     return F.transform(
         idx,
         lambda i: F.when(i == 1, F.element_at(a, i.cast("int")) * 0).otherwise(
@@ -209,7 +221,7 @@ def arrayFlatten(arr) -> Column:
 def arrayCompact(arr) -> Column:
     """Remove *consecutive* duplicates."""
     a = col(arr)
-    idx = F.sequence(F.lit(1), F.size(a))
+    idx = _idx1(a)
     keep = F.filter(
         idx,
         lambda i: (i == 1)
@@ -295,14 +307,14 @@ def arrayLast(fn, arr) -> Column:
 @chfn("arrayFirstIndex")
 def arrayFirstIndex(fn, arr) -> Column:
     a = col(arr)
-    matches = F.filter(F.sequence(F.lit(1), F.size(a)), lambda i: fn(F.element_at(a, i.cast("int"))))
+    matches = F.filter(_idx1(a), lambda i: fn(F.element_at(a, i.cast("int"))))
     return F.coalesce(F.element_at(matches, 1), F.lit(0)).cast("long")
 
 
 @chfn("arrayLastIndex")
 def arrayLastIndex(fn, arr) -> Column:
     a = col(arr)
-    matches = F.filter(F.sequence(F.lit(1), F.size(a)), lambda i: fn(F.element_at(a, i.cast("int"))))
+    matches = F.filter(_idx1(a), lambda i: fn(F.element_at(a, i.cast("int"))))
     return F.coalesce(F.element_at(matches, -1), F.lit(0)).cast("long")
 
 
@@ -341,7 +353,7 @@ def arrayProduct(arr) -> Column:
 @chfn("arrayCumSum")
 def arrayCumSum(arr, fn=None) -> Column:
     a = F.transform(col(arr), fn) if fn else col(arr)
-    idx = F.sequence(F.lit(1), F.size(a))
+    idx = _idx1(a)
     return F.transform(
         idx, lambda i: F.aggregate(F.slice(a, 1, i.cast("int")), F.lit(0.0), lambda acc, x: acc + x.cast("double"))
     )
@@ -351,7 +363,7 @@ def arrayCumSum(arr, fn=None) -> Column:
 def arrayCumSumNonNegative(arr) -> Column:
     """Running sum clamped at zero (resets negative prefixes to 0)."""
     a = col(arr)
-    idx = F.sequence(F.lit(1), F.size(a))
+    idx = _idx1(a)
     return F.transform(
         idx,
         lambda i: F.aggregate(
@@ -366,7 +378,7 @@ def arrayCumSumNonNegative(arr) -> Column:
 def arrayFill(fn, arr) -> Column:
     """Forward-fill: where fn(x) is false, copy the nearest preceding true."""
     a = col(arr)
-    idx = F.sequence(F.lit(1), F.size(a))
+    idx = _idx1(a)
     last_true = lambda i: F.element_at(
         F.filter(F.slice(a, 1, i.cast("int")), fn), -1
     )

@@ -163,7 +163,7 @@ def URLHierarchy(u) -> Column:
     p = path(u)
     segs = F.filter(F.split(p, "/"), lambda s: F.length(s) > 0)
     prefixes = F.transform(
-        F.sequence(F.lit(1), F.size(segs)),
+        F.when(F.size(segs) > 0, F.sequence(F.lit(1), F.size(segs))).otherwise(F.array().cast("array<int>")),
         lambda i: F.concat(base, F.lit("/"), F.array_join(F.slice(segs, 1, i.cast("int")), "/")),
     )
     return F.when(F.length(base) == 0, F.array().cast("array<string>")).otherwise(
@@ -176,6 +176,6 @@ def URLPathHierarchy(u) -> Column:
     p = path(u)
     segs = F.filter(F.split(p, "/"), lambda s: F.length(s) > 0)
     return F.transform(
-        F.sequence(F.lit(1), F.size(segs)),
+        F.when(F.size(segs) > 0, F.sequence(F.lit(1), F.size(segs))).otherwise(F.array().cast("array<int>")),
         lambda i: F.concat(F.lit("/"), F.array_join(F.slice(segs, 1, i.cast("int")), "/")),
     )

@@ -152,7 +152,7 @@ def groupArrayMovingSumOrdered(value, ts, window: int = 0) -> Column:
         F.collect_list(F.struct(col(ts).alias("t"), col(value).cast("double").alias("v")))
     )
     vs = F.transform(pairs, lambda p: p["v"])
-    idx = F.sequence(F.lit(1), F.size(vs))
+    idx = F.when(F.size(vs) > 0, F.sequence(F.lit(1), F.size(vs))).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.aggregate(F.slice(vs, 1, i), F.lit(0.0), lambda a, v: a + v),

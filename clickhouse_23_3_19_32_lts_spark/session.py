@@ -27,6 +27,8 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # ClickHouse integer arithmetic wraps (C++ semantics); ANSI would raise.
     "spark.sql.ansi.enabled": "false",
+    # ClickHouse count() takes zero args (AggregateFunctionCount.cpp).
+    "spark.sql.legacy.allowParameterlessCount": "true",
     # DuckDB oracle compares naive-UTC timestamps.
     "spark.sql.session.timeZone": "UTC",
     # Arrow transfer for pandas UDFs (the minhash/funnel/ANN path).

@@ -51,20 +51,26 @@ def test_translate_strings(ch, expected):
 
 def test_unsupported_constructs_raise():
     with pytest.raises(ChSqlError):
-        # bare ARRAY JOIN (no AS alias) is the unsupported form
-        translate("SELECT arr FROM t ARRAY JOIN arr")
-    with pytest.raises(ChSqlError):
         translate("SELECT x FROM t ORDER BY x WITH FILL INTERPOLATE (y)")
     with pytest.raises(ChSqlError):
         # multi-column fill needs the library operator
         translate("SELECT x, y FROM t ORDER BY x WITH FILL, y WITH FILL")
+    with pytest.raises(ChSqlError):
+        # ARRAY JOIN over an unaliased non-column expression is unsupported
+        translate("SELECT 1 FROM t ARRAY JOIN arrayMap(x -> x, arr)")
 
 
 def test_array_join_clause_translates():
     got = translate("SELECT x, a FROM t ARRAY JOIN arr AS a")
-    assert "LATERAL VIEW explode(arr) __aj_a AS a" in got
+    assert "LATERAL VIEW explode(" in got and " AS a" in got
     got_left = translate("SELECT x, a FROM t LEFT ARRAY JOIN arr AS a")
-    assert "LATERAL VIEW OUTER explode(arr)" in got_left
+    assert "LATERAL VIEW explode_outer(" in got_left
+    # bare column form: the exploded value takes over the column name
+    got_bare = translate("SELECT x, arr FROM t ARRAY JOIN arr")
+    assert "EXCEPT(arr)" in got_bare.replace(" ", "") or "EXCEPT (arr)" in got_bare
+    # multi-item clauses traverse arrays in lockstep (arrays_zip), not cross
+    got_multi = translate("SELECT a, b FROM t ARRAY JOIN arr AS a, arr2 AS b")
+    assert "arrays_zip(" in got_multi and got_multi.count("LATERAL VIEW") == 1
 
 
 # --- end-to-end on fixtures -------------------------------------------------
