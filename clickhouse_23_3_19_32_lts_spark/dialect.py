@@ -327,6 +327,9 @@ TEMPLATES: dict[str, str] = {
 # SQL-standard `position(needle IN haystack)` single-arg form, which Spark
 # accepts verbatim with needle-first semantics on both sides).
 ARITY_TEMPLATES: dict[str, dict[int, str]] = {
+    # default precision 12 (geohashEncode.cpp); the 3-arg form resolves to
+    # the registered SQL pandas UDF (functions/sql_udfs.py)
+    "geohashEncode": {2: "geohashEncode({0}, {1}, 12)"},
     # ClickHouse position/locate are haystack-first (FunctionsStringSearch.h:20);
     # Spark locate is (substr, str[, pos]) — swap.
     "position": {2: "locate({1}, {0})", 3: "locate({1}, {0}, {2})"},
@@ -1299,14 +1302,23 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 i = close + 1
                 continue
 
-        if t == "numbers":
+        if t in ("numbers", "numbers_mt"):
             # numbers(N) / numbers(start, N) table function → range() TVF
+            # (numbers_mt is the multithreaded variant — same rows)
             if len(arg_sql) == 1:
                 out.append(f"(SELECT id AS number FROM range({arg_sql[0]}))")
             else:
                 out.append(
                     f"(SELECT id AS number FROM range({arg_sql[0]}, {arg_sql[0]} + {arg_sql[1]}))"
                 )
+            i = close + 1
+            continue
+
+        if t == "zeros" and len(arg_sql) == 1:
+            # zeros(N) table function → N rows of a single UInt8 zero column
+            out.append(
+                f"(SELECT CAST(0 AS INT) AS zero FROM range({arg_sql[0]}))"
+            )
             i = close + 1
             continue
 
@@ -1335,7 +1347,19 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
-        if t in ARITY_TEMPLATES and len(arg_sql) in ARITY_TEMPLATES[t]:
+        if t.lower() in ("sum", "avg", "min", "max") and len(arg_sql) == 1 and _is_predicate_sql(arg_sql[0]):
+            # ClickHouse aggregates comparisons/logic as UInt8 0/1
+            # (sum(x = 1) is a row count); Spark rejects booleans here
+            out.append(f"{t.lower()}(CAST(({arg_sql[0]}) AS INT))")
+            i = close + 1
+            continue
+
+        _has_lambda = bool(arg_sql) and "->" in arg_sql[0]
+        if (
+            t in ARITY_TEMPLATES
+            and len(arg_sql) in ARITY_TEMPLATES[t]
+            and not _has_lambda
+        ):
             s = ARITY_TEMPLATES[t][len(arg_sql)]
             for j, a in enumerate(arg_sql):
                 s = s.replace(f"{{{j}}}", a)
@@ -1343,7 +1367,7 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
-        if t in TEMPLATES and TEMPLATES[t] is not None:
+        if t in TEMPLATES and TEMPLATES[t] is not None and not _has_lambda:
             tpl = TEMPLATES[t]
             s = tpl
             for j, a in enumerate(arg_sql):
@@ -1371,18 +1395,45 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
-        if t in ("arrayMap", "arrayFilter", "arrayExists", "arrayAll") and arg_sql and "->" in arg_sql[0]:
+        _HOF = (
+            "arrayMap", "arrayFilter", "arrayExists", "arrayAll", "arrayFirst",
+            "arrayLast", "arrayFirstIndex", "arrayCount", "arraySum",
+            "arrayAvg", "arrayMin", "arrayMax",
+        )
+        if t in _HOF and arg_sql and "->" in arg_sql[0]:
             # ClickHouse HOFs are lambda-FIRST (FunctionsHigherOrder); Spark's
             # transform/filter/exists/forall are array-first — rotate. Multi-
             # array arrayMap(f, a, b) is Spark's zip_with.
             lam, arrs = arg_sql[0], arg_sql[1:]
-            if t != "arrayMap":
+            if t not in ("arrayMap", "arraySum", "arrayAvg", "arrayMin", "arrayMax"):
                 # predicate HOFs: ClickHouse treats any nonzero as true
                 # (UInt8 lambdas like `x -> 1`); Spark demands BOOLEAN
                 head_l, body_l = lam.split("->", 1)
                 lam = f"{head_l}-> CAST(({body_l.strip()}) AS BOOLEAN)"
+            a0 = arrs[0] if arrs else ""
+            sum_t = "aggregate(transform({a}, {l}), CAST(0 AS DOUBLE), (acc, __x) -> acc + __x)"
             if t == "arrayMap" and len(arrs) == 2:
                 out.append(f"zip_with({arrs[0]}, {arrs[1]}, {lam})")
+            elif t == "arrayFirst":
+                out.append(f"element_at(filter({a0}, {lam}), 1)")
+            elif t == "arrayLast":
+                out.append(f"element_at(filter({a0}, {lam}), -1)")
+            elif t == "arrayFirstIndex":
+                # first matching VALUE's position — predicates are pure, so
+                # equal elements match equally and first-occurrence is exact
+                out.append(
+                    f"coalesce(array_position({a0}, element_at(filter({a0}, {lam}), 1)), 0)"
+                )
+            elif t == "arrayCount":
+                out.append(f"size(filter({a0}, {lam}))")
+            elif t == "arraySum":
+                out.append(sum_t.format(a=a0, l=lam))
+            elif t == "arrayAvg":
+                out.append(f"({sum_t.format(a=a0, l=lam)} / size({a0}))")
+            elif t == "arrayMin":
+                out.append(f"array_min(transform({a0}, {lam}))")
+            elif t == "arrayMax":
+                out.append(f"array_max(transform({a0}, {lam}))")
             else:
                 fn = {"arrayMap": "transform", "arrayFilter": "filter",
                       "arrayExists": "exists", "arrayAll": "forall"}[t]
@@ -1406,6 +1457,71 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
     s = re.sub(r"([(\[])\s+", r"\1", s)
     s = re.sub(r"\s+", " ", s)
     return s.strip()
+
+
+_PRED_TOKEN_RE = re.compile(
+    r"(<>|!=|<=|>=|=|<|>|\bOR\b|\bAND\b|\bNOT\b|\bLIKE\b|\bIN\b|\bIS\s+NULL\b"
+    r"|\bIS\s+NOT\s+NULL\b|\bBETWEEN\b)",
+    re.IGNORECASE,
+)
+
+
+def _is_predicate_sql(sql: str) -> bool:
+    """True when the (already-translated) expression is boolean-valued at its
+    top level — a comparison or logical connective at paren depth 0. CASE
+    bodies are value-position (their WHEN conditions don't make the whole
+    expression boolean), so they're blanked before scanning."""
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = re.sub(r"\bCASE\b.*?\bEND\b", "__case", sql, flags=re.IGNORECASE | re.DOTALL)
+    return any(_depth_at(sql, m.start()) == 0 for m in _PRED_TOKEN_RE.finditer(sql))
+
+
+_CLAUSE_AFTER_RE = re.compile(
+    r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|UNION|INTERSECT|WINDOW"
+    r"|FORMAT|WHERE|LATERAL)\b",
+    re.IGNORECASE,
+)
+
+
+def _boolify_filters(s: str) -> str:
+    """ClickHouse filters accept any numeric (nonzero = true); Spark demands
+    BOOLEAN. Wrap every WHERE/HAVING condition that isn't an obvious
+    predicate into `(cond) <> 0` — applied to the final translated SQL, at
+    every subquery depth."""
+    spans = list(re.finditer(r"\b(WHERE|HAVING)\b", s, re.IGNORECASE))
+    for m in reversed(spans):
+        d0 = _depth_at(s, m.start())
+        # extent: next clause keyword at the same depth, or the scope close
+        end = len(s)
+        for c in _CLAUSE_AFTER_RE.finditer(s, m.end()):
+            if _depth_at(s, c.start()) == d0:
+                end = c.start()
+                break
+        depth, i, in_str = d0, m.end(), False
+        while i < end:
+            ch = s[i]
+            if in_str:
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < d0:
+                    end = i
+                    break
+            i += 1
+        cond = s[m.end() : end].strip()
+        if cond and not _is_predicate_sql(cond):
+            s = f"{s[: m.end()]} (({cond}) <> 0) {s[end:]}"
+    return s
 
 
 def _strip_block_comments(s: str) -> str:
@@ -1678,6 +1794,61 @@ def _rewrite_with_fill_clause(s: str) -> str:
     )
 
 
+def _rewrite_prewhere_clause(s: str, _guard: int = 0) -> str:
+    """PREWHERE → WHERE (merged with an existing WHERE via AND).
+
+    PREWHERE is the reference's scan-time filter stage
+    (MergeTreeWhereOptimizer); Spark's parquet pushdown already gives every
+    WHERE that treatment, so the split is semantically just a conjunction."""
+    if _guard > 16:
+        return s
+    m = next(iter(re.finditer(r"\bPREWHERE\b", s, re.IGNORECASE)), None)
+    if m is None:
+        return s
+    if _depth_at(s, m.start()) > 0:
+        o, c = _enclosing_scope(s, m.start())
+        inner = _rewrite_prewhere_clause(s[o + 1 : c], _guard + 1)
+        return _rewrite_prewhere_clause(s[: o + 1] + inner + s[c:], _guard + 1)
+    rest = s[m.end() :]
+    endm = next(
+        (
+            c
+            for c in re.finditer(
+                r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|UNION"
+                r"|INTERSECT|WINDOW|FORMAT)\b",
+                rest,
+                re.IGNORECASE,
+            )
+            if _depth_at(rest, c.start()) == 0
+        ),
+        None,
+    )
+    cond = (rest[: endm.start()] if endm else rest).strip()
+    if endm is not None and endm.group(1).upper() == "WHERE":
+        # merge with the following WHERE's own condition
+        rest2 = rest[endm.end() :]
+        end2 = next(
+            (
+                c
+                for c in re.finditer(
+                    r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|UNION"
+                    r"|INTERSECT|WINDOW|FORMAT)\b",
+                    rest2,
+                    re.IGNORECASE,
+                )
+                if _depth_at(rest2, c.start()) == 0
+            ),
+            None,
+        )
+        wcond = (rest2[: end2.start()] if end2 else rest2).strip()
+        tail = " " + rest2[end2.start() :] if end2 else ""
+        new = f"{s[: m.start()]}WHERE ({cond}) AND ({wcond}){tail}"
+    else:
+        tail = " " + rest[endm.start() :] if endm else ""
+        new = f"{s[: m.start()]}WHERE {cond}{tail}"
+    return _rewrite_prewhere_clause(new, _guard + 1)
+
+
 def _rewrite_array_join_clause(s: str, _guard: int = 0) -> str:
     """ARRAY JOIN clause (ExpressionAnalyzer getArrayJoinedColumns): explode
     one or more arrays IN LOCKSTEP (parallel traversal, not a cross product).
@@ -1805,6 +1976,7 @@ def translate(ch_sql: str) -> str:
         )
         ins = " FROM (SELECT CAST(0 AS INT) AS dummy) "
         s = (s[: m.start()] + ins + s[m.start() :]) if m else s + ins
+    s = _rewrite_prewhere_clause(s)
     s = _rewrite_array_join_clause(s)
     s = _rewrite_totals_clause(s)
     s = _rewrite_limit_by_clause(s)
@@ -1836,7 +2008,7 @@ def translate(ch_sql: str) -> str:
         if "(" in ch_t:
             continue
         out = re.sub(rf"\bAS {ch_t}\b", f"AS {spark_t}", out)
-    return out
+    return _boolify_filters(out)
 
 
 def ch_sql(spark, query: str):

@@ -79,4 +79,10 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        from clickhouse_23_3_19_32_lts_spark.functions.sql_udfs import register_sql_udfs
+
+        register_sql_udfs(spark)
+    except Exception:  # noqa: BLE001 — SQL UDF names are additive, never fatal
+        pass
     return spark
