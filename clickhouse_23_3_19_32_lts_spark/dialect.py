@@ -37,9 +37,6 @@ NAME_MAP: dict[str, str] = {
     "toSecond": "second",
     "toUnixTimestamp": "unix_timestamp",
     "fromUnixTimestamp": "from_unixtime",
-    "formatDateTime": "date_format",
-    "addDays": "date_add",
-    "subtractDays": "date_sub",
     "toLastDayOfMonth": "last_day",
     "now": "current_timestamp",
     "today": "current_date",
@@ -185,9 +182,11 @@ TEMPLATES: dict[str, str] = {
     "parseDateTimeBestEffort": "to_timestamp({0})",
     "toDecimal64": "CAST({0} AS DECIMAL(18, {1}))",
     "toDecimal128": "CAST({0} AS DECIMAL(38, {1}))",
-    "toStartOfYear": "date_trunc('year', {0})",
-    "toStartOfQuarter": "date_trunc('quarter', {0})",
-    "toStartOfMonth": "date_trunc('month', {0})",
+    # toStartOfYear/Quarter/Month return Date whatever the input
+    # (DateTimeTransforms.h) — Spark's date_trunc returns timestamp
+    "toStartOfYear": "to_date(date_trunc('year', {0}))",
+    "toStartOfQuarter": "to_date(date_trunc('quarter', {0}))",
+    "toStartOfMonth": "to_date(date_trunc('month', {0}))",
     "toStartOfDay": "date_trunc('day', {0})",
     "toStartOfHour": "date_trunc('hour', {0})",
     "toStartOfMinute": "date_trunc('minute', {0})",
@@ -238,7 +237,7 @@ TEMPLATES: dict[str, str] = {
     # decimals with explicit scale
     "toDecimal32": "CAST({0} AS DECIMAL(9, {1}))",
     # misc string/array
-    "appendTrailingCharIfAbsent": "(CASE WHEN endswith({0}, {1}) THEN {0} ELSE concat({0}, {1}) END)",
+    "appendTrailingCharIfAbsent": "(CASE WHEN length({0}) = 0 OR endswith({0}, {1}) THEN {0} ELSE concat({0}, {1}) END)",
     # typeof() with Spark→ClickHouse type-name mapping (covers cast results;
     # ClickHouse literal-inference types like UInt8 are not recoverable)
     "toTypeName": (
@@ -330,6 +329,9 @@ ARITY_TEMPLATES: dict[str, dict[int, str]] = {
     # default precision 12 (geohashEncode.cpp); the 3-arg form resolves to
     # the registered SQL pandas UDF (functions/sql_udfs.py)
     "geohashEncode": {2: "geohashEncode({0}, {1}, 12)"},
+    # Spark date_add/date_sub demand INT deltas; ClickHouse accepts any int
+    "addDays": {2: "date_add({0}, CAST({1} AS INT))"},
+    "subtractDays": {2: "date_sub({0}, CAST({1} AS INT))"},
     # ClickHouse position/locate are haystack-first (FunctionsStringSearch.h:20);
     # Spark locate is (substr, str[, pos]) — swap.
     "position": {2: "locate({1}, {0})", 3: "locate({1}, {0}, {2})"},
@@ -1549,6 +1551,13 @@ def _strip_block_comments(s: str) -> str:
                 break
             i = end + 2
             continue
+        elif c == "#":
+            # MySQL-style comment to end of line (Lexer.cpp Comment token)
+            end = s.find("\n", i + 1)
+            if end < 0:
+                break
+            i = end
+            continue
         elif c == "-" and s[i : i + 2] == "--":
             end = s.find("\n", i + 2)
             if end < 0:
@@ -1740,13 +1749,38 @@ _FILL_ITEM_RE = re.compile(
 )
 
 
+def _blank_strings(s: str) -> str:
+    """Copy of s with string-literal contents replaced by spaces (indices
+    preserved) so clause keywords inside literals never match."""
+    out, in_str, i = [], False, 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "\\" and i + 1 < len(s):
+                out.append("  ")
+                i += 2
+                continue
+            if c == "'":
+                in_str = False
+                out.append(c)
+            else:
+                out.append(" ")
+        else:
+            if c == "'":
+                in_str = True
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _rewrite_with_fill_clause(s: str) -> str:
-    if not re.search(r"\bWITH\s+FILL\b", s, re.IGNORECASE):
+    sb = _blank_strings(s)
+    if not re.search(r"\bWITH\s+FILL\b", sb, re.IGNORECASE):
         return s
-    if re.search(r"\bINTERPOLATE\b", s, re.IGNORECASE):
+    if re.search(r"\bINTERPOLATE\b", sb, re.IGNORECASE):
         raise ChSqlError("INTERPOLATE needs operators.with_fill")
     om = None
-    for c in re.finditer(r"\bORDER\s+BY\s+", s, re.IGNORECASE):
+    for c in re.finditer(r"\bORDER\s+BY\s+", sb, re.IGNORECASE):
         if _depth_at(s, c.start()) == 0:
             om = c
     if om is None:
@@ -1794,6 +1828,170 @@ def _rewrite_with_fill_clause(s: str) -> str:
     )
 
 
+def _rewrite_scalar_with(s: str) -> str:
+    """ClickHouse `WITH <expr> AS <name>, ... SELECT …` defines expression
+    ALIASES (ParserWithElement — the reverse arg order of a CTE): inline
+    each alias into the body by token substitution, which is exactly the
+    reference's alias-expansion semantics."""
+    m = re.match(r"^\s*WITH\s+", s, re.IGNORECASE)
+    if m is None:
+        return s
+    # find the SELECT that terminates the WITH list at depth 0
+    sel = next(
+        (
+            c
+            for c in re.finditer(r"\bSELECT\b", s, re.IGNORECASE)
+            if c.start() > m.end() and _depth_at(s, c.start()) == 0
+        ),
+        None,
+    )
+    if sel is None:
+        return s
+    items = _split_top_commas(s[m.end() : sel.start()])
+    scalars, ctes = [], []
+    for item in items:
+        if re.match(r"^[A-Za-z_][A-Za-z0-9_]*\s+AS\s*\(", item.strip(), re.IGNORECASE):
+            ctes.append(item.strip())  # real CTE — keep
+            continue
+        am = None
+        for c in re.finditer(r"\bAS\b", item, re.IGNORECASE):
+            if _depth_at(item, c.start()) == 0:
+                am = c
+        if am is None or not re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*", item[am.end() :].strip()
+        ):
+            return s  # unrecognized WITH item — leave untouched
+        scalars.append((item[: am.start()].strip(), item[am.end() :].strip()))
+    if not scalars:
+        return s
+    body = s[sel.start() :]
+    for expr, name in scalars:
+        # a bare select-list item keeps the alias name on the expression;
+        # ORDER BY may then reference the alias (valid in Spark too)
+        fm2 = next(
+            (
+                c
+                for c in re.finditer(
+                    r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|FORMAT)\b",
+                    body,
+                    re.IGNORECASE,
+                )
+                if _depth_at(body, c.start()) == 0
+            ),
+            None,
+        )
+        sl_end = fm2.start() if fm2 else len(body)
+        select_list = body[len("SELECT") : sl_end]
+        aliased = False
+        new_items = []
+        for item in _split_top_commas(select_list):
+            if item.strip() == name:
+                new_items.append(f"({expr}) AS {name}")
+                aliased = True
+            else:
+                new_items.append(item)
+        body = "SELECT " + ", ".join(new_items) + " " + body[sl_end:]
+        # substitute remaining bare references; when aliased, leave the
+        # ORDER BY clause to resolve via the select alias
+        if aliased:
+            obm = next(
+                (
+                    c
+                    for c in re.finditer(r"\bORDER\s+BY\b", body, re.IGNORECASE)
+                    if _depth_at(body, c.start()) == 0
+                ),
+                None,
+            )
+            cut = obm.start() if obm else len(body)
+            head_part = re.sub(
+                rf"(?<![A-Za-z0-9_.`]){re.escape(name)}(?![A-Za-z0-9_(])",
+                lambda _m, e=expr: f"({e})",
+                body[len("SELECT "):cut].replace(f"({expr}) AS {name}", "\x00PLACEHOLDER\x00"),
+            ).replace("\x00PLACEHOLDER\x00", f"({expr}) AS {name}")
+            body = "SELECT " + head_part + body[cut:]
+        else:
+            body = re.sub(
+                rf"(?<![A-Za-z0-9_.`]){re.escape(name)}(?![A-Za-z0-9_(])",
+                lambda _m, e=expr: f"({e})",
+                body,
+            )
+    head = f"WITH {', '.join(ctes)} " if ctes else ""
+    return head + body
+
+
+def _expand_aliases_in_groupby(s: str) -> str:
+    """ClickHouse resolves GROUP BY names against SELECT aliases with alias
+    precedence (a name that is both a source column and an alias means the
+    alias); Spark prefers the source column. Expand alias references in the
+    top-level GROUP BY into their expressions."""
+    sb = _blank_strings(s)
+    gm = next(
+        (
+            c
+            for c in re.finditer(r"\bGROUP\s+BY\b", sb, re.IGNORECASE)
+            if _depth_at(s, c.start()) == 0
+        ),
+        None,
+    )
+    if gm is None:
+        return s
+    selm = next(
+        (
+            c
+            for c in re.finditer(r"\bSELECT\b", sb, re.IGNORECASE)
+            if _depth_at(s, c.start()) == 0
+        ),
+        None,
+    )
+    fromm = next(
+        (
+            c
+            for c in re.finditer(r"\bFROM\b", sb, re.IGNORECASE)
+            if _depth_at(s, c.start()) == 0 and (selm is None or c.start() > selm.start())
+        ),
+        None,
+    )
+    if selm is None or fromm is None:
+        return s
+    aliases: dict[str, str] = {}
+    for item in _split_top_commas(s[selm.end() : fromm.start()]):
+        am = None
+        for c in re.finditer(r"\bAS\b", item, re.IGNORECASE):
+            if _depth_at(item, c.start()) == 0:
+                am = c
+        if am is None:
+            continue
+        name = item[am.end() :].strip()
+        expr = item[: am.start()].strip()
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name) and expr != name:
+            aliases[name] = expr
+    if not aliases:
+        return s
+    # GROUP BY clause extent
+    rest = s[gm.end() :]
+    endm = next(
+        (
+            c
+            for c in re.finditer(
+                r"\b(HAVING|ORDER\s+BY|LIMIT|SETTINGS|UNION|INTERSECT|WINDOW|FORMAT|WITH\s+TOTALS|WITH\s+ROLLUP|WITH\s+CUBE)\b",
+                _blank_strings(rest),
+                re.IGNORECASE,
+            )
+            if _depth_at(rest, c.start()) == 0
+        ),
+        None,
+    )
+    clause = rest[: endm.start()] if endm else rest
+    new_clause = clause
+    for name, expr in aliases.items():
+        new_clause = re.sub(
+            rf"(?<![A-Za-z0-9_.`]){re.escape(name)}(?![A-Za-z0-9_(])",
+            lambda _m, e=expr: f"({e})",
+            new_clause,
+        )
+    return s[: gm.end()] + new_clause + (rest[endm.start() :] if endm else "")
+
+
 def _rewrite_prewhere_clause(s: str, _guard: int = 0) -> str:
     """PREWHERE → WHERE (merged with an existing WHERE via AND).
 
@@ -1802,7 +2000,7 @@ def _rewrite_prewhere_clause(s: str, _guard: int = 0) -> str:
     WHERE that treatment, so the split is semantically just a conjunction."""
     if _guard > 16:
         return s
-    m = next(iter(re.finditer(r"\bPREWHERE\b", s, re.IGNORECASE)), None)
+    m = next(iter(re.finditer(r"\bPREWHERE\b", _blank_strings(s), re.IGNORECASE)), None)
     if m is None:
         return s
     if _depth_at(s, m.start()) > 0:
@@ -1860,7 +2058,7 @@ def _rewrite_array_join_clause(s: str, _guard: int = 0) -> str:
     empty-array rows via explode_outer."""
     if _guard > 8:
         return s
-    any_m = next(iter(re.finditer(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", s, re.IGNORECASE)), None)
+    any_m = next(iter(re.finditer(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", _blank_strings(s), re.IGNORECASE)), None)
     if any_m is None:
         return s
     if _depth_at(s, any_m.start()) > 0:
@@ -1976,12 +2174,14 @@ def translate(ch_sql: str) -> str:
         )
         ins = " FROM (SELECT CAST(0 AS INT) AS dummy) "
         s = (s[: m.start()] + ins + s[m.start() :]) if m else s + ins
+    s = _rewrite_scalar_with(s)
+    s = _expand_aliases_in_groupby(s)
     s = _rewrite_prewhere_clause(s)
     s = _rewrite_array_join_clause(s)
     s = _rewrite_totals_clause(s)
     s = _rewrite_limit_by_clause(s)
     s = _rewrite_with_fill_clause(s)
-    if "ARRAY JOIN" in s.upper():
+    if "ARRAY JOIN" in _blank_strings(s).upper():
         raise ChSqlError(
             "bare ARRAY JOIN needs the library operator (use operators.arrayjoin.array_join / explode())"
         )
@@ -2012,5 +2212,267 @@ def translate(ch_sql: str) -> str:
 
 
 def ch_sql(spark, query: str):
-    """Run a ClickHouse-dialect query on Spark: translate + execute."""
+    """Run a ClickHouse-dialect query on Spark: translate + execute. WITH
+    FILL shapes beyond translate()'s single-column SQL rewrite run through
+    the DataFrame fill operator."""
+    parsed = parse_fill_query(query)
+    if parsed is not None:
+        return apply_fill(spark, parsed)
     return spark.sql(translate(query))
+
+
+# --- WITH FILL full surface: parse to the DataFrame operator ----------------
+# translate()'s SQL-only rewrite covers the single-ascending-column case;
+# ch_sql() and the golden runner route every other shape (DESC, multi-column,
+# INTERPOLATE) through operators/with_fill.fill_grid via this parser.
+
+_FILL_ITEM_FULL_RE = re.compile(
+    r"^(?P<col>[A-Za-z_][A-Za-z0-9_]*|\d+)\s*(?P<dir>ASC|DESC)?"
+    r"(?:\s+WITH\s+FILL(?P<fill>)"
+    r"(?:\s+FROM\s+(?P<from>.+?))?(?:\s+TO\s+(?P<to>.+?))?"
+    r"(?:\s+STEP\s+(?P<step>.+?))?)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_INTERVAL_RE = re.compile(
+    r"^INTERVAL\s+(-?\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)S?$",
+    re.IGNORECASE,
+)
+
+
+def _expr_sql(ch_expr: str) -> str:
+    return _rewrite(_rewrite_ternary_tokens(_tokenize(ch_expr)))
+
+
+def parse_fill_query(ch_sql_text: str):
+    """None, or a dict describing a WITH FILL query for the DF operator:
+    {inner, items: [(col, desc, from_sql, to_sql, step_spec)], tail_order,
+    interpolate, limit}. step_spec is (value, unit|None)."""
+    s = _strip_block_comments(ch_sql_text).strip().rstrip(";")
+    s = _FORMAT_TAIL.sub("", s)
+    s = _SETTINGS_TAIL.sub("", s)
+    s = _rewrite_scalar_with(s)
+    sb = _blank_strings(s)
+    if not re.search(r"\bWITH\s+FILL\b", sb, re.IGNORECASE):
+        return None
+    om = None
+    for c in re.finditer(r"\bORDER\s+BY\s+", sb, re.IGNORECASE):
+        if _depth_at(s, c.start()) == 0:
+            om = c
+    if om is None or not re.search(
+        r"\bWITH\s+FILL\b", sb[om.end() :], re.IGNORECASE
+    ):
+        # the fill lives inside a subquery: hand the scope back for the
+        # operator to fill and re-splice (apply_fill handles "sub")
+        fm = next(iter(re.finditer(r"\bWITH\s+FILL\b", sb, re.IGNORECASE)), None)
+        if fm is None or _depth_at(s, fm.start()) == 0:
+            return None
+        o, c = _enclosing_scope(s, fm.start())
+        return {"sub": (s[: o + 1], s[o + 1 : c], s[c:])}
+    inner = s[: om.start()].rstrip()
+    clause = s[om.end() :].strip()
+    limit = None
+    interpolate_sql = None
+    im = next(
+        (
+            c
+            for c in re.finditer(r"\bINTERPOLATE\b", clause, re.IGNORECASE)
+            if _depth_at(clause, c.start()) == 0
+        ),
+        None,
+    )
+    tailm = next(
+        (
+            c
+            for c in re.finditer(r"\bLIMIT\s+(\d+)\b", clause, re.IGNORECASE)
+            if _depth_at(clause, c.start()) == 0
+        ),
+        None,
+    )
+    if tailm is not None:
+        limit = int(tailm.group(1))
+        clause_wo_limit = clause[: tailm.start()]
+    else:
+        clause_wo_limit = clause
+    if im is not None:
+        interpolate_sql = clause_wo_limit[im.end() :].strip()
+        clause_wo_limit = clause_wo_limit[: im.start()]
+    items, tail_order = [], []
+    seen_plain = False
+    raws = _split_top_commas(clause_wo_limit)
+    all_fill_names = set()
+    for raw in raws:
+        pm = _FILL_ITEM_FULL_RE.match(raw.strip())
+        if pm is not None and pm.group("fill") is not None:
+            all_fill_names.add(pm.group("col"))
+    for raw in raws:
+        m = _FILL_ITEM_FULL_RE.match(raw.strip())
+        if m is None or m.group("fill") is None:
+            # plain (non-fill) ORDER BY item; bare constants are no-op sort
+            # keys (ExpressionAnalyzer drops them) — ignore entirely
+            if re.fullmatch(r"\d+(\.\d+)?(\s+(ASC|DESC))?", raw.strip(), re.IGNORECASE):
+                continue
+            # redundant monotonic functions of fill columns are removed
+            # (optimizeRedundantFunctionsInOrderBy) — e.g. `-x, x WITH FILL`
+            idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", raw))
+            if all_fill_names and idents and idents <= all_fill_names:
+                continue
+            seen_plain = True
+            dm = re.search(r"\s+(ASC|DESC)\s*$", raw, re.IGNORECASE)
+            expr = raw[: dm.start()] if dm else raw
+            tail_order.append((_expr_sql(expr.strip()), bool(dm and dm.group(1).upper() == "DESC")))
+            continue
+        if seen_plain:
+            raise ChSqlError("WITH FILL columns must form an ORDER BY prefix")
+        step_spec = None
+        if m.group("step"):
+            st = m.group("step").strip()
+            ivm = _INTERVAL_RE.match(st)
+            if ivm:
+                step_spec = (float(ivm.group(1)), ivm.group(2).upper())
+            else:
+                try:
+                    step_spec = (float(st), None)
+                except ValueError:
+                    # constant expression step (e.g. toDateTime64(1000, 3))
+                    step_spec = (_expr_sql(st), "EXPR")
+        items.append(
+            (
+                m.group("col"),
+                bool(m.group("dir") and m.group("dir").upper() == "DESC"),
+                _expr_sql(m.group("from").strip()) if m.group("from") else None,
+                _expr_sql(m.group("to").strip()) if m.group("to") else None,
+                step_spec,
+            )
+        )
+    if not items:
+        return None
+    interp = []
+    if interpolate_sql is not None:
+        body = interpolate_sql.strip()
+        if body.startswith("(") and body.endswith(")"):
+            body = body[1:-1]
+        for part in _split_top_commas(body):
+            pm = re.match(
+                r"^([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(.+))?$",
+                part.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not pm:
+                raise ChSqlError(f"unparsed INTERPOLATE item: {part[:60]}")
+            cname, expr = pm.group(1), pm.group(2)
+            if cname in all_fill_names:
+                # the reference rejects interpolating a fill column
+                raise ChSqlError(f"INTERPOLATE over WITH FILL column {cname}")
+            if expr is None or expr.strip() == cname:
+                interp.append((cname, "identity", None))
+                continue
+            e = expr.strip()
+            am = re.match(rf"^{re.escape(cname)}\s*([+-])\s*(\d+(?:\.\d+)?)$", e)
+            cm2 = re.match(rf"^{re.escape(cname)}\s*\|\|\s*('(?:[^'\\]|\\.)*')$", e)
+            if am:
+                d = float(am.group(2)) * (1 if am.group(1) == "+" else -1)
+                interp.append((cname, "affine", d))
+            elif cm2:
+                interp.append((cname, "concat", cm2.group(1)))
+            elif re.search(rf"\b{re.escape(cname)}\b", e) is None:
+                interp.append((cname, "const", _expr_sql(e)))
+            else:
+                raise ChSqlError(f"INTERPOLATE expression beyond affine: {e[:60]}")
+    return {
+        "inner": inner,
+        "items": items,
+        "tail_order": tail_order,
+        "interpolate": interp,
+        "limit": limit,
+    }
+
+
+def apply_fill(spark, parsed):
+    """Run a parse_fill_query() result through the DataFrame fill operator."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_23_3_19_32_lts_spark.operators.with_fill import (
+        FillItem,
+        fill_grid,
+    )
+
+    if "sub" in parsed:
+        # WITH FILL inside a subquery: fill the inner scope, splice the
+        # result back as a temp view, run the outer query normally
+        before, inner, after = parsed["sub"]
+        sub = parse_fill_query(inner)
+        if sub is None or "sub" in sub:
+            raise ChSqlError("WITH FILL subquery shape needs operators.with_fill")
+        apply_fill(spark, sub).createOrReplaceTempView("__fill_sub")
+        outer = before + " SELECT * FROM __fill_sub " + after
+        return spark.sql(translate(outer))
+
+    df = spark.sql(translate(parsed["inner"]))
+    dtypes = dict(df.dtypes)
+    items = []
+    for col_name, desc, frm_sql, to_sql, step_spec in parsed["items"]:
+        if col_name.isdigit():
+            col_name = df.columns[int(col_name) - 1]
+        dt = dtypes.get(col_name, "double")
+        is_time = dt == "date" or dt.startswith("timestamp")
+        step, cal = None, None
+        if step_spec is not None:
+            val, unit = step_spec
+            if unit == "EXPR":
+                # constant expression: evaluate once on the driver
+                got = spark.sql(f"SELECT ({val})").collect()[0][0]
+                import datetime as _dtm
+                import decimal as _dec
+
+                if isinstance(got, _dtm.datetime):
+                    got = got.timestamp()
+                elif isinstance(got, _dtm.date):
+                    got = (got - _dtm.date(1970, 1, 1)).days
+                elif isinstance(got, _dec.Decimal):
+                    got = float(got)
+                step = float(got)
+            elif unit is None:
+                step = val
+            elif not is_time:
+                # the reference rejects INTERVAL steps on non-time columns
+                raise ChSqlError(f"WITH FILL STEP INTERVAL on {dt}")
+            elif unit in ("MONTH", "QUARTER", "YEAR"):
+                step = val * {"MONTH": 1, "QUARTER": 3, "YEAR": 12}[unit]
+                cal = "month"
+            elif dt == "date":
+                if unit not in ("DAY", "WEEK"):
+                    raise ChSqlError(f"WITH FILL STEP INTERVAL {unit} on Date")
+                step = val * {"DAY": 1, "WEEK": 7}[unit]
+            else:
+                step = val * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400, "WEEK": 604800}[unit]
+        items.append(
+            FillItem(
+                name=col_name,
+                desc=desc,
+                frm=F.expr(frm_sql) if frm_sql else None,
+                to=F.expr(to_sql) if to_sql else None,
+                step=step,
+                cal=cal,
+            )
+        )
+    # the reference errors on a FROM/TO range contradicting the direction
+    for (col_name, desc, frm_sql, to_sql, _ss) in parsed["items"]:
+        if frm_sql and to_sql:
+            a, b = spark.sql(f"SELECT ({frm_sql}), ({to_sql})").collect()[0]
+            if a is not None and b is not None:
+                try:
+                    bad = (a > b) if not desc else (a < b)
+                except TypeError:
+                    bad = False
+                if bad:
+                    raise ChSqlError("WITH FILL FROM/TO range contradicts direction")
+    tail = [
+        F.expr(e).desc() if d else F.expr(e).asc() for e, d in parsed["tail_order"]
+    ]
+    interp = []
+    for c, kind, v in parsed["interpolate"]:
+        if kind == "concat" and dtypes.get(c) != "string":
+            raise ChSqlError("INTERPOLATE || over a non-string column")
+        interp.append((c, kind, F.expr(v) if kind == "const" else v))
+    return fill_grid(df, items, tail_order=tail, interpolate=interp, limit=parsed["limit"])

@@ -145,7 +145,7 @@ _CH_FMT = {
     "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%p": "a", "%j": "DDD",
     "%a": "EEE", "%W": "EEEE", "%w": "F", "%F": "yyyy-MM-dd", "%D": "MM/dd/yy",
     "%T": "HH:mm:ss", "%R": "HH:mm", "%n": "\n", "%t": "\t", "%%": "%",
-    "%Q": "QQQ", "%G": "YYYY", "%g": "YY", "%f": "SSSSSS",
+    "%Q": "Q", "%G": "YYYY", "%g": "YY", "%f": "SSSSSS",
 }
 
 

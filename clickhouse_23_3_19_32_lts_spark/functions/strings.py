@@ -184,8 +184,11 @@ def soundex(s) -> Column:
 
 @chfn("appendTrailingCharIfAbsent")
 def appendTrailingCharIfAbsent(s, c: str) -> Column:
+    # empty input stays empty (appendTrailingCharIfAbsent.cpp)
     sc = col(s)
-    return F.when(sc.endswith(c), sc).otherwise(F.concat(sc, F.lit(c)))
+    return F.when(
+        (F.length(sc) == 0) | sc.endswith(c), sc
+    ).otherwise(F.concat(sc, F.lit(c)))
 
 
 @chfn("toValidUTF8")
@@ -450,7 +453,11 @@ def ngrams(s, n: int) -> Column:
 
 @chfn("tokens")
 def tokens(s) -> Column:
-    return F.array_remove(F.split(col(s), r"[^A-Za-z0-9]+", -1), "")
+    # token chars are ASCII alphanumerics OR any non-ASCII byte
+    # (SplitTokenExtractor::nextInString) — split only on ASCII punct/space
+    return F.array_remove(
+        F.split(col(s), r"[\x00-\x2F\x3A-\x40\x5B-\x60\x7B-\x7F]+", -1), ""
+    )
 
 
 @chfn("levenshteinDistance", "editDistance")

@@ -87,6 +87,66 @@ def _fmt_top(v) -> str:
     return str(v)
 
 
+def _float32_positions(schema) -> set[int]:
+    """Column indexes whose type is (or contains only) FloatType — those
+    format with float32 shortest-roundtrip (ClickHouse prints Float32 as
+    toString(float), not the double widening)."""
+    from pyspark.sql import types as T
+
+    out = set()
+    for j, f in enumerate(schema.fields):
+        dt = f.dataType
+        if isinstance(dt, T.FloatType):
+            out.add(j)
+        elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.FloatType):
+            out.add(j)
+    return out
+
+
+def _fmt_f32(f) -> str:
+    import numpy as np
+
+    if f is None or not isinstance(f, float):
+        return _fmt_top(f)
+    if math.isnan(f) or math.isinf(f) or f == int(f):
+        return _fmt_float(f)
+    return repr(np.float32(f)).rstrip(")").split("(")[-1]
+
+
+def _fmt_top_f32(v) -> str:
+    if isinstance(v, list):
+        return "[" + ",".join(_fmt_f32(x) for x in v) + "]"
+    return _fmt_f32(v)
+
+
+def _dt64_scales(stmt: str, schema, dt64_hint: dict[str, dict[str, int]]) -> dict[int, int]:
+    """Per-output-column DateTime64 fractional scale (see caller)."""
+    m = re.search(r"(?i)^\s*SELECT\s+(?:DISTINCT\s+)?(.*?)\s+(?:FROM|$)", stmt, re.DOTALL)
+    if m is None:
+        return {}
+    items = _split_top_level_commas(m.group(1))
+    if len(items) != len(schema.fields):
+        return {}
+    known: dict[str, int] = {}
+    for cols in dt64_hint.values():
+        if re.search(rf"\b{re.escape(cols['__table__'])}\b", stmt):
+            known.update({k: v for k, v in cols.items() if k != "__table__"})
+    out: dict[int, int] = {}
+    for j, item in enumerate(items):
+        im = re.search(r"toDateTime64\s*\([^()]*,\s*(\d+)", item)
+        if im:
+            out[j] = int(im.group(1))
+            continue
+        bare = re.fullmatch(
+            r"([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+[A-Za-z_][A-Za-z0-9_]*)?",
+            item.strip(),
+            re.IGNORECASE,
+        )
+        if bare and bare.group(1) in known:
+            out[j] = known[bare.group(1)]
+    return out
+
+
 def _strip_comments(text: str) -> str:
     lines = []
     for line in text.splitlines():
@@ -395,6 +455,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     created: list[str] = []
     mem_tables: dict = {}
     nullable_cols: dict[str, set] = {}
+    dt64_hint: dict[str, str] = {}
     # ClickHouse coerces INSERT literals to column types ('2016-01-01' →
     # Date); Spark's default store-assignment policy rejects string→date
     prev_policy = spark.conf.get("spark.sql.storeAssignmentPolicy", "ANSI")
@@ -427,7 +488,16 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 try:
                     if up.startswith(("SET ", "DROP TABLE", "CREATE", "INSERT INTO")):
                         continue  # DDL paths are laxer here; don't judge them
-                    spark.sql(translate(stmt)).collect()
+                    from clickhouse_23_3_19_32_lts_spark.dialect import (
+                        apply_fill,
+                        parse_fill_query,
+                    )
+
+                    parsed = parse_fill_query(stmt)
+                    if parsed is not None:
+                        apply_fill(spark, parsed).collect()
+                    else:
+                        spark.sql(translate(stmt)).collect()
                     return False, f"expected error but succeeded: {stmt[:80]}"
                 except Exception:  # noqa: BLE001 — failure is the expectation
                     continue
@@ -460,6 +530,14 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         created.append(name)
                         continue
                     schema_ddl, name, nullset = _translate_create(stmt)
+                    if "DateTime64" in stmt:
+                        cols: dict = {"__table__": name}
+                        for cm2 in re.finditer(
+                            r"([A-Za-z_][A-Za-z0-9_]*)\s+(?:Nullable\s*\(\s*)?DateTime64\s*\(\s*(\d+)",
+                            stmt,
+                        ):
+                            cols[cm2.group(1)] = int(cm2.group(2))
+                        dt64_hint[name] = cols
                     df = spark.createDataFrame([], schema=schema_ddl)
                     df.createOrReplaceTempView(name)
                     mem_tables[name] = df
@@ -469,8 +547,23 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 if up.startswith("INSERT INTO"):
                     _exec_insert(spark, stmt, mem_tables, nullable_cols)
                     continue
-                spark_sql = translate(stmt)
-                rows = spark.sql(spark_sql).collect()
+                from clickhouse_23_3_19_32_lts_spark.dialect import (
+                    apply_fill,
+                    parse_fill_query,
+                )
+
+                parsed = parse_fill_query(stmt)
+                if parsed is not None:
+                    res_df = apply_fill(spark, parsed)
+                else:
+                    res_df = spark.sql(translate(stmt))
+                f32_cols = _float32_positions(res_df.schema)
+                # DateTime64(N) renders with N fractional digits; Spark's
+                # schema can't carry the scale, so recover it per column:
+                # an inline toDateTime64(..., N) in the item, or a bare
+                # reference to a created DateTime64(N) column
+                ts_scales = _dt64_scales(stmt, res_df.schema, dt64_hint)
+                rows = res_df.collect()
             except ChSqlError as ex:
                 return False, f"translate error: {ex}"
             except Exception as ex:  # noqa: BLE001 — report engine errors as diffs
@@ -478,9 +571,18 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     (ln for ln in str(ex).splitlines() if ln.strip()), repr(ex)
                 )
                 return False, f"exec error: {first[:220]}"
+            def _fmt_cell(j, v):
+                if j in f32_cols:
+                    return _fmt_top_f32(v)
+                sc = ts_scales.get(j)
+                if sc and isinstance(v, _dt.datetime):
+                    frac = f"{v.microsecond:06d}"[: min(sc, 6)]
+                    return v.strftime("%Y-%m-%d %H:%M:%S") + "." + frac
+                return _fmt_top(v)
+
             blocks.append(
                 (
-                    ["\t".join(_fmt_top(v) for v in r) for r in rows],
+                    ["\t".join(_fmt_cell(j, v) for j, v in enumerate(r)) for r in rows],
                     "ORDER BY" not in up,
                 )
             )
@@ -507,4 +609,4 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
             want2 += sorted(ref) if unordered else ref
         if got2 == want2:
             return True, "ok"
-    return False, f"mismatch:\n--got--\n{got[:400]}\n--want--\n{want[:400]}"
+    return False, f"mismatch:\n--got--\n{got[:2000]}\n--want--\n{want[:2000]}"
