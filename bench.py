@@ -102,6 +102,26 @@ def main() -> None:
             pass
     print(json.dumps(out))
 
+    # Guard: fail (exit 2) when the headline total regresses >15% vs the
+    # last recorded round or any substantial query (>0.3s before) slowed
+    # >1.5x — set SPARK_GRAFT_BENCH_NO_GUARD=1 to report without enforcing.
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_GUARD"):
+        vs = out.get("vs_prev") or {}
+        prev_total = vs.get("prev_total")
+        bad_total = bool(prev_total) and out["value"] > 1.15 * prev_total
+        bad_queries = {
+            n: r for n, r in (vs.get("regressions") or {}).items() if r["prev"] >= 0.5
+        }
+        if bad_total or bad_queries:
+            import sys
+
+            print(
+                f"BENCH GUARD: total {out['value']} vs prev {prev_total}; "
+                f"regressions: {bad_queries}",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+
 
 if __name__ == "__main__":
     main()

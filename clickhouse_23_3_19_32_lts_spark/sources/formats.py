@@ -12,6 +12,8 @@ one in DDL; inference is opt-in like clickhouse's schema_inference)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 # name (ClickHouse, case-sensitive like FormatFactory) → (spark format, opts)
@@ -105,6 +107,105 @@ def read_regexp(
             for i, f in enumerate(schema.fields)
         ]
     )
+
+
+def read_values(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Values format (ValuesBlockInputFormat.cpp): `(a, b), (c, d)` literal
+    rows. Parsed per file split via mapInPandas (Arrow-batched; the parser
+    ships by value) — Values files are DDL-sized, never the bulk path."""
+    names = [f.name for f in schema.fields]
+
+    def _parse(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = []
+            for blob in pdf["value"]:
+                depth, cur, in_str, fields, out = 0, [], False, [], []
+                i = 0
+                s = blob or ""
+                while i < len(s):
+                    c = s[i]
+                    if in_str:
+                        cur.append(c)
+                        if c == "\\" and i + 1 < len(s):
+                            cur.append(s[i + 1])
+                            i += 2
+                            continue
+                        if c == "'":
+                            in_str = False
+                    elif c == "'":
+                        in_str = True
+                        cur.append(c)
+                    elif c == "(":
+                        depth += 1
+                        if depth > 1:
+                            cur.append(c)
+                    elif c == ")":
+                        depth -= 1
+                        if depth:
+                            cur.append(c)
+                        else:
+                            fields.append("".join(cur).strip())
+                            out.append(fields)
+                            fields, cur = [], []
+                    elif c == "," and depth == 1:
+                        fields.append("".join(cur).strip())
+                        cur = []
+                    elif depth:
+                        cur.append(c)
+                    i += 1
+                for fs in out:
+                    rows.append([_values_literal(v) for v in fs])
+            yield pd.DataFrame(rows, columns=names) if rows else pd.DataFrame(
+                columns=names
+            )
+
+    raw = spark.read.text(path, wholetext=True)
+    parsed = raw.mapInPandas(_parse, schema=T.StructType(
+        [T.StructField(n, T.StringType()) for n in names]
+    ))
+    return parsed.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def _values_literal(v: str):
+    """Decode a single Values literal to its string form (CAST-ready)."""
+    v = v.strip()
+    if v.upper() == "NULL":
+        return None
+    if v.startswith("'") and v.endswith("'"):
+        body = v[1:-1]
+        out, i = [], 0
+        while i < len(body):
+            if body[i] == "\\" and i + 1 < len(body):
+                out.append({"n": "\n", "t": "\t", "r": "\r", "0": "\0"}.get(body[i + 1], body[i + 1]))
+                i += 2
+            else:
+                out.append(body[i])
+                i += 1
+        return "".join(out)
+    return v
+
+
+def read_template(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_format: str,
+) -> DataFrame:
+    """Template format (TemplateBlockInputFormat.cpp), row-template subset:
+    `${col:Esc}` placeholders between literal delimiters become one regex
+    capture group per column, reusing the Regexp reader machinery."""
+    parts = re.split(r"\$\{[^}]*\}", row_format)
+    n_cols = len(parts) - 1
+    if n_cols != len(schema.fields):
+        raise ValueError(
+            f"row template has {n_cols} placeholders for {len(schema.fields)} columns"
+        )
+    pattern = "(.*?)".join(re.escape(p) for p in parts[:-1]) + "(.*?)" + re.escape(parts[-1]) + "$"
+    return read_regexp(spark, path, schema, "^" + pattern)
 
 
 def read_custom_separated(

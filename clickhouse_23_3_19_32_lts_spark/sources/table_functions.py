@@ -159,3 +159,52 @@ def view(spark: SparkSession, subquery_sql: str) -> DataFrame:
     from clickhouse_23_3_19_32_lts_spark.dialect import ch_sql
 
     return ch_sql(spark, subquery_sql)
+
+
+def mysql(
+    spark: SparkSession, host_port: str, database: str, table: str,
+    user: str = "", password: str = "", **options: str,
+) -> DataFrame:
+    """mysql('host:port', db, table, user, password)
+    (TableFunctionMySQL.cpp) → Spark JDBC with a mysql:// URL."""
+    return jdbc(
+        spark,
+        f"jdbc:mysql://{host_port}/{database}",
+        table,
+        user=user,
+        password=password,
+        **options,
+    )
+
+
+def postgresql(
+    spark: SparkSession, host_port: str, database: str, table: str,
+    user: str = "", password: str = "", **options: str,
+) -> DataFrame:
+    """postgresql('host:port', db, table, user, password)
+    (TableFunctionPostgreSQL.cpp) → Spark JDBC with a postgresql:// URL."""
+    return jdbc(
+        spark,
+        f"jdbc:postgresql://{host_port}/{database}",
+        table,
+        user=user,
+        password=password,
+        **options,
+    )
+
+
+def deltalake(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """deltaLake(path) (TableFunctionDeltaLake.cpp) → spark.read.format
+    ('delta'). Needs delta-spark on the classpath; raises Spark's
+    DATA_SOURCE_NOT_FOUND otherwise (documented, not silently skipped)."""
+    return spark.read.format("delta").options(**options).load(path)
+
+
+def iceberg(spark: SparkSession, path_or_table: str, **options: str) -> DataFrame:
+    """iceberg(path|table) (TableFunctionIceberg.cpp) → spark.read.format
+    ('iceberg'). Needs iceberg-spark-runtime on the classpath."""
+    reader = spark.read.format("iceberg").options(**options)
+    try:
+        return reader.load(path_or_table)
+    except Exception:
+        return spark.table(path_or_table)

@@ -236,3 +236,58 @@ def test_table_function_remote_resolves_catalog(spark, tmp_path):
 
     with _pt.raises(ValueError):
         TF.remote(spark, "127.0.0.1:9000", "nope_t")
+
+
+def test_values_format_reader(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from clickhouse_23_3_19_32_lts_spark.sources.formats import read_values
+
+    p = tmp_path / "v.values"
+    p.write_text("(1, 'a, b', 2.5), (2, 'x\\'y', NULL),\n(3, 'z', 7)")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    rows = read_values(spark, str(p), schema).orderBy("id").collect()
+    assert [r.id for r in rows] == [1, 2, 3]
+    assert rows[0].s == "a, b" and rows[1].s == "x'y"
+    assert rows[1].v is None and rows[2].v == 7.0
+
+
+def test_template_format_reader(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from clickhouse_23_3_19_32_lts_spark.sources.formats import read_template
+
+    p = tmp_path / "t.txt"
+    p.write_text("id=1; name=alpha\nid=2; name=beta\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    rows = read_template(
+        spark, str(p), schema, "id=${id:CSV}; name=${name:CSV}"
+    ).orderBy("id").collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "alpha"), (2, "beta")]
+
+
+def test_lakehouse_table_functions_surface(spark, tmp_path):
+    """delta/iceberg need their runtime jars (absent here); the wrappers
+    must fail with Spark's data-source error, not silently, and jdbc must
+    build a reader without touching the network until load()."""
+    import pytest
+
+    from clickhouse_23_3_19_32_lts_spark.sources import table_functions as tf
+
+    with pytest.raises(Exception, match="(?i)delta|not found|failed to find"):
+        tf.deltalake(spark, str(tmp_path / "nope"))
+    with pytest.raises(Exception):
+        tf.iceberg(spark, str(tmp_path / "nope"))
+    with pytest.raises(Exception, match="(?i)driver|class|url"):
+        tf.mysql(spark, "localhost:0", "db", "t", "u", "p").limit(1).collect()
