@@ -1524,8 +1524,22 @@ def pointInPolygon(point, polygon) -> Column:
         )
         return F.when(cond, 1).otherwise(0)
 
+    def on_edge(i):
+        a = F.element_at(poly, i)
+        b = F.element_at(poly, F.when(i == n, 1).otherwise(i + 1))
+        ax, ay = a["_1"].cast("double"), a["_2"].cast("double")
+        bx, by = b["_1"].cast("double"), b["_2"].cast("double")
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        within = (
+            (F.least(ax, bx) <= px) & (px <= F.greatest(ax, bx))
+            & (F.least(ay, by) <= py) & (py <= F.greatest(ay, by))
+        )
+        return (cross == 0) & within
+
     hits = F.aggregate(idx, F.lit(0), lambda acc, i: acc + crosses(i))
-    return F.pmod(hits, F.lit(2)) == 1
+    # boundary points count as inside (the reference's default strategy)
+    boundary = F.exists(idx, on_edge)
+    return boundary | (F.pmod(hits, F.lit(2)) == 1)
 
 
 @chfn("greatCircleAngle")

@@ -349,3 +349,53 @@ def q_join_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return full.unionByName(right).unionByName(cross).orderBy("kind")
+
+
+@query(
+    "q_point_in_polygon",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(user_id % 17 AS DOUBLE) / 2 AS x,
+             CAST(event_id % 19 AS DOUBLE) / 2 AS y
+      FROM events),
+    t AS (
+      SELECT event_type,
+             ((8 - 0) * (y - 0) - (0 - 0) * (x - 0)) AS s1,
+             ((4 - 8) * (y - 0) - (8 - 0) * (x - 8)) AS s2,
+             ((0 - 4) * (y - 8) - (0 - 8) * (x - 4)) AS s3
+      FROM pts)
+    SELECT event_type,
+           CAST(sum(CASE WHEN s1 >= 0 AND s2 >= 0 AND s3 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS inside,
+           CAST(count(*) AS BIGINT) AS total
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pointInPolygon((x,y), ring) (src/Functions/pointInPolygon.cpp):
+    boundary-inclusive containment — here counted against the CCW triangle
+    (0,0)-(8,0)-(4,8), which the oracle reproduces with exact half-plane
+    sign tests. The engine side is the general ray-cast registry function
+    (a pure codegen column expression, no UDF)."""
+    from clickhouse_23_3_19_32_lts_spark.functions.registry import REGISTRY
+
+    ev = _t(spark, sf_dir, "events")
+    x = (F.col("user_id") % 17).cast("double") / 2
+    y = (F.col("event_id") % 19).cast("double") / 2
+    ring = F.array(
+        F.struct(F.lit(0.0).alias("_1"), F.lit(0.0).alias("_2")),
+        F.struct(F.lit(8.0).alias("_1"), F.lit(0.0).alias("_2")),
+        F.struct(F.lit(4.0).alias("_1"), F.lit(8.0).alias("_2")),
+        F.struct(F.lit(0.0).alias("_1"), F.lit(0.0).alias("_2")),
+    )
+    point = F.struct(x.alias("_1"), y.alias("_2"))
+    inside = REGISTRY["pointInPolygon"](point, ring)
+    return (
+        ev.select("event_type", inside.cast("int").alias("i"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("i").cast("long").alias("inside"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+        )
+        .orderBy("event_type")
+    )

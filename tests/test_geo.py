@@ -155,3 +155,29 @@ def test_region_hierarchy_in(spark, geobase):
     ).collect()[0]
     assert row["h"] == [40, 30, 20, 10]
     assert row["in_eurasia"] is True and row["in_na"] is False
+
+
+def test_point_in_polygon_boundary_inclusive(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_23_3_19_32_lts_spark.functions.registry import REGISTRY
+
+    ring = F.array(
+        *[
+            F.struct(F.lit(float(x)).alias("_1"), F.lit(float(y)).alias("_2"))
+            for x, y in [(0, 0), (8, 0), (4, 8), (0, 0)]
+        ]
+    )
+    cases = [
+        ((2.0, 2.0), True),   # interior
+        ((4.0, 8.0), True),   # vertex
+        ((6.0, 4.0), True),   # on the right edge y = -2x + 16
+        ((2.0, 4.0), True),   # on the left edge y = 2x
+        ((4.0, 0.0), True),   # on the bottom edge
+        ((9.0, 0.0), False),  # outside right
+        ((4.0, 8.5), False),  # above apex
+    ]
+    df = spark.createDataFrame([p for p, _ in cases], "x double, y double")
+    point = F.struct(F.col("x").alias("_1"), F.col("y").alias("_2"))
+    got = [bool(r[0]) for r in df.select(REGISTRY["pointInPolygon"](point, ring)).collect()]
+    assert got == [w for _, w in cases]
