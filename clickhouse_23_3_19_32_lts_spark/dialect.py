@@ -332,6 +332,20 @@ ARITY_TEMPLATES: dict[str, dict[int, str]] = {
     # Spark date_add/date_sub demand INT deltas; ClickHouse accepts any int
     "addDays": {2: "date_add({0}, CAST({1} AS INT))"},
     "subtractDays": {2: "date_sub({0}, CAST({1} AS INT))"},
+    # -OrNull / -OrDefault combinators (AggregateFunctionOrFill.h): empty
+    # input → NULL / type default. Spark's sum/min/max/avg are already NULL
+    # on empty input, so OrNull is the identity there and OrDefault a
+    # coalesce; count needs the nullif
+    "countOrNull": {0: "nullif(count(*), 0)", 1: "nullif(count({0}), 0)"},
+    "countOrDefault": {0: "count(*)", 1: "count({0})"},
+    "sumOrNull": {1: "sum({0})"},
+    "minOrNull": {1: "min({0})"},
+    "maxOrNull": {1: "max({0})"},
+    "avgOrNull": {1: "avg({0})"},
+    "sumOrDefault": {1: "coalesce(sum({0}), 0)"},
+    "minOrDefault": {1: "coalesce(min({0}), 0)"},
+    "maxOrDefault": {1: "coalesce(max({0}), 0)"},
+    "avgOrDefault": {1: "coalesce(avg({0}), 0)"},
     # ClickHouse position/locate are haystack-first (FunctionsStringSearch.h:20);
     # Spark locate is (substr, str[, pos]) — swap.
     "position": {2: "locate({1}, {0})", 3: "locate({1}, {0}, {2})"},
@@ -1275,6 +1289,55 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             # ClickHouse length() is polymorphic (lengthString/lengthArray);
             # when the argument is an obvious array producer, use size()
             out.append(f"size({arg_sql[0]})")
+            i = close + 1
+            continue
+
+        if t == "toStartOfInterval" and len(arg_sql) >= 2:
+            ivm2 = _INTERVAL_RE.match(arg_sql[1].strip().replace("'", ""))
+            if ivm2:
+                nv, unit = int(ivm2.group(1)), ivm2.group(2).upper()
+                x = arg_sql[0]
+                if unit in ("SECOND", "MINUTE", "HOUR"):
+                    secs = nv * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600}[unit]
+                    out.append(
+                        f"timestamp_seconds(floor(unix_timestamp({x}) / {secs}) * {secs})"
+                    )
+                elif unit == "DAY":
+                    out.append(
+                        f"date_add(DATE '1970-01-01', CAST(floor(datediff({x}, DATE '1970-01-01') / {nv}) * {nv} AS INT))"
+                    )
+                elif unit in ("MONTH", "QUARTER", "YEAR"):
+                    months = nv * {"MONTH": 1, "QUARTER": 3, "YEAR": 12}[unit]
+                    out.append(
+                        f"add_months(DATE '1970-01-01', CAST(floor(months_between({x}, DATE '1970-01-01') / {months}) * {months} AS INT))"
+                    )
+                else:
+                    out.append(f"date_trunc('week', {x})")
+                i = close + 1
+                continue
+
+        if (tm_dec := re.fullmatch(r"toDecimal(32|64|128|256)(OrZero|OrNull)?", t)) and arg_sql:
+            prec = {"32": 9, "64": 18, "128": 38, "256": 38}[tm_dec.group(1)]
+            scale = arg_sql[1] if len(arg_sql) > 1 else "0"
+            cast_e = f"try_cast({arg_sql[0]} AS DECIMAL({prec}, {scale}))"
+            if tm_dec.group(2) == "OrZero":
+                out.append(f"coalesce({cast_e}, 0)")
+            elif tm_dec.group(2) == "OrNull":
+                out.append(cast_e)
+            else:
+                out.append(f"CAST({arg_sql[0]} AS DECIMAL({prec}, {scale}))")
+            i = close + 1
+            continue
+
+        if t == "extractAllGroupsHorizontal" and len(arg_sql) == 2 and arg_sql[1].startswith("'"):
+            # one regexp_extract_all per capture group (count them in the
+            # literal pattern: unescaped '(' not starting a (?: group)
+            pat = arg_sql[1]
+            ngroups = len(re.findall(r"(?<!\\)\((?!\?)", pat[1:-1]))
+            parts = ", ".join(
+                f"regexp_extract_all({arg_sql[0]}, {pat}, {g + 1})" for g in range(ngroups)
+            )
+            out.append(f"array({parts})")
             i = close + 1
             continue
 
