@@ -1341,6 +1341,18 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
+        if t in ("sumMap", "minMap", "maxMap") and len(arg_sql) == 1:
+            # Map-typed single-argument form (AggregateFunctionSumMap.cpp
+            # Map specialization): route through the two-array builder and
+            # re-assemble a Map result
+            b2 = _registry_bridge(
+                t, [f"map_keys({arg_sql[0]})", f"map_values({arg_sql[0]})"]
+            )
+            if b2 is not None:
+                out.append(f"map_from_arrays(({b2}).keys, ({b2}).values)")
+                i = close + 1
+                continue
+
         if t.lower() == "count" and not arg_sql:
             # ClickHouse count() is zero-arg (AggregateFunctionCount.cpp)
             out.append("count(*)")

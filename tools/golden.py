@@ -54,6 +54,8 @@ def _fmt_nested(v) -> str:
         return "(" + ",".join(_fmt_nested(x) for x in v) + ")"
     if isinstance(v, list):
         return "[" + ",".join(_fmt_nested(x) for x in v) + "]"
+    if isinstance(v, dict):  # Map type → {'k':v,...}
+        return "{" + ",".join(f"{_fmt_nested(k)}:{_fmt_nested(x)}" for k, x in v.items()) + "}"
     if isinstance(v, _dt.datetime):  # quoted inside arrays/tuples (CH TSV)
         return "'" + v.strftime("%Y-%m-%d %H:%M:%S") + "'"
     if isinstance(v, _dt.date):
@@ -76,6 +78,8 @@ def _fmt_top(v) -> str:
         return v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
     if isinstance(v, list):
         return "[" + ",".join(_fmt_nested(x) for x in v) + "]"
+    if isinstance(v, dict):  # Map type → {'k':v,...}
+        return "{" + ",".join(f"{_fmt_nested(k)}:{_fmt_nested(x)}" for k, x in v.items()) + "}"
     if isinstance(v, _dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, _dt.date):
