@@ -514,6 +514,18 @@ def ch_type_to_spark(t: str) -> str:
         parts = _split_type_commas(m.group(1))
         if len(parts) == 2:
             return f"MAP<{ch_type_to_spark(parts[0])}, {ch_type_to_spark(parts[1])}>"
+    m = re.match(r"Nested\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        # Nested(a T, b U) is a pack of parallel arrays addressed as x.a
+        # (StorageInMemoryMetadata nested columns) — a struct of arrays
+        # gives the same dotted access in Spark
+        fields = []
+        for p in _split_type_commas(m.group(1)):
+            nm = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s+(.+)$", p.strip(), re.DOTALL)
+            if not nm:
+                raise ChSqlError(f"unparsed Nested field: {p[:40]}")
+            fields.append(f"{nm.group(1)}: ARRAY<{ch_type_to_spark(nm.group(2))}>")
+        return "STRUCT<" + ", ".join(fields) + ">"
     m = re.match(r"Tuple\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
     if m:
         fields = []
@@ -1342,12 +1354,17 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             continue
 
         if t in ("sumMap", "minMap", "maxMap") and len(arg_sql) == 1:
-            # Map-typed single-argument form (AggregateFunctionSumMap.cpp
-            # Map specialization): route through the two-array builder and
-            # re-assemble a Map result
-            b2 = _registry_bridge(
-                t, [f"map_keys({arg_sql[0]})", f"map_values({arg_sql[0]})"]
-            )
+            # single-argument forms (AggregateFunctionSumMap.cpp): a Map
+            # column → Map result; a tuple of arrays → tuple result. Both
+            # route through the two-array builder
+            a0 = arg_sql[0]
+            if a0.lstrip("(").startswith("named_struct"):
+                b2 = _registry_bridge(t, [f"({a0})._1", f"({a0})._2"])
+                if b2 is not None:
+                    out.append(b2)
+                    i = close + 1
+                    continue
+            b2 = _registry_bridge(t, [f"map_keys({a0})", f"map_values({a0})"])
             if b2 is not None:
                 out.append(f"map_from_arrays(({b2}).keys, ({b2}).values)")
                 i = close + 1
@@ -2531,10 +2548,18 @@ def apply_fill(spark, parsed):
                 cal=cal,
             )
         )
-    # the reference errors on a FROM/TO range contradicting the direction
+    # the reference errors on a FROM/TO range contradicting the direction,
+    # and on DateTime bounds for a Date fill column (type mismatch)
+    import datetime as _dtm
+
     for (col_name, desc, frm_sql, to_sql, _ss) in parsed["items"]:
         if frm_sql and to_sql:
             a, b = spark.sql(f"SELECT ({frm_sql}), ({to_sql})").collect()[0]
+            cname = df.columns[int(col_name) - 1] if col_name.isdigit() else col_name
+            if dtypes.get(cname) == "date" and (
+                isinstance(a, _dtm.datetime) or isinstance(b, _dtm.datetime)
+            ):
+                raise ChSqlError("WITH FILL bound type incompatible with Date column")
             if a is not None and b is not None:
                 try:
                     bad = (a > b) if not desc else (a < b)

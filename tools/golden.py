@@ -303,6 +303,7 @@ def _translate_create(stmt: str) -> tuple[str, str]:
     name = m[0].split(".")[-1]
     cols = []
     nullable: set[str] = set()
+    nested: dict[str, int] = {}
     for cdef in _split_top_level_commas(m[1]):
         cm = re.match(r"([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s+(.+)$", cdef.strip(), re.DOTALL)
         if not cm:
@@ -331,8 +332,11 @@ def _translate_create(stmt: str) -> tuple[str, str]:
             )[0]
         if re.match(r"Nullable\s*\(", ctype.strip(), re.IGNORECASE):
             nullable.add(cname.strip("`").lower())
+        nm2 = re.match(r"Nested\s*\((.*)\)\s*$", ctype.strip(), re.IGNORECASE | re.DOTALL)
+        if nm2:
+            nested[cname.strip("`")] = len(_split_top_level_commas(nm2.group(1)))
         cols.append(f"{cname} {_ch_type_to_spark(ctype)}")
-    return ", ".join(cols), name, nullable
+    return ", ".join(cols), name, nullable, nested
 
 
 _INSERT_RE = re.compile(
@@ -393,7 +397,7 @@ def _type_default(dt):
     return F.lit(0).cast(dt)
 
 
-def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None = None) -> None:
+def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None = None, nested_cols: dict | None = None) -> None:
     """INSERT INTO a memory-backed golden table, PRESERVING insertion order
     (ClickHouse Memory/Log engines append in order and the reference diffs
     output literally; a parquet round-trip loses order because Spark packs
@@ -421,6 +425,14 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
         else [f.name for f in target.schema.fields]
     )
     pos = {n.lower(): i for i, n in enumerate(listed)}
+    nest = (nested_cols or {}).get(name, {})
+    if nest and not collist:
+        # Nested columns consume one source slot per sub-array and pack
+        # into the struct; recompute positions with the expansion
+        pos, cursor = {}, 0
+        for f in target.schema.fields:
+            pos[f.name.lower()] = cursor
+            cursor += nest.get(f.name, 1)
     # positional rename first — VALUES like (1,1,'a') yield duplicate column
     # names (ambiguous by-name), and literal-derived names like `2.4` parse
     # as nested field references
@@ -438,6 +450,14 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
                 out.append(F.lit(None).cast(f.dataType).alias(f.name))
             else:
                 out.append(_type_default(f.dataType).alias(f.name))
+        elif f.name in nest and not collist:
+            k = nest[f.name]
+            sub = [
+                F.col(src_cols[i + j]).cast(sf.dataType).alias(sf.name)
+                for j, sf in enumerate(f.dataType.fields)
+                if i + j < len(src_cols)
+            ]
+            out.append(F.struct(*sub).alias(f.name))
         else:
             out.append(F.col(src_cols[i]).cast(f.dataType).alias(f.name))
     mem_tables[name] = target.unionAll(src.select(*out))
@@ -459,6 +479,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     created: list[str] = []
     mem_tables: dict = {}
     nullable_cols: dict[str, set] = {}
+    nested_cols: dict[str, dict] = {}
     dt64_hint: dict[str, str] = {}
     # ClickHouse coerces INSERT literals to column types ('2016-01-01' →
     # Date); Spark's default store-assignment policy rejects string→date
@@ -533,7 +554,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         mem_tables[name] = df
                         created.append(name)
                         continue
-                    schema_ddl, name, nullset = _translate_create(stmt)
+                    schema_ddl, name, nullset, nestset = _translate_create(stmt)
                     if "DateTime64" in stmt:
                         cols: dict = {"__table__": name}
                         for cm2 in re.finditer(
@@ -546,10 +567,11 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     df.createOrReplaceTempView(name)
                     mem_tables[name] = df
                     nullable_cols[name] = nullset
+                    nested_cols[name] = nestset
                     created.append(name)
                     continue
                 if up.startswith("INSERT INTO"):
-                    _exec_insert(spark, stmt, mem_tables, nullable_cols)
+                    _exec_insert(spark, stmt, mem_tables, nullable_cols, nested_cols)
                     continue
                 from clickhouse_23_3_19_32_lts_spark.dialect import (
                     apply_fill,
