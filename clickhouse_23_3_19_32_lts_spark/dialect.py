@@ -1153,7 +1153,8 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             close = _find_call_end(tokens, i)
             args = _split_args(tokens[i + 1 : close])
             heads = [a[0].lower() for a in args if a]
-            if len(args) >= 2 and not any(
+            is_lambda_params = close + 1 < len(tokens) and tokens[close + 1] == "->"
+            if len(args) >= 2 and not is_lambda_params and not any(
                 h in ("select", "with", "partition", "order") for h in heads
             ):
                 # bare parenthesized tuple literal (1, 'a') →
@@ -1328,6 +1329,40 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 i = close + 1
                 continue
 
+        if t in ("accurateCastOrDefault", "accurateCastOrNull") and len(arg_sql) >= 2 and re.fullmatch(
+            r"'[\w(), ]+'", arg_sql[1]
+        ):
+            # range-checked cast (FunctionsConversion.h accurateCast family):
+            # out-of-range yields the default/NULL instead of wrapping
+            ch_t2 = arg_sql[1][1:-1]
+            try:
+                spark_t2 = ch_type_to_spark(ch_t2)
+            except ChSqlError:
+                spark_t2 = None
+            if spark_t2 is not None:
+                rng = {
+                    "uint8": (0, 255), "uint16": (0, 65535),
+                    "uint32": (0, 4294967295), "uint64": (0, 18446744073709551615),
+                    "int8": (-128, 127), "int16": (-32768, 32767),
+                    "int32": (-2147483648, 2147483647),
+                    "int64": (-9223372036854775808, 9223372036854775807),
+                }.get(ch_t2.lower())
+                casted = f"try_cast({arg_sql[0]} AS {spark_t2})"
+                if rng is not None:
+                    casted = (
+                        f"CASE WHEN try_cast({arg_sql[0]} AS DOUBLE) BETWEEN {rng[0]} AND {rng[1]} "
+                        f"THEN {casted} ELSE NULL END"
+                    )
+                if t == "accurateCastOrNull":
+                    out.append(f"({casted})")
+                else:
+                    dflt = arg_sql[2] if len(arg_sql) > 2 else (
+                        "''" if spark_t2.upper() == "STRING" else "0"
+                    )
+                    out.append(f"coalesce({casted}, {dflt})")
+                i = close + 1
+                continue
+
         if (tm_dec := re.fullmatch(r"toDecimal(32|64|128|256)(OrZero|OrNull)?", t)) and arg_sql:
             prec = {"32": 9, "64": 18, "128": 38, "256": 38}[tm_dec.group(1)]
             scale = arg_sql[1] if len(arg_sql) > 1 else "0"
@@ -1491,7 +1526,8 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
 
         _HOF = (
             "arrayMap", "arrayFilter", "arrayExists", "arrayAll", "arrayFirst",
-            "arrayLast", "arrayFirstIndex", "arrayCount", "arraySum",
+            "arrayLast", "arrayFirstOrNull", "arrayLastOrNull",
+            "arrayFirstIndex", "arrayCount", "arraySum",
             "arrayAvg", "arrayMin", "arrayMax",
         )
         if t in _HOF and arg_sql and "->" in arg_sql[0]:
@@ -1508,10 +1544,21 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             sum_t = "aggregate(transform({a}, {l}), CAST(0 AS DOUBLE), (acc, __x) -> acc + __x)"
             if t == "arrayMap" and len(arrs) == 2:
                 out.append(f"zip_with({arrs[0]}, {arrs[1]}, {lam})")
-            elif t == "arrayFirst":
-                out.append(f"element_at(filter({a0}, {lam}), 1)")
-            elif t == "arrayLast":
-                out.append(f"element_at(filter({a0}, {lam}), -1)")
+            elif t in ("arrayFirst", "arrayFirstOrNull", "arrayLast", "arrayLastOrNull"):
+                pos = 1 if "First" in t else -1
+                if len(arrs) == 2:
+                    # two-array predicate: value from the first array where
+                    # the (zipped) predicate holds
+                    head_l2, body_l2 = lam.split("->", 1)
+                    params = head_l2.strip().strip("()")
+                    first_p = params.split(",")[0].strip()
+                    z = (
+                        f"zip_with({arrs[0]}, {arrs[1]}, ({params}) -> "
+                        f"named_struct('v', {first_p}, 'p', {body_l2.strip()}))"
+                    )
+                    out.append(f"element_at(filter({z}, __s -> __s.p), {pos}).v")
+                else:
+                    out.append(f"element_at(filter({a0}, {lam}), {pos})")
             elif t == "arrayFirstIndex":
                 # first matching VALUE's position — predicates are pure, so
                 # equal elements match equally and first-occurrence is exact
@@ -2012,10 +2059,11 @@ def _rewrite_scalar_with(s: str) -> str:
 
 
 def _expand_aliases_in_groupby(s: str) -> str:
-    """ClickHouse resolves GROUP BY names against SELECT aliases with alias
-    precedence (a name that is both a source column and an alias means the
-    alias); Spark prefers the source column. Expand alias references in the
-    top-level GROUP BY into their expressions."""
+    """ClickHouse resolves GROUP BY and JOIN ON names against SELECT aliases
+    with alias precedence (aliases are query-global); Spark prefers source
+    columns and cannot see select aliases in ON at all. Expand alias
+    references in the top-level GROUP BY and ON clauses into their
+    expressions."""
     sb = _blank_strings(s)
     gm = next(
         (
@@ -2025,7 +2073,12 @@ def _expand_aliases_in_groupby(s: str) -> str:
         ),
         None,
     )
-    if gm is None:
+    onms = [
+        c
+        for c in re.finditer(r"\bON\b", sb, re.IGNORECASE)
+        if _depth_at(s, c.start()) == 0
+    ]
+    if gm is None and not onms:
         return s
     selm = next(
         (
@@ -2059,29 +2112,52 @@ def _expand_aliases_in_groupby(s: str) -> str:
             aliases[name] = expr
     if not aliases:
         return s
-    # GROUP BY clause extent
-    rest = s[gm.end() :]
-    endm = next(
-        (
-            c
-            for c in re.finditer(
-                r"\b(HAVING|ORDER\s+BY|LIMIT|SETTINGS|UNION|INTERSECT|WINDOW|FORMAT|WITH\s+TOTALS|WITH\s+ROLLUP|WITH\s+CUBE)\b",
-                _blank_strings(rest),
-                re.IGNORECASE,
+
+    def _expand(clause: str) -> str:
+        for name, expr in aliases.items():
+            clause = re.sub(
+                rf"(?<![A-Za-z0-9_.`]){re.escape(name)}(?![A-Za-z0-9_(])",
+                lambda _m, e=expr: f"({e})",
+                clause,
             )
-            if _depth_at(rest, c.start()) == 0
-        ),
-        None,
-    )
-    clause = rest[: endm.start()] if endm else rest
-    new_clause = clause
-    for name, expr in aliases.items():
-        new_clause = re.sub(
-            rf"(?<![A-Za-z0-9_.`]){re.escape(name)}(?![A-Za-z0-9_(])",
-            lambda _m, e=expr: f"({e})",
-            new_clause,
+        return clause
+
+    # ON clause extents end at the next top-level join/clause keyword;
+    # process right-to-left so replacements don't shift earlier offsets
+    spans: list[tuple[int, int]] = []
+    for c in onms:
+        endm = next(
+            (
+                k
+                for k in re.finditer(
+                    r"\b(JOIN|INNER|LEFT|RIGHT|FULL|CROSS|WHERE|PREWHERE|GROUP\s+BY"
+                    r"|HAVING|ORDER\s+BY|LIMIT|SETTINGS|UNION|INTERSECT|WINDOW|FORMAT)\b",
+                    sb[c.end() :],
+                    re.IGNORECASE,
+                )
+                if _depth_at(s, c.end() + k.start()) == 0
+            ),
+            None,
         )
-    return s[: gm.end()] + new_clause + (rest[endm.start() :] if endm else "")
+        spans.append((c.end(), c.end() + endm.start() if endm else len(s)))
+    if gm is not None:
+        rest_b = sb[gm.end() :]
+        endm = next(
+            (
+                c
+                for c in re.finditer(
+                    r"\b(HAVING|ORDER\s+BY|LIMIT|SETTINGS|UNION|INTERSECT|WINDOW|FORMAT|WITH\s+TOTALS|WITH\s+ROLLUP|WITH\s+CUBE)\b",
+                    rest_b,
+                    re.IGNORECASE,
+                )
+                if _depth_at(s[gm.end() :], c.start()) == 0
+            ),
+            None,
+        )
+        spans.append((gm.end(), gm.end() + endm.start() if endm else len(s)))
+    for a, b in sorted(spans, reverse=True):
+        s = s[:a] + _expand(s[a:b]) + s[b:]
+    return s
 
 
 def _rewrite_prewhere_clause(s: str, _guard: int = 0) -> str:

@@ -145,6 +145,26 @@ def _geohashes_in_box(
     return pd.Series(out)
 
 
+@pandas_udf("string")
+def _fuzz_bits(s: pd.Series, prob: pd.Series) -> pd.Series:
+    import numpy as np
+
+    out = []
+    for v, p in zip(s, prob):
+        if v is None or p is None:
+            out.append(None)
+            continue
+        b = bytearray(v.encode("utf-8", "surrogateescape"))
+        p = float(p)
+        if p > 0 and b:
+            mask = np.packbits(
+                np.random.random(len(b) * 8) < p  # noqa: NPY002 — fuzzing is meant to be random
+            )[: len(b)]
+            b = bytearray(x ^ m for x, m in zip(b, mask.tobytes()))
+        out.append(bytes(b).decode("utf-8", "surrogateescape"))
+    return pd.Series(out)
+
+
 _REGISTERED: set[int] = set()
 
 
@@ -156,6 +176,7 @@ def register_sql_udfs(spark) -> None:
     spark.udf.register("geohashEncode", _geohash_encode)
     spark.udf.register("geohashDecode", _geohash_decode)
     spark.udf.register("geohashesInBox", _geohashes_in_box)
+    spark.udf.register("fuzzBits", _fuzz_bits)
     _REGISTERED.add(key)
     # the dialect caches SHOW FUNCTIONS; reset so the new names are seen
     import clickhouse_23_3_19_32_lts_spark.dialect as _d

