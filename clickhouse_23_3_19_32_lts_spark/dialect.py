@@ -1190,6 +1190,7 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             and (
                 tl not in _NONCALLABLE_KEYWORDS
                 or (tl in ("and", "or") and not prev_ends_expr)
+                or (tl == "values" and bool(out) and out[-1].lower() == "from")
             )
         )
         if not is_call:
@@ -1428,6 +1429,39 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 spark_type = None
             if spark_type:
                 out.append(f"CAST({arg_sql[0]} AS {spark_type})")
+                i = close + 1
+                continue
+
+        if (
+            t == "values"
+            and args
+            and args[0]
+            and args[0][0].startswith("'")
+            and len(args) > 1
+        ):
+            # values('a T, b U', (r...), ...) table function
+            # (TableFunctionValues.cpp) → Spark VALUES with typed casts
+            try:
+                cols = []
+                for cdef in _split_type_commas(args[0][0][1:-1]):
+                    nm = re.match(r"([A-Za-z_]\w*)\s+(.+)$", cdef.strip(), re.DOTALL)
+                    cols.append((nm.group(1), ch_type_to_spark(nm.group(2))))
+            except (AttributeError, ChSqlError):
+                cols = None
+            if cols:
+                rows = []
+                for a in args[1:]:
+                    inner_sql = (
+                        ", ".join(_rewrite(x) for x in _split_args(a[1:-1]))
+                        if a and a[0] == "(" and a[-1] == ")"
+                        else _rewrite(a)
+                    )
+                    rows.append(f"({inner_sql})")
+                sel = ", ".join(f"CAST({n} AS {ty}) AS {n}" for n, ty in cols)
+                names = ", ".join(n for n, _ in cols)
+                out.append(
+                    f"(SELECT {sel} FROM VALUES {', '.join(rows)} AS __v({names}))"
+                )
                 i = close + 1
                 continue
 
