@@ -838,6 +838,8 @@ _load_query_modules()
 # still pass the full local gate (tests/test_queries_oracle.py runs ALL of
 # them); this only chooses which subset the driver re-proves first.
 _GATE_FIRST = [
+    # new round-4 operators first: these have no driver row yet
+    "q_with_fill_multi", "q_point_in_polygon",
     # round-4 rotation: the 45 queries whose newest driver CORRECTNESS row is
     # round 2 (round 3 re-gated the other 50) — re-prove them against current
     # code first, per the round-3 verdict's ask

@@ -399,3 +399,55 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_with_fill_multi",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(user_id % 5 AS INT) AS b,
+             count(*) AS c
+      FROM events WHERE user_id < 40 GROUP BY 1, 2),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM src),
+    pgrid AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds),
+    sgrid AS (SELECT CAST(unnest(generate_series(0, 4)) AS INT) AS b),
+    grid AS (SELECT d, b FROM pgrid CROSS JOIN sgrid),
+    ins AS (
+      SELECT g.d, g.b, CAST(0 AS BIGINT) AS c
+      FROM grid g ANTI JOIN src s ON g.d = s.d AND g.b = s.b)
+    SELECT d, b, c FROM src
+    UNION ALL
+    SELECT d, b, c FROM ins
+    ORDER BY d, b
+    """,
+)
+def q_with_fill_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column WITH FILL (FillingTransform grid semantics,
+    src/Processors/Transforms/FillingTransform.h:16): primary date grid at
+    1-day steps over min..max, secondary FROM 0 TO 5 static range per
+    primary, inserted rows carry type defaults — the round-4 fill_grid
+    operator, fully parallel (aggregate bounds + sequence/explode grids +
+    anti-join dedup)."""
+    from clickhouse_23_3_19_32_lts_spark.operators.with_fill import (
+        FillItem,
+        fill_grid,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    src = (
+        ev.select(
+            F.col("ts").cast("date").alias("d"),
+            (F.col("user_id") % 5).cast("int").alias("b"),
+        )
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return fill_grid(
+        src,
+        [
+            FillItem(name="d"),
+            FillItem(name="b", frm=F.lit(0), to=F.lit(5)),
+        ],
+    )
