@@ -607,6 +607,24 @@ PARAMETRIC: dict[str, str] = {
         " as double), cast('NaN' as double))"
     ),
     "quantilesTiming": "array({percentiles})",
+    "quantilesExact": "array({percentiles})",
+    "quantilesTDigest": "array({percentiles})",
+    "quantilesDeterministic": "array({percentiles})",
+    "quantileExactWeighted": "percentile({a0}, {p0}, CAST({a1} AS BIGINT))",
+    "quantilesExactWeighted": "array({percentiles})",
+    # sliding aggregates over the collected group (per-row array result,
+    # AggregateFunctionGroupArrayMoving.cpp)
+    "groupArrayMovingSum": (
+        "transform(sequence(1, size(collect_list({a0}))), __i -> "
+        "aggregate(slice(collect_list({a0}), greatest(__i - CAST({p0} AS INT) + 1, 1), "
+        "least(__i, CAST({p0} AS INT))), CAST(0 AS DOUBLE), (__a, __x) -> __a + __x))"
+    ),
+    "groupArrayMovingAvg": (
+        "transform(sequence(1, size(collect_list({a0}))), __i -> "
+        "aggregate(slice(collect_list({a0}), greatest(__i - CAST({p0} AS INT) + 1, 1), "
+        "least(__i, CAST({p0} AS INT))), CAST(0 AS DOUBLE), (__a, __x) -> __a + __x) "
+        "/ least(__i, CAST({p0} AS INT)))"
+    ),
 }
 
 _TOKEN_RE = re.compile(
@@ -1217,7 +1235,9 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 if base is None:
                     base = "percentile({a0}, {p0})"
                 per_p = [
-                    base.replace("{p0}", p).replace("{a0}", arg2_sql[0])
+                    base.replace("{p0}", p).replace("{a0}", arg2_sql[0]).replace(
+                        "{a1}", arg2_sql[1] if len(arg2_sql) > 1 else "1"
+                    )
                     for p in arg_sql
                 ]
                 out.append(f"array({', '.join(per_p)})")
