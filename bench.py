@@ -102,15 +102,19 @@ def main() -> None:
             pass
     print(json.dumps(out))
 
-    # Guard: fail (exit 2) when the headline total regresses >15% vs the
-    # last recorded round or any substantial query (>0.3s before) slowed
-    # >1.5x — set SPARK_GRAFT_BENCH_NO_GUARD=1 to report without enforcing.
+    # Guard: fail (exit 2) when the headline total regresses >30% vs the
+    # last recorded round or any substantial query (>0.5s before) slowed
+    # >2x — thresholds sit above the observed ~20% run-to-run machine
+    # variance at sf0.1, so only real plan regressions trip.
+    # SPARK_GRAFT_BENCH_NO_GUARD=1 reports without enforcing.
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_GUARD"):
         vs = out.get("vs_prev") or {}
         prev_total = vs.get("prev_total")
-        bad_total = bool(prev_total) and out["value"] > 1.15 * prev_total
+        bad_total = bool(prev_total) and out["value"] > 1.30 * prev_total
         bad_queries = {
-            n: r for n, r in (vs.get("regressions") or {}).items() if r["prev"] >= 0.5
+            n: r
+            for n, r in (vs.get("regressions") or {}).items()
+            if r["prev"] >= 0.5 and r["ratio"] > 2.0
         }
         if bad_total or bad_queries:
             import sys
