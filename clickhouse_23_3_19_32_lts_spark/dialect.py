@@ -100,10 +100,8 @@ NAME_MAP: dict[str, str] = {
     "mapFromArrays": "map_from_arrays",
     # json
     "JSONLength": "json_array_length",
-    # hash / misc
-    "cityHash64": "xxhash64",
-    "sipHash64": "xxhash64",
-    "halfMD5": "xxhash64",
+    # hash / misc (cityHash64/sipHash64/murmur*/halfMD5 render bit-exact via
+    # the ch_*_elem/_comb pandas UDFs — see _render_exact_hash below)
     "MD5": "md5",
     "xxHash64": "xxhash64",
     "xxHash32": "crc32",
@@ -167,7 +165,12 @@ TEMPLATES: dict[str, str] = {
         " (CASE WHEN CAST(CAST({0} AS STRING) AS BIGINT) < 65536"
         " THEN date_add(DATE '1970-01-01', CAST(CAST({0} AS STRING) AS INT))"
         " ELSE CAST(timestamp_seconds(CAST(CAST({0} AS STRING) AS BIGINT)) AS DATE) END)"
-        " ELSE to_date(substring(CAST({0} AS STRING), 1, 10)) END)"
+        # flexible date parse (ReadHelpers.h readDateTextFallback): '-' or
+        # '/' separators, 1-or-2-digit month/day — normalize then to_date
+        " ELSE to_date(regexp_replace(regexp_replace(translate("
+        "substring_index(CAST({0} AS STRING), ' ', 1), '/', '-'),"
+        " '^([0-9][0-9][0-9][0-9])-([0-9])-', '$1-0$2-'),"
+        " '-([0-9])$', '-0$1')) END)"
     ),
     "toDateTime": (
         "(CASE WHEN CAST({0} AS STRING) RLIKE '^[0-9]+$'"
@@ -286,8 +289,8 @@ TEMPLATES: dict[str, str] = {
     "JSONHas": "(get_json_object({0}, concat('$.', {1})) IS NOT NULL)",
     "SHA256": "sha2({0}, 256)",
     "SHA512": "sha2({0}, 512)",
-    "rand": "CAST(rand() * 4294967296 AS BIGINT)",
-    "rand64": "CAST(rand() * 9.223372036854776e18 AS BIGINT)",
+    "rand": "CAST(rand(42) * 4294967296 AS BIGINT)",  # seeded: CH CSE makes rand()=rand() true
+    "rand64": "CAST(rand(43) * 9.223372036854776e18 AS BIGINT)",
     "assumeNotNull": "coalesce({0})",
     "any": "first({0}, true)",
     "countDistinct": "count(DISTINCT {0})",
@@ -981,6 +984,109 @@ _TERN_LEFT = {",", "(", "[", "select", "where", "having", "when", "then", "else"
 _TERN_RIGHT = {",", "from", "where", "group", "order", "limit", "having", "union", "as", "asc", "desc", "settings", "format", "end", "then", "else", "when"}
 
 
+# --- bit-exact hash rendering (functions/chhash.py UDFs) --------------------
+# FunctionsHashing.h FunctionAnyHash: flatten tuples, hash each element at
+# its ClickHouse type width, fold with the family's combineHashes.
+
+_EXACT_HASH_FAMS = {
+    "cityHash64": "ch_cityhash64",
+    "sipHash64": "ch_siphash64",
+    "halfMD5": "ch_halfmd5",
+    "murmurHash2_32": "ch_murmurhash2_32",
+    "murmurHash2_64": "ch_murmurhash2_64",
+    "murmurHash3_32": "ch_murmurhash3_32",
+    "murmurHash3_64": "ch_murmurhash3_64",
+    "gccMurmurHash": "ch_gccmurmurhash",
+    "intHash32": "ch_inthash32",
+    "intHash64": "ch_inthash64",
+    "javaHash": "ch_javahash",
+    "hiveHash": "ch_hivehash",
+    "jumpConsistentHash": "ch_jumpconsistenthash",
+}
+
+_HASH_DIRECT = {"intHash32", "intHash64", "javaHash", "hiveHash", "jumpConsistentHash"}
+
+# conversion-name → Spark type whose byte WIDTH equals the CH storage width
+# (value may wrap signed — the little-endian image, which is what hashes,
+# is identical)
+_HASH_WIDTH_CAST = {
+    "toUInt8": "TINYINT", "toInt8": "TINYINT",
+    "toUInt16": "SMALLINT", "toInt16": "SMALLINT",
+    "toUInt32": "INT", "toInt32": "INT",
+    "toUInt64": "BIGINT", "toInt64": "BIGINT",
+    "toFloat32": "FLOAT", "toFloat64": "DOUBLE",
+}
+
+
+def _flatten_hash_args(args: list[list[str]]) -> list[list[str]]:
+    flat: list[list[str]] = []
+    for a in args:
+        if a and a[0] == "(" and a[-1] == ")":
+            flat.extend(_flatten_hash_args(_split_args(a[1:-1])))
+        elif a and len(a) > 2 and a[0] == "tuple" and a[1] == "(":
+            flat.extend(_flatten_hash_args(_split_args(a[2:-1])))
+        elif a and len(a) > 2 and a[0] == "materialize" and a[1] == "(":
+            flat.extend(_flatten_hash_args(_split_args(a[2:-1])))
+        else:
+            flat.append(a)
+    return flat
+
+
+def _hash_arg_sql(a: list[str]) -> str:
+    if len(a) == 1 and re.fullmatch(r"-?\d+", a[0]):
+        # ClickHouse literal typing: smallest type that fits (ParserNumber)
+        v = int(a[0])
+        if v < 0:
+            ty = ("TINYINT" if v >= -128 else "SMALLINT" if v >= -32768
+                  else "INT" if v >= -(1 << 31) else "BIGINT")
+        else:
+            ty = ("TINYINT" if v < 256 else "SMALLINT" if v < 65536
+                  else "INT" if v < (1 << 32) else "BIGINT")
+        return f"CAST({a[0]} AS {ty})"
+    if len(a) == 1 and re.fullmatch(r"-?\d*\.\d+([eE]-?\d+)?", a[0]):
+        return f"CAST({a[0]} AS DOUBLE)"
+    if len(a) > 2 and a[0] in _HASH_WIDTH_CAST and a[1] == "(":
+        inner = _split_args(a[2:-1])
+        if len(inner) == 1:
+            return f"CAST({_rewrite(inner[0])} AS {_HASH_WIDTH_CAST[a[0]]})"
+    if a and a[0] == "[" and a[-1] == "]":
+        elems = _split_args(a[1:-1])
+        if elems and all(
+            len(e) == 1 and re.fullmatch(r"-?\d+", e[0]) for e in elems
+        ):
+            # array literal: elements hash at the ARRAY's ClickHouse type —
+            # the widest element's literal width (DataTypeArray supertype)
+            vals = [int(e[0]) for e in elems]
+            ws = [_hash_arg_sql(e) for e in elems]
+            tys = [w[w.rindex(" AS ") + 4 : -1] for w in ws]
+            order = ["TINYINT", "SMALLINT", "INT", "BIGINT"]
+            widest = max(tys, key=order.index)
+            return (
+                "array("
+                + ", ".join(f"CAST({v} AS {widest})" for v in vals)
+                + ")"
+            )
+    return _rewrite(a)
+
+
+_HASH_DEC_TAG = {"toDecimal32": 4, "toDecimal64": 8, "toDecimal128": 16}
+
+
+def _render_exact_hash(t: str, args: list[list[str]]) -> str:
+    fam = _EXACT_HASH_FAMS[t]
+    if t in _HASH_DIRECT:
+        return f"{fam}({', '.join(_rewrite(a) for a in args)})"
+    flat = _flatten_hash_args(args)
+    parts = [
+        f"{fam}_elems({_hash_arg_sql(a)}, {_HASH_DEC_TAG.get(a[0], 0) if a else 0})"
+        for a in flat
+    ]
+    expr = f"{fam}_fold({parts[0]})"
+    for p in parts[1:]:
+        expr = f"{fam}_comb({expr}, {p})"
+    return expr
+
+
 def _rewrite_ternary_tokens(tokens: list[str], _guard: int = 0) -> list[str]:
     """cond ? a : b → if(cond, a, b) (ClickHouse C-style ternary,
     ParserTernaryOperatorExpression) — lowest precedence, so the condition
@@ -1222,6 +1328,28 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
 
         close = _find_call_end(tokens, i + 1)
         args = _split_args(tokens[i + 2 : close])
+
+        # bit-exact hash families: flatten tuple args, type integer literals
+        # at ClickHouse literal width, fold elem/comb UDF calls
+        # (FunctionsHashing.h FunctionAnyHash — see functions/chhash.py)
+        if t in _EXACT_HASH_FAMS and args:
+            out.append(_render_exact_hash(t, args))
+            i = close + 1
+            continue
+        if (
+            t == "hex"
+            and len(args) == 1
+            and args[0]
+            and args[0][0] in ("sipHash128", "murmurHash3_128")
+        ):
+            inner = _split_args(args[0][2:-1])
+            fam = "ch_siphash128_hex" if args[0][0] == "sipHash128" else "ch_murmurhash3_128_hex"
+            out.append(
+                f"{fam}{len(inner)}({', '.join(_hash_arg_sql(a) for a in inner)})"
+            )
+            i = close + 1
+            continue
+
         arg_sql = [_rewrite(a) for a in args]
 
         # parametric aggregate: name(params)(args)
@@ -2396,6 +2524,16 @@ def translate(ch_sql: str) -> str:
         )
         ins = " FROM (SELECT CAST(0 AS INT) AS dummy) "
         s = (s[: m.start()] + ins + s[m.start() :]) if m else s + ins
+    # 0xDEADBEEF integer literals (ParserNumber accepts hex; Spark doesn't).
+    # Only outside string literals — match positions against the blanked copy
+    blank = _blank_strings(s)
+    s = re.sub(
+        r"\b0[xX]([0-9A-Fa-f]+)\b",
+        lambda m: str(int(m.group(1), 16))
+        if blank[m.start() : m.end()] == m.group(0)
+        else m.group(0),
+        s,
+    )
     s = _rewrite_scalar_with(s)
     s = _expand_aliases_in_groupby(s)
     s = _rewrite_prewhere_clause(s)
@@ -2430,6 +2568,13 @@ def translate(ch_sql: str) -> str:
         if "(" in ch_t:
             continue
         out = re.sub(rf"\bAS {ch_t}\b", f"AS {spark_t}", out)
+    # `toDate(..) + rand() % N` — Spark's date_add demands an INT delta;
+    # a modulo by an int literal is bounded by it, so the INT cast is lossless
+    out = re.sub(
+        r"CAST\(rand\(42\) \* 4294967296 AS BIGINT\) % (\(\d{1,9}\)|\d{1,9}(?!\d))",
+        r"CAST(CAST(rand(42) * 4294967296 AS BIGINT) % \1 AS INT)",
+        out,
+    )
     return _boolify_filters(out)
 
 

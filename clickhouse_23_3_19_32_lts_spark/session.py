@@ -66,6 +66,16 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # Python workers must import this package (exact-hash pandas UDFs pickle
+    # by reference). Workers inherit the JVM's environment, which inherits
+    # ours — export the package root on PYTHONPATH before the JVM launches.
+    # On a real cluster the equivalent is shipping the wheel via --py-files.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+        )
 
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(DEFAULT_CONFS)
@@ -80,9 +90,11 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try:
+        from clickhouse_23_3_19_32_lts_spark.functions.chhash import register_hash_udfs
         from clickhouse_23_3_19_32_lts_spark.functions.sql_udfs import register_sql_udfs
 
         register_sql_udfs(spark)
+        register_hash_udfs(spark)
     except Exception:  # noqa: BLE001 — SQL UDF names are additive, never fatal
         pass
     return spark

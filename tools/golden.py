@@ -47,6 +47,8 @@ def _fmt_nested(v) -> str:
     if isinstance(v, float):
         return _fmt_float(v)
     if isinstance(v, decimal.Decimal):
+        if v == v.to_integral_value():
+            return str(int(v))
         return _fmt_float(float(v))
     if hasattr(v, "__fields__"):  # Row (struct) → tuple syntax
         return "(" + ",".join(_fmt_nested(x) for x in v) + ")"
@@ -73,6 +75,8 @@ def _fmt_top(v) -> str:
     if isinstance(v, float):
         return _fmt_float(v)
     if isinstance(v, decimal.Decimal):
+        if v == v.to_integral_value():
+            return str(int(v))
         return _fmt_float(float(v))
     if isinstance(v, str):
         return v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
@@ -304,6 +308,7 @@ def _translate_create(stmt: str) -> tuple[str, str]:
     cols = []
     nullable: set[str] = set()
     nested: dict[str, int] = {}
+    enums: dict[str, dict[int, str]] = {}
     for cdef in _split_top_level_commas(m[1]):
         cm = re.match(r"([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s+(.+)$", cdef.strip(), re.DOTALL)
         if not cm:
@@ -335,15 +340,129 @@ def _translate_create(stmt: str) -> tuple[str, str]:
         nm2 = re.match(r"Nested\s*\((.*)\)\s*$", ctype.strip(), re.IGNORECASE | re.DOTALL)
         if nm2:
             nested[cname.strip("`")] = len(_split_top_level_commas(nm2.group(1)))
+        em = re.match(
+            r"(?:Nullable\s*\(\s*)?Enum(?:8|16)?\s*\((.*?)\)\s*\)?\s*$",
+            ctype.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if em:
+            # Enum number→name map (DataTypeEnum.cpp): INSERTed numbers
+            # resolve to names; the type-default is the lowest-numbered name
+            emap = {}
+            for pair in _split_top_level_commas(em.group(1)):
+                pm = re.match(r"\s*'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)\s*$", pair)
+                if pm:
+                    emap[int(pm.group(2))] = pm.group(1).replace("\\'", "'")
+            if emap:
+                enums[cname.strip("`").lower()] = emap
         cols.append(f"{cname} {_ch_type_to_spark(ctype)}")
-    return ", ".join(cols), name, nullable, nested
+    return ", ".join(cols), name, nullable, nested, enums
 
 
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?:[A-Za-z_][A-Za-z0-9_]*\.)?([A-Za-z_][A-Za-z0-9_]*)"
-    r"\s*(\([^)]*\))?\s*(?:FORMAT\s+Values\s*)?(VALUES|SELECT|WITH)\b(.*)$",
+    r"\s*(\((?:[^()]|\([^()]*\))*\))?\s*(?:FORMAT\s+Values\s*)?(VALUES|SELECT|WITH)\b(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+# INSERT with inline-format payload: clickhouse-client reads the data that
+# follows `FORMAT <name>` verbatim (ClientBase.cpp sendDataFrom* — stateless
+# tests inline JSONEachRow/TSV/CSV rows after the clause).
+_INSERT_FMT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:[A-Za-z_][A-Za-z0-9_]*\.)?([A-Za-z_][A-Za-z0-9_]*)"
+    r"\s*(\((?:[^()]|\([^()]*\))*\))?\s*FORMAT\s+([A-Za-z]+)\s?(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _sql_lit_of(v) -> str:
+    """Render a parsed payload value as a Spark SQL literal."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, list):
+        return "array(" + ", ".join(_sql_lit_of(x) for x in v) + ")"
+    if isinstance(v, dict):
+        items = []
+        for k, val in v.items():
+            items.append(_sql_lit_of(k))
+            items.append(_sql_lit_of(val))
+        return "map(" + ", ".join(items) + ")"
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+_TSV_UNESC = {"t": "\t", "n": "\n", "r": "\r", "\\": "\\", "'": "'", "0": "\0", "b": "\b", "f": "\f"}
+
+
+def _tsv_field(s: str):
+    """Decode one TabSeparated field (TabSeparatedRowInputFormat.cpp
+    escaping rules): \\N is NULL, backslash escapes otherwise."""
+    if s == "\\N":
+        return None
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            out.append(_TSV_UNESC.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _inline_format_rows(fmt: str, payload: str):
+    """Parse an inline INSERT payload. Returns (names_or_None, rows):
+    names is the per-row key list for by-name formats (JSONEachRow/TSKV),
+    None for positional ones; rows are lists (or dicts) of Python values."""
+    import csv as _csv
+    import io
+    import json
+
+    f = fmt.lower()
+    if f == "jsoneachrow":
+        dec = json.JSONDecoder()
+        rows, i, n = [], 0, len(payload)
+        while i < n:
+            while i < n and payload[i] in " \t\r\n,;":
+                i += 1
+            if i >= n:
+                break
+            obj, end = dec.raw_decode(payload, i)
+            rows.append(obj)
+            i = end
+        return True, rows
+    if f in ("tabseparated", "tsv", "tabseparatedraw", "tsvraw"):
+        raw = f in ("tabseparatedraw", "tsvraw")
+        lines = [ln for ln in payload.strip("\n").split("\n") if ln != ""]
+        return False, [
+            [fld if raw else _tsv_field(fld) for fld in ln.split("\t")]
+            for ln in lines
+        ]
+    if f == "csv":
+        text = payload.strip("\n")
+        rows = []
+        for rec in _csv.reader(io.StringIO(text)):
+            if rec:
+                rows.append([None if c == "\\N" else c for c in rec])
+        return False, rows
+    if f == "tskv":
+        rows = []
+        for ln in payload.strip("\n").split("\n"):
+            if not ln.strip():
+                continue
+            d = {}
+            for pair in ln.split("\t"):
+                if "=" in pair:
+                    k, v = pair.split("=", 1)
+                    d[k] = _tsv_field(v)
+            rows.append(d)
+        return True, rows
+    raise ChSqlError(f"unsupported inline INSERT format {fmt!r}")
 
 
 def _values_rows(tail: str) -> list[str]:
@@ -373,6 +492,42 @@ def _values_rows(tail: str) -> list[str]:
     return rows
 
 
+_DATE_NORM = (
+    "to_date(regexp_replace(regexp_replace(translate(substring_index({0},"
+    " ' ', 1), '/', '-'), '^([0-9]{{4}})-([0-9])-', '$1-0$2-'),"
+    " '-([0-9])$', '-0$1'))"
+)
+
+
+def _cast_lit(lit: str, dt) -> str:
+    """CAST a rendered literal to the column type; Date goes through the
+    flexible-separator normalizer (readDateTextFallback accepts 2017/1/2)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DateType) and lit.startswith("'"):
+        return _DATE_NORM.format(lit)
+    return f"CAST({lit} AS {dt.simpleString()})"
+
+
+def _sql_default_lit(dt) -> str:
+    """ClickHouse type-default as a SQL literal (addMissingDefaults.cpp)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return "array()"
+    if isinstance(dt, T.MapType):
+        return "map()"
+    if isinstance(dt, T.StringType):
+        return "''"
+    if isinstance(dt, T.BooleanType):
+        return "FALSE"
+    if isinstance(dt, T.DateType):
+        return "DATE'1970-01-01'"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "TIMESTAMP'1970-01-01 00:00:00'"
+    return "0"
+
+
 def _type_default(dt):
     """ClickHouse default value for a type (addMissingDefaults.cpp)."""
     from pyspark.sql import functions as F
@@ -397,7 +552,7 @@ def _type_default(dt):
     return F.lit(0).cast(dt)
 
 
-def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None = None, nested_cols: dict | None = None) -> None:
+def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None = None, nested_cols: dict | None = None, enum_cols: dict | None = None) -> None:
     """INSERT INTO a memory-backed golden table, PRESERVING insertion order
     (ClickHouse Memory/Log engines append in order and the reference diffs
     output literally; a parquet round-trip loses order because Spark packs
@@ -405,25 +560,102 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
     order — collect order is deterministic."""
     from pyspark.sql import functions as F
 
-    m = _INSERT_RE.match(stmt)
-    if not m:
-        raise ChSqlError(f"unparsed INSERT: {stmt[:80]}")
-    name, collist, kw, tail = m.group(1), m.group(2), m.group(3).upper(), m.group(4)
-    if name not in mem_tables:
-        raise ChSqlError(f"INSERT into unknown golden table {name!r}")
-    target = mem_tables[name]
-    if kw == "VALUES":
-        selects = " UNION ALL ".join(
-            f"SELECT {row}" for row in _values_rows(tail) if row
-        )
-        src = spark.sql(translate(selects))
-    else:
-        src = spark.sql(translate(kw + tail))
-    listed = (
-        [c.strip().strip("`") for c in collist.strip("()").split(",")]
-        if collist
-        else [f.name for f in target.schema.fields]
+    nf = re.match(
+        r"^\s*INSERT\s+INTO\s+FUNCTION\s+null\s*\(\s*'[^']*'\s*\)\s*(SELECT|WITH)\b(.*)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
     )
+    if nf:
+        # INSERT INTO FUNCTION null('schema') — TableFunctionNull.cpp: run
+        # the source query, discard every row
+        spark.sql(translate(nf.group(1) + nf.group(2))).count()
+        return
+    m = _INSERT_RE.match(stmt)
+    if m:
+        name, collist, kw, tail = m.group(1), m.group(2), m.group(3).upper(), m.group(4)
+        if name not in mem_tables:
+            raise ChSqlError(f"INSERT into unknown golden table {name!r}")
+        target = mem_tables[name]
+        if kw == "VALUES":
+            selects = " UNION ALL ".join(
+                f"SELECT {row}" for row in _values_rows(tail) if row
+            )
+            src = spark.sql(translate(selects))
+        else:
+            src = spark.sql(translate(kw + tail))
+    else:
+        fm = _INSERT_FMT_RE.match(stmt)
+        if not fm:
+            raise ChSqlError(f"unparsed INSERT: {stmt[:80]}")
+        name, collist, fmt, payload = (
+            fm.group(1), fm.group(2), fm.group(3), fm.group(4),
+        )
+        if name not in mem_tables:
+            raise ChSqlError(f"INSERT into unknown golden table {name!r}")
+        target = mem_tables[name]
+        by_name, rows = _inline_format_rows(fmt, payload)
+        if not rows:
+            return
+        null_set0 = (nullable_cols or {}).get(name, set())
+        if by_name:
+            keys_seen = {k.lower() for r in rows for k in r}
+            listed0 = [f for f in target.schema.fields if f.name.lower() in keys_seen]
+            collist = "(" + ", ".join(f.name for f in listed0) + ")"
+            sel = []
+            for r in rows:
+                lower = {k.lower(): v for k, v in r.items()}
+                lits = []
+                for f in listed0:
+                    if f.name.lower() in lower:
+                        lits.append(_cast_lit(_sql_lit_of(lower[f.name.lower()]), f.dataType))
+                    elif f.name.lower() in null_set0:
+                        lits.append(f"CAST(NULL AS {f.dataType.simpleString()})")
+                    else:
+                        lits.append(_cast_lit(_sql_default_lit(f.dataType), f.dataType))
+                sel.append("SELECT " + ", ".join(lits))
+        else:
+            if collist:
+                by_lower = {f.name.lower(): f for f in target.schema.fields}
+                flds = [
+                    by_lower.get(c.strip().strip("`").lower())
+                    for c in collist.strip("()").split(",")
+                ]
+            else:
+                flds = list(target.schema.fields)
+            sel = []
+            for r in rows:
+                lits = []
+                for j, v in enumerate(r):
+                    dt = flds[j].dataType if j < len(flds) and flds[j] else None
+                    lits.append(_cast_lit(_sql_lit_of(v), dt) if dt else _sql_lit_of(v))
+                sel.append("SELECT " + ", ".join(lits))
+        src = spark.sql(" UNION ALL ".join(sel))
+    cl = (collist or "").strip("()").strip()
+    star = re.match(r"(?:([A-Za-z_][A-Za-z0-9_]*)\.)?\*(\s|$)", cl)
+    colsm = re.match(r"COLUMNS\s*\(\s*'([^']*)'\s*\)", cl, re.IGNORECASE)
+    if collist and (star or colsm):
+        # `INSERT INTO t(* EXCEPT (a, b))` / `t.* EXCEPT` / `COLUMNS('re')`
+        # — asterisk column list (ColumnsTransformers EXCEPT/COLUMNS)
+        if star and star.group(1) and star.group(1).lower() != name.lower():
+            raise ChSqlError(
+                f"unknown qualified asterisk {star.group(1)}.* in INSERT into {name}"
+            )
+        if colsm:
+            pat = re.compile(colsm.group(1))
+            base = [f.name for f in target.schema.fields if pat.search(f.name)]
+        else:
+            base = [f.name for f in target.schema.fields]
+        exm = re.search(r"EXCEPT\s*\(([^)]*)\)", collist, re.IGNORECASE)
+        drop = (
+            {c.strip().strip("`").lower() for c in exm.group(1).split(",")}
+            if exm
+            else set()
+        )
+        listed = [c for c in base if c.lower() not in drop]
+    elif collist:
+        listed = [c.strip().strip("`") for c in collist.strip("()").split(",")]
+    else:
+        listed = [f.name for f in target.schema.fields]
     pos = {n.lower(): i for i, n in enumerate(listed)}
     nest = (nested_cols or {}).get(name, {})
     if nest and not collist:
@@ -446,8 +678,12 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
             # ClickHouse fills omitted columns with TYPE DEFAULTS, not NULL
             # (0 / '' / [] — addMissingDefaults.cpp) — except Nullable
             # columns, whose default IS NULL
+            emap0 = (enum_cols or {}).get(name, {}).get(f.name.lower())
             if f.name.lower() in null_set:
                 out.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif emap0:
+                # Enum default = the lowest-numbered name (DataTypeEnum.cpp)
+                out.append(F.lit(emap0[min(emap0)]).alias(f.name))
             else:
                 out.append(_type_default(f.dataType).alias(f.name))
         elif f.name in nest and not collist:
@@ -459,7 +695,25 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
             ]
             out.append(F.struct(*sub).alias(f.name))
         else:
-            out.append(F.col(src_cols[i]).cast(f.dataType).alias(f.name))
+            from pyspark.sql import types as T
+
+            c = F.col(src_cols[i])
+            if isinstance(f.dataType, T.DateType) and isinstance(
+                src.schema[src_cols[i]].dataType, T.StringType
+            ):
+                # flexible date parse ('2017/1/2' — readDateTextFallback)
+                c = F.expr(_DATE_NORM.format(f"`{src_cols[i]}`"))
+            emap = (enum_cols or {}).get(name, {}).get(f.name.lower())
+            if emap:
+                # numeric values resolve to enum names (DataTypeEnum.cpp)
+                num_map = F.create_map(
+                    *[F.lit(x) for k, v in emap.items() for x in (str(k), v)]
+                )
+                s = c.cast("string")
+                c = F.when(
+                    s.rlike("^-?[0-9]+$"), F.element_at(num_map, s)
+                ).otherwise(s)
+            out.append(c.cast(f.dataType).alias(f.name))
     mem_tables[name] = target.unionAll(src.select(*out))
     mem_tables[name].createOrReplaceTempView(name)
 
@@ -480,6 +734,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     mem_tables: dict = {}
     nullable_cols: dict[str, set] = {}
     nested_cols: dict[str, dict] = {}
+    enum_cols: dict[str, dict] = {}
     dt64_hint: dict[str, str] = {}
     # ClickHouse coerces INSERT literals to column types ('2016-01-01' →
     # Date); Spark's default store-assignment policy rejects string→date
@@ -487,8 +742,22 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
     echo = False
     try:
-        for raw in split_statements_raw(sql_text):
+        queue = list(split_statements_raw(sql_text))
+        qi = 0
+        while qi < len(queue):
+            raw = queue[qi]
+            qi += 1
             stmt = _strip_comments(raw).strip()
+            # clickhouse-client multiquery ends inline INSERT data at the
+            # end of the line (ClientBase::analyzeMultiQueryText) — anything
+            # after the first data line is the next statement
+            fm0 = _INSERT_FMT_RE.match(stmt)
+            if fm0 and fm0.group(3).lower() not in ("values", "select", "with"):
+                payload = fm0.group(4)
+                head, nl, rest = payload.partition("\n")
+                if nl and head.strip() and rest.strip():
+                    stmt = stmt[: len(stmt) - len(payload)] + head
+                    queue[qi:qi] = split_statements_raw(rest)
             # clickhouse-test echo directives: from `-- { echoOn }` on, each
             # statement's RAW text (leading comments, trailing ';') precedes
             # its results in the reference output (tests/clickhouse-test).
@@ -554,7 +823,9 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         mem_tables[name] = df
                         created.append(name)
                         continue
-                    schema_ddl, name, nullset, nestset = _translate_create(stmt)
+                    schema_ddl, name, nullset, nestset, enumset = _translate_create(stmt)
+                    if enumset:
+                        enum_cols[name] = enumset
                     if "DateTime64" in stmt:
                         cols: dict = {"__table__": name}
                         for cm2 in re.finditer(
@@ -571,7 +842,9 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     created.append(name)
                     continue
                 if up.startswith("INSERT INTO"):
-                    _exec_insert(spark, stmt, mem_tables, nullable_cols, nested_cols)
+                    _exec_insert(
+                        spark, stmt, mem_tables, nullable_cols, nested_cols, enum_cols
+                    )
                     continue
                 from clickhouse_23_3_19_32_lts_spark.dialect import (
                     apply_fill,
