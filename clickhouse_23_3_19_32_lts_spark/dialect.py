@@ -984,6 +984,263 @@ _TERN_LEFT = {",", "(", "[", "select", "where", "having", "when", "then", "else"
 _TERN_RIGHT = {",", "from", "where", "group", "order", "limit", "having", "union", "as", "asc", "desc", "settings", "format", "end", "then", "else", "when"}
 
 
+def _inline_expr_aliases(s: str, _guard: int = 0) -> str:
+    """ClickHouse lets `expr AS name` appear ANYWHERE in an expression and
+    the alias be referenced anywhere in the same SELECT
+    (ParserWithOptionalAlias): `bitXor(f(x) AS a, g(a))`. Spark only allows
+    top-level select-item aliases — rewrite by macro-substituting the alias
+    with its (parenthesized) expression and dropping the inline `AS name`.
+    Identical to CH semantics because common subexpressions evaluate once
+    (and rand() is seeded, see TEMPLATES['rand'])."""
+    if _guard > 10 or not re.search(r"(?i)\bas\b", s):
+        return s
+    toks = _tokenize(s)
+    stack: list[tuple[bool, str]] = []  # (is_subquery, callee_name)
+    target = None
+    for i, t in enumerate(toks):
+        if t in ("(", "["):
+            is_sub = (
+                t == "("
+                and i + 1 < len(toks)
+                and toks[i + 1].lower() == "select"
+            )
+            callee = (
+                toks[i - 1].lower()
+                if t == "(" and i > 0 and re.fullmatch(r"[A-Za-z_]\w*", toks[i - 1])
+                else ""
+            )
+            stack.append((is_sub, callee))
+        elif t in (")", "]"):
+            if stack:
+                stack.pop()
+        elif (
+            t.lower() == "as"
+            and i + 1 < len(toks)
+            and re.fullmatch(r"[A-Za-z_]\w*", toks[i + 1])
+            and stack
+            and not any(sub for sub, _ in stack)
+            and stack[-1][1] not in ("cast", "accuratecast", "accuratecastornull")
+        ):
+            target = i
+            break
+    if target is None:
+        # no nested alias in this scope — recurse into subqueries
+        out, i, changed = [], 0, False
+        while i < len(toks):
+            if (
+                toks[i] == "("
+                and i + 1 < len(toks)
+                and toks[i + 1].lower() == "select"
+            ):
+                j = _find_call_end(toks, i)
+                inner = " ".join(toks[i + 1 : j])
+                fixed = _inline_expr_aliases(inner, _guard + 1)
+                if fixed != inner:
+                    changed = True
+                out.append("( " + fixed + " )")
+                i = j + 1
+            else:
+                out.append(toks[i])
+                i += 1
+        return " ".join(out) if changed else s
+    i = target
+    alias = toks[i + 1]
+    # expression start: nearest same-depth ',' '(' or '[' walking back
+    depth = 0
+    start = 0
+    for j in range(i - 1, -1, -1):
+        t = toks[j]
+        if t in (")", "]"):
+            depth += 1
+        elif t in ("(", "["):
+            if depth == 0:
+                start = j + 1
+                break
+            depth -= 1
+        elif t == "," and depth == 0:
+            start = j + 1
+            break
+    expr = toks[start:i]
+    sub = ["("] + expr + [")"]
+    out = []
+    j = 0
+    while j < len(toks):
+        if j == i:  # drop `AS alias` at the definition
+            j += 2
+            continue
+        t = toks[j]
+        if (
+            t == alias
+            and (j == 0 or toks[j - 1] != ".")
+            and (j + 1 >= len(toks) or toks[j + 1] != "(")
+            and not (j == i + 1)
+        ):
+            out.extend(sub)
+        else:
+            out.append(t)
+        j += 1
+    return _inline_expr_aliases(" ".join(out), _guard + 1)
+
+
+def _hoist_nested_array_join(s: str, _guard: int = 0) -> str:
+    """Hoist arrayJoin() calls that sit INSIDE expressions into a wrapping
+    subquery: `SELECT f(arrayJoin(X)) FROM T` becomes
+    `SELECT f(__aj0) FROM (SELECT *, arrayJoin(X) AS __aj0 FROM T)`.
+    ClickHouse evaluates arrayJoin anywhere in an expression
+    (ArrayJoinAction.cpp); Spark's explode is a generator restricted to
+    top-level select items. Identical arrayJoin texts share one expansion
+    (CH CSE); distinct ones chain, matching CH's sequential expansion."""
+    if _guard > 8:
+        return s
+    blank = _blank_strings(s)
+    if "arrayjoin" not in blank.lower():
+        return s
+    # recurse into each top-level UNION branch independently
+    depth = 0
+    for m in re.finditer(r"[()]|\bUNION\b", blank, re.IGNORECASE):
+        if m.group(0) == "(":
+            depth += 1
+        elif m.group(0) == ")":
+            depth -= 1
+        elif depth == 0:
+            left, right = s[: m.start()], s[m.end() :]
+            tailkw = re.match(r"\s*(ALL|DISTINCT)\b", right, re.IGNORECASE)
+            kw = "UNION" + (" " + tailkw.group(1).upper() if tailkw else "")
+            if tailkw:
+                right = right[tailkw.end() :]
+            return (
+                _hoist_nested_array_join(left, _guard)
+                + f" {kw} "
+                + _hoist_nested_array_join(right, _guard)
+            )
+    # recurse into subqueries first (their arrayJoins are their own scope)
+    changed = False
+    out_parts, i = [], 0
+    while i < len(blank):
+        m = re.compile(r"\(\s*SELECT\b", re.IGNORECASE).search(blank, i)
+        if not m:
+            break
+        k, depth = m.start(), 0
+        while k < len(blank):
+            if blank[k] == "(":
+                depth += 1
+            elif blank[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = s[m.start() + 1 : k]
+        fixed = _hoist_nested_array_join(inner, _guard)
+        if fixed != inner:
+            changed = True
+        out_parts.append(s[i : m.start() + 1])
+        out_parts.append(fixed)
+        i = k
+    if changed:
+        out_parts.append(s[i:])
+        s = "".join(out_parts)
+        blank = _blank_strings(s)
+    occ = []
+    for m in re.finditer(r"\barrayJoin\s*\(", blank, re.IGNORECASE):
+        start = m.start()
+        stack = []
+        for i in range(start):
+            c = blank[i]
+            if c == "(":
+                stack.append(i)
+            elif c == ")" and stack:
+                stack.pop()
+        if any(
+            re.match(r"\s*select\b", blank[p + 1 : p + 12], re.IGNORECASE)
+            for p in stack
+        ):
+            continue  # inside a subquery — its own pass handles it
+        k, depth = blank.index("(", m.end() - 1), 0
+        while k < len(blank):
+            if blank[k] == "(":
+                depth += 1
+            elif blank[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        occ.append((start, k + 1))
+    if not occ:
+        return s
+
+    def _is_bare(a: int, b: int) -> bool:
+        before = blank[:a].rstrip()
+        if not re.search(r"(?i)(\bselect|\bdistinct|,)$", before):
+            return False
+        return (
+            re.match(
+                r"(?i)\s*(as\s+[A-Za-z_]\w*\s*)?"
+                r"(,|from\b|order\b|group\b|having\b|limit\b|union\b|settings\b|format\b|$)",
+                blank[b:],
+            )
+            is not None
+        )
+
+    if all(_is_bare(a, b) for a, b in occ):
+        return s
+    # hoist the first span's text (all identical occurrences share one alias)
+    span_text = s[occ[0][0] : occ[0][1]]
+    alias = f"__aj{_guard}"
+    same = [(a, b) for a, b in occ if s[a:b] == span_text]
+    out, prev = [], 0
+    for a, b in same:
+        out.append(s[prev:a])
+        out.append(alias)
+        prev = b
+    out.append(s[prev:])
+    s2 = "".join(out)
+    blank2 = _blank_strings(s2)
+    fm = None
+    depth = 0
+    for m in re.finditer(r"[()]|\bFROM\b", blank2, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            fm = m
+            break
+    if fm is None:
+        tail_m = re.search(
+            r"(?i)\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|WITH\s+TOTALS)\b",
+            blank2,
+        )
+        frag = f" FROM (SELECT {span_text} AS {alias}) "
+        if tail_m:
+            s2 = s2[: tail_m.start()] + frag + s2[tail_m.start() :]
+        else:
+            s2 = s2 + frag
+    else:
+        depth = 0
+        end = len(s2)
+        for m in re.finditer(
+            r"[()]|\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION|SETTINGS|WITH\s+TOTALS)\b",
+            blank2[fm.end() :],
+            re.IGNORECASE,
+        ):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                end = fm.end() + m.start()
+                break
+        src = s2[fm.end() : end].strip()
+        s2 = (
+            s2[: fm.start()]
+            + f"FROM (SELECT *, {span_text} AS {alias} FROM {src}) "
+            + s2[end:]
+        )
+    return _hoist_nested_array_join(s2, _guard + 1)
+
+
 # --- bit-exact hash rendering (functions/chhash.py UDFs) --------------------
 # FunctionsHashing.h FunctionAnyHash: flatten tuples, hash each element at
 # its ClickHouse type width, fold with the family's combineHashes.
@@ -997,6 +1254,9 @@ _EXACT_HASH_FAMS = {
     "murmurHash3_32": "ch_murmurhash3_32",
     "murmurHash3_64": "ch_murmurhash3_64",
     "gccMurmurHash": "ch_gccmurmurhash",
+    "farmHash64": "ch_farmhash64",
+    "farmFingerprint64": "ch_farmfingerprint64",
+    "metroHash64": "ch_metrohash64",
     "intHash32": "ch_inthash32",
     "intHash64": "ch_inthash64",
     "javaHash": "ch_javahash",
@@ -1049,6 +1309,37 @@ def _hash_arg_sql(a: list[str]) -> str:
         inner = _split_args(a[2:-1])
         if len(inner) == 1:
             return f"CAST({_rewrite(inner[0])} AS {_HASH_WIDTH_CAST[a[0]]})"
+    if len(a) > 2 and a[0].lower() == "cast" and a[1] == "(":
+        # CAST(x AS UInt8 / Enum8('a'=1)) — hash at the CH storage width
+        body = a[2:-1]
+        as_idx = next(
+            (j for j, t in enumerate(body) if t.lower() == "as"), None
+        )
+        if as_idx is not None:
+            ty = body[as_idx + 1] if as_idx + 1 < len(body) else ""
+            width_ty = {
+                "UInt8": "TINYINT", "Int8": "TINYINT",
+                "UInt16": "SMALLINT", "Int16": "SMALLINT",
+                "UInt32": "INT", "Int32": "INT",
+                "UInt64": "BIGINT", "Int64": "BIGINT",
+                "Float32": "FLOAT", "Float64": "DOUBLE",
+            }.get(ty)
+            if width_ty:
+                return f"CAST({_rewrite(body[:as_idx])} AS {width_ty})"
+            if ty in ("Enum8", "Enum16"):
+                # enum hashes its number (DataTypeEnum): map name→number
+                inner_sql = _rewrite(body[:as_idx])
+                pairs = re.findall(
+                    r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)",
+                    " ".join(body[as_idx + 1 :]),
+                )
+                w_ty = "TINYINT" if ty == "Enum8" else "SMALLINT"
+                if pairs and body[:as_idx] and body[0].startswith("'"):
+                    name = body[0][1:-1]
+                    num = next((n for v2, n in pairs if v2 == name), None)
+                    if num is not None:
+                        return f"CAST({num} AS {w_ty})"
+                return f"CAST({inner_sql} AS {w_ty})"
     if a and a[0] == "[" and a[-1] == "]":
         elems = _split_args(a[1:-1])
         if elems and all(
@@ -1179,6 +1470,50 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             out.append(f"CAST('{lit}' AS DOUBLE)")
             i += 1
             continue
+        if t == "/" and out and i + 1 < len(tokens):
+            # division by a LITERAL zero: ClickHouse '/' is IEEE float
+            # division (0/0 = nan, x/0 = ±inf — DivisionUtils.h); Spark
+            # returns NULL. Only literal-zero divisors rewrite — anything
+            # else keeps native division (and its decimal typing).
+            j = i + 1
+            neg = False
+            if tokens[j] in ("-", "+") and j + 1 < len(tokens):
+                neg = tokens[j] == "-"
+                j += 1
+            ztok = tokens[j]
+            is_zero = bool(re.fullmatch(r"0+(\.0*)?", ztok))
+            j += 1
+            if is_zero and j < len(tokens) and tokens[j] == "." and (
+                j + 1 >= len(tokens) or not re.match(r"[0-9A-Za-z_]", tokens[j + 1])
+            ):
+                j += 1  # trailing dot of `0.`
+            if (
+                out[-1] == "."
+                and len(out) >= 2
+                and re.fullmatch(r"\d+", out[-2])
+            ):
+                # `0. / x` — rejoin the trailing-dot float literal
+                out[-2:] = [out[-2] + ".0"]
+            prev = out[-1]
+            left_ok = bool(
+                re.fullmatch(r"[A-Za-z_][\w.]*", prev)
+                or re.fullmatch(r"\d+(\.\d+)?", prev)
+                or (prev.endswith(")") and "(" in prev)
+            ) and (len(out) < 2 or out[-2][-1:] not in (".", ")", "]"))
+            if is_zero and left_ok:
+                left = out.pop()
+                pinf, ninf = "CAST('Infinity' AS DOUBLE)", "CAST('-Infinity' AS DOUBLE)"
+                if neg:
+                    pinf, ninf = ninf, pinf
+                out.append(
+                    f"(CASE WHEN {left} IS NULL THEN CAST(NULL AS DOUBLE)"
+                    f" WHEN CAST({left} AS DOUBLE) = 0.0 OR isnan(CAST({left} AS DOUBLE))"
+                    f" THEN CAST('NaN' AS DOUBLE)"
+                    f" WHEN CAST({left} AS DOUBLE) > 0.0 THEN {pinf}"
+                    f" ELSE {ninf} END)"
+                )
+                i = j
+                continue
         if t == "::":
             # x :: Type (ParserCastOperator.cpp) — consume the type tokens
             j = i + 1
@@ -1571,6 +1906,22 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
         ):
             # ClickHouse 2-arg form: CAST(x, 'Type')
             ch_type = arg_sql[1][1:-1].replace("\\'", "'")
+            em = re.match(r"Enum(?:8|16)?\s*\((.*)\)\s*$", ch_type, re.DOTALL)
+            if em:
+                # strict enum cast: unknown names (and NULL into a
+                # non-Nullable Enum) raise, as the reference does
+                # (ErrorCodes::UNKNOWN_ELEMENT_OF_ENUM, cast error 349)
+                names = re.findall(r"'((?:[^'\\]|\\.)*)'\s*=", em.group(1))
+                pairs = ", ".join(
+                    f"'{n}', '{n}'" for n in names
+                )
+                out.append(
+                    f"(CASE WHEN element_at(map({pairs}), CAST({arg_sql[0]} AS STRING)) IS NULL"
+                    f" THEN CAST(raise_error('cannot cast to enum') AS STRING)"
+                    f" ELSE CAST({arg_sql[0]} AS STRING) END)"
+                )
+                i = close + 1
+                continue
             try:
                 spark_type = ch_type_to_spark(ch_type)
             except ChSqlError:
@@ -2538,6 +2889,8 @@ def translate(ch_sql: str) -> str:
     s = _expand_aliases_in_groupby(s)
     s = _rewrite_prewhere_clause(s)
     s = _rewrite_array_join_clause(s)
+    s = _inline_expr_aliases(s)
+    s = _hoist_nested_array_join(s)
     s = _rewrite_totals_clause(s)
     s = _rewrite_limit_by_clause(s)
     s = _rewrite_with_fill_clause(s)

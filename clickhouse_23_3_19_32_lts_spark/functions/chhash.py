@@ -122,14 +122,26 @@ def _scalar_hash(C, fam: dict, v, width):
 def _tokens(C, fam: dict, v, width) -> list:
     """One argument's token stream (see module docstring)."""
     v, width = _norm(v, width)
-    if isinstance(v, (list,)) or (isinstance(v, tuple) and not hasattr(v, "__fields__")):
+    if isinstance(v, list):
         toks = [_ih32(C, len(v)) if fam["ret32"] else _ih64(C, len(v))]
         toks.extend(_subhash(C, fam, e) for e in v)
         return toks
-    if hasattr(v, "__fields__") or isinstance(v, dict):
-        vals = list(v.values()) if isinstance(v, dict) else list(v)
+    if isinstance(v, tuple) and not hasattr(v, "__fields__"):
+        # plain tuple = Tuple value: flatten into the stream
         out = []
-        for e in vals:
+        for e in v:
+            out.extend(_tokens(C, fam, e, None))
+        return out
+    if isinstance(v, dict):
+        # Map hashes as its nested Array(Tuple(key, value))
+        # (executeForArgument ColumnMap branch → executeArray)
+        items = list(v.items())
+        toks = [_ih32(C, len(items)) if fam["ret32"] else _ih64(C, len(items))]
+        toks.extend(_subhash(C, fam, kv) for kv in items)
+        return toks
+    if hasattr(v, "__fields__"):
+        out = []
+        for e in list(v):
             out.extend(_tokens(C, fam, e, None))
         return out
     return [_scalar_hash(C, fam, v, width)]
@@ -202,6 +214,23 @@ _FAMILIES = {
     "murmurHash3_64": _mk_family(
         lambda C, b: C.murmur3_64(b),
         lambda C, a, b: (C.inthash64((a ^ _X64) & C.M64) ^ b) & C.M64,
+    ),
+    "farmHash64": _mk_family(
+        lambda C, b: C.farm64(b), lambda C, a, b: C.hash128to64(a, b), int_pods=True
+    ),
+    "farmFingerprint64": _mk_family(
+        lambda C, b: C.farm64(b),
+        lambda C, a, b: C.farm_fingerprint_combine(a, b),
+        int_pods=True,
+    ),
+    "metroHash64": _mk_family(
+        # no metrohash64_1 reimplementation yet — int args (the only form in
+        # the reference corpus) go through IntHash64 like the reference does
+        lambda C, b: (_ for _ in ()).throw(
+            NotImplementedError("metroHash64 over strings is not implemented")
+        ),
+        lambda C, a, b: C.hash128to64(a, b),
+        int_pods=True,
     ),
 }
 

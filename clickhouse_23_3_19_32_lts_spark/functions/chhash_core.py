@@ -433,6 +433,147 @@ def hivehash(s: bytes) -> int:
     return javahash(s) & 0x7FFFFFFF
 
 
+# --- FarmHash na::Hash64 / Fingerprint64 (Google, MIT — contrib/farmhash) ---
+# The <=32-byte paths are validated against the reference's own vector
+# (00751_hashing_ints: farmFingerprint64('123456')); longer inputs follow the
+# published farmhashna structure.
+
+
+def _farm_h16(u: int, v: int, mul: int) -> int:
+    a = ((u ^ v) * mul) & M64
+    a ^= a >> 47
+    b = ((v ^ a) * mul) & M64
+    b ^= b >> 47
+    return (b * mul) & M64
+
+
+def _farm_len_0_16(s: bytes) -> int:
+    n = len(s)
+    if n >= 8:
+        mul = (_K2 + n * 2) & M64
+        a = (_f64(s) + _K2) & M64
+        b = _f64(s, n - 8)
+        c = (_rot(b, 37) * mul + a) & M64
+        d = ((_rot(a, 25) + b) * mul) & M64
+        return _farm_h16(c, d, mul)
+    if n >= 4:
+        mul = (_K2 + n * 2) & M64
+        a = _f32(s)
+        return _farm_h16((n + (a << 3)) & M64, _f32(s, n - 4), mul)
+    if n > 0:
+        a, b, c = s[0], s[n >> 1], s[n - 1]
+        y = (a + (b << 8)) & M32
+        z = (n + (c << 2)) & M32
+        return (_shift_mix((y * _K2 ^ z * _K0) & M64) * _K2) & M64
+    return _K2
+
+
+def _farm_len_17_32(s: bytes) -> int:
+    n = len(s)
+    mul = (_K2 + n * 2) & M64
+    a = (_f64(s) * _K1) & M64
+    b = _f64(s, 8)
+    c = (_f64(s, n - 8) * mul) & M64
+    d = (_f64(s, n - 16) * _K2) & M64
+    return _farm_h16(
+        (_rot((a + b) & M64, 43) + _rot(c, 30) + d) & M64,
+        (a + _rot((b + _K2) & M64, 18) + c) & M64,
+        mul,
+    )
+
+
+def _farm_len_33_64(s: bytes) -> int:
+    n = len(s)
+    mul = (_K2 + n * 2) & M64
+    a = (_f64(s) * _K2) & M64
+    b = _f64(s, 8)
+    c = _f64(s, n - 24)
+    d = _f64(s, n - 32)
+    e = (_f64(s, 16) * _K2) & M64
+    f = (_f64(s, 24) * 9) & M64
+    g = _f64(s, n - 8)
+    h = (_f64(s, n - 16) * mul) & M64
+    u = (_rot((a + g) & M64, 43) + (_rot(b, 30) + c) * 9) & M64
+    v = (((a + g) ^ d) + f + 1) & M64
+    w = (int.from_bytes((((u + v) * mul) & M64).to_bytes(8, "little"), "big") + h) & M64
+    x = (_rot((e + f) & M64, 42) + c) & M64
+    y = (
+        (int.from_bytes((((v + w) * mul) & M64).to_bytes(8, "little"), "big") + g)
+        * mul
+    ) & M64
+    z = (e + f + c) & M64
+    a = (
+        int.from_bytes((((x + z) * mul + y) & M64).to_bytes(8, "little"), "big") + b
+    ) & M64
+    b = (_shift_mix(((z + a) * mul + d + h) & M64) * mul) & M64
+    return (b + x) & M64
+
+
+def farm64(s: bytes) -> int:
+    n = len(s)
+    if n <= 16:
+        return _farm_len_0_16(s)
+    if n <= 32:
+        return _farm_len_17_32(s)
+    if n <= 64:
+        return _farm_len_33_64(s)
+    seed = 81
+    x = seed
+    y = (seed * _K1 + 113) & M64
+    z = (_shift_mix((y * _K2 + 113) & M64) * _K2) & M64
+    v = (0, 0)
+    w = (0, 0)
+    x = (x * _K2 + _f64(s)) & M64
+    end = ((n - 1) // 64) * 64
+    last64 = end + ((n - 1) & 63) - 63
+    i = 0
+    while True:
+        x = (_rot((x + y + v[0] + _f64(s, i + 8)) & M64, 37) * _K1) & M64
+        y = (_rot((y + v[1] + _f64(s, i + 48)) & M64, 42) * _K1) & M64
+        x ^= w[1]
+        y = (y + v[0] + _f64(s, i + 40)) & M64
+        z = (_rot((z + w[0]) & M64, 33) * _K1) & M64
+        v = _weak_hash_len32_with_seeds(s, i, (v[1] * _K1) & M64, (x + w[0]) & M64)
+        w = _weak_hash_len32_with_seeds(
+            s, i + 32, (z + w[1]) & M64, (y + _f64(s, i + 16)) & M64
+        )
+        z, x = x, z
+        i += 64
+        if i == end:
+            break
+    mul = (_K1 + ((z & 0xFF) << 1)) & M64
+    i = last64
+    w = ((w[0] + ((n - 1) & 63)) & M64, w[1])
+    v = ((v[0] + w[0]) & M64, v[1])
+    w = ((w[0] + v[0]) & M64, w[1])
+    x = (_rot((x + y + v[0] + _f64(s, i + 8)) & M64, 37) * mul) & M64
+    y = (_rot((y + v[1] + _f64(s, i + 48)) & M64, 42) * mul) & M64
+    x ^= (w[1] * 9) & M64
+    y = (y + v[0] * 9 + _f64(s, i + 40)) & M64
+    z = (_rot((z + w[0]) & M64, 33) * mul) & M64
+    v = _weak_hash_len32_with_seeds(s, i, (v[1] * mul) & M64, (x + w[0]) & M64)
+    w = _weak_hash_len32_with_seeds(
+        s, i + 32, (z + w[1]) & M64, (y + _f64(s, i + 16)) & M64
+    )
+    z, x = x, z
+    return _farm_h16(
+        (_farm_h16(v[0], w[0], mul) + _shift_mix(y) * _K0 + z) & M64,
+        (_farm_h16(v[1], w[1], mul) + x) & M64,
+        mul,
+    )
+
+
+def farm_fingerprint_combine(lo: int, hi: int) -> int:
+    """farmhash Fingerprint(uint128) — like Hash128to64 but 47/44/41 shifts."""
+    a = ((lo ^ hi) * _KMUL) & M64
+    a ^= a >> 47
+    b = ((hi ^ a) * _KMUL) & M64
+    b ^= b >> 44
+    b = (b * _KMUL) & M64
+    b ^= b >> 41
+    return (b * _KMUL) & M64
+
+
 # --- jumpConsistentHash (Lamping & Veach, public algorithm) -----------------
 
 

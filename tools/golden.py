@@ -315,6 +315,10 @@ def _translate_create(stmt: str) -> tuple[str, str]:
             raise ChSqlError(f"unparsed column def: {cdef[:60]}")
         cname = cm.group(1)
         ctype = cm.group(2)
+        if cname.upper() in ("INDEX", "PROJECTION", "CONSTRAINT"):
+            # skip-index / projection / constraint declarations are storage
+            # hints (MergeTreeIndices.h) — no bearing on query results here
+            continue
         dm = re.match(r"(?i)(?:DEFAULT|MATERIALIZED)\s+(.+)$", ctype.strip(), re.DOTALL)
         if dm:
             # typeless `x DEFAULT expr` (ParserCreateQuery: type optional when
@@ -333,7 +337,7 @@ def _translate_create(stmt: str) -> tuple[str, str]:
         else:
             # drop column attributes after the type
             ctype = re.split(
-                r"\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\s", ctype, flags=re.IGNORECASE
+                r"\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\b", ctype, flags=re.IGNORECASE
             )[0]
         if re.match(r"Nullable\s*\(", ctype.strip(), re.IGNORECASE):
             nullable.add(cname.strip("`").lower())
@@ -424,6 +428,10 @@ def _inline_format_rows(fmt: str, payload: str):
     import json
 
     f = fmt.lower()
+    if f in ("jsonasstring", "jsonasobject"):
+        # the whole payload becomes ONE String/Object row
+        # (JSONAsStringRowInputFormat.cpp)
+        return False, [[payload.strip()]]
     if f == "jsoneachrow":
         dec = json.JSONDecoder()
         rows, i, n = [], 0, len(payload)
@@ -593,11 +601,20 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
         if name not in mem_tables:
             raise ChSqlError(f"INSERT into unknown golden table {name!r}")
         target = mem_tables[name]
-        by_name, rows = _inline_format_rows(fmt, payload)
-        if not rows:
-            return
+        if fmt.lower() == "values":
+            selects = " UNION ALL ".join(
+                f"SELECT {row}" for row in _values_rows(payload) if row
+            )
+            src = spark.sql(translate(selects))
+            rows = None
+        else:
+            by_name, rows = _inline_format_rows(fmt, payload)
+            if not rows:
+                return
         null_set0 = (nullable_cols or {}).get(name, set())
-        if by_name:
+        if rows is None:
+            pass  # src already built from the Values payload
+        elif by_name:
             keys_seen = {k.lower() for r in rows for k in r}
             listed0 = [f for f in target.schema.fields if f.name.lower() in keys_seen]
             collist = "(" + ", ".join(f.name for f in listed0) + ")"
@@ -629,7 +646,8 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
                     dt = flds[j].dataType if j < len(flds) and flds[j] else None
                     lits.append(_cast_lit(_sql_lit_of(v), dt) if dt else _sql_lit_of(v))
                 sel.append("SELECT " + ", ".join(lits))
-        src = spark.sql(" UNION ALL ".join(sel))
+        if rows is not None:
+            src = spark.sql(" UNION ALL ".join(sel))
     cl = (collist or "").strip("()").strip()
     star = re.match(r"(?:([A-Za-z_][A-Za-z0-9_]*)\.)?\*(\s|$)", cl)
     colsm = re.match(r"COLUMNS\s*\(\s*'([^']*)'\s*\)", cl, re.IGNORECASE)
