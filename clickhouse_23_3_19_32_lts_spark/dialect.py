@@ -2591,6 +2591,19 @@ def _rewrite_scalar_with(s: str) -> str:
     return head + body
 
 
+_NOAS_ALIAS_STOP = {
+    "from", "where", "prewhere", "group", "by", "having", "order", "limit",
+    "settings", "union", "intersect", "except", "format", "with", "totals",
+    "rollup", "cube", "asc", "desc", "first", "last", "nulls", "day", "days",
+    "month", "months", "year", "years", "hour", "hours", "minute", "minutes",
+    "second", "seconds", "week", "weeks", "quarter", "quarters", "end",
+    "then", "else", "when", "case", "distinct", "all", "interval", "and",
+    "or", "not", "xor", "in", "is", "null", "like", "ilike", "between",
+    "over", "filter", "following", "preceding", "unbounded", "row", "rows",
+    "range", "current",
+}
+
+
 def _expand_aliases_in_groupby(s: str) -> str:
     """ClickHouse resolves GROUP BY and JOIN ON names against SELECT aliases
     with alias precedence (aliases are query-global); Spark prefers source
@@ -2611,7 +2624,12 @@ def _expand_aliases_in_groupby(s: str) -> str:
         for c in re.finditer(r"\bON\b", sb, re.IGNORECASE)
         if _depth_at(s, c.start()) == 0
     ]
-    if gm is None and not onms:
+    wms = [
+        c
+        for c in re.finditer(r"\b(?:PRE)?WHERE\b", sb, re.IGNORECASE)
+        if _depth_at(s, c.start()) == 0
+    ]
+    if gm is None and not onms and not wms:
         return s
     selm = next(
         (
@@ -2643,13 +2661,48 @@ def _expand_aliases_in_groupby(s: str) -> str:
         expr = item[: am.start()].strip()
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name) and expr != name:
             aliases[name] = expr
+    # no-AS alias form: `SELECT expr name` (ParserWithOptionalAlias)
+    for item in _split_top_commas(s[selm.end() : fromm.start()]):
+        if any(
+            _depth_at(item, c.start()) == 0
+            for c in re.finditer(r"\bAS\b", item, re.IGNORECASE)
+        ):
+            continue
+        toks = _tokenize(item)
+        if (
+            len(toks) >= 2
+            and re.fullmatch(r"[A-Za-z_]\w*", toks[-1])
+            and toks[-1].lower() not in _NOAS_ALIAS_STOP
+            and (
+                re.fullmatch(r"[A-Za-z_]\w*|\d+(\.\d+)?|'.*'", toks[-2], re.DOTALL)
+                or toks[-2] in (")", "]")
+            )
+            and toks[-2].lower() not in _NOAS_ALIAS_STOP
+            and not (len(toks) >= 3 and toks[-3] == ".")
+        ):
+            # strip the trailing alias token to recover the expression
+            pos = item.rstrip().rfind(toks[-1])
+            expr = item[:pos].strip()
+            if expr and expr.count("(") == expr.count(")"):
+                aliases.setdefault(toks[-1], expr)
     if not aliases:
         return s
 
     def _expand(clause: str) -> str:
+        # lambda parameters shadow select aliases inside the clause
+        # (ExpressionAnalyzer lambda scope) — never substitute those names
+        lambda_params: set[str] = set()
+        for lm in re.finditer(
+            r"(?:\(([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\)|([A-Za-z_]\w*))\s*->",
+            clause,
+        ):
+            grp = lm.group(1) or lm.group(2)
+            lambda_params.update(p.strip() for p in grp.split(","))
         for name, expr in aliases.items():
+            if name in lambda_params:
+                continue
             clause = re.sub(
-                rf"(?<![A-Za-z0-9_.`]){re.escape(name)}(?![A-Za-z0-9_(])",
+                rf"(?<![A-Za-z0-9_.`]){re.escape(name)}(?![A-Za-z0-9_(.])",
                 lambda _m, e=expr: f"({e})",
                 clause,
             )
@@ -2658,6 +2711,24 @@ def _expand_aliases_in_groupby(s: str) -> str:
     # ON clause extents end at the next top-level join/clause keyword;
     # process right-to-left so replacements don't shift earlier offsets
     spans: list[tuple[int, int]] = []
+    for c in wms:
+        # WHERE/PREWHERE extent: to the next top-level clause keyword.
+        # ClickHouse resolves WHERE names against select aliases
+        # (ExpressionAnalyzer alias columns); Spark cannot.
+        endm = next(
+            (
+                k
+                for k in re.finditer(
+                    r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|UNION"
+                    r"|INTERSECT|WINDOW|FORMAT|WITH\s+TOTALS)\b",
+                    sb[c.end() :],
+                    re.IGNORECASE,
+                )
+                if _depth_at(s, c.end() + k.start()) == 0
+            ),
+            None,
+        )
+        spans.append((c.end(), c.end() + endm.start() if endm else len(s)))
     for c in onms:
         endm = next(
             (
@@ -2691,6 +2762,41 @@ def _expand_aliases_in_groupby(s: str) -> str:
     for a, b in sorted(spans, reverse=True):
         s = s[:a] + _expand(s[a:b]) + s[b:]
     return s
+
+
+def _expand_aliases_scoped(s: str, _guard: int = 0) -> str:
+    """Apply select-alias expansion in every SELECT scope (subqueries
+    included) — ClickHouse aliases resolve per-query, at any nesting."""
+    if _guard > 6:
+        return s
+    s = _expand_aliases_in_groupby(s)
+    blank = _blank_strings(s)
+    out_parts, i, changed = [], 0, False
+    pat = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+    while i < len(blank):
+        m = pat.search(blank, i)
+        if not m:
+            break
+        k, depth = m.start(), 0
+        while k < len(blank):
+            if blank[k] == "(":
+                depth += 1
+            elif blank[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = s[m.start() + 1 : k]
+        fixed = _expand_aliases_scoped(inner, _guard + 1)
+        if fixed != inner:
+            changed = True
+        out_parts.append(s[i : m.start() + 1])
+        out_parts.append(fixed)
+        i = k
+    if not changed:
+        return s
+    out_parts.append(s[i:])
+    return "".join(out_parts)
 
 
 def _rewrite_prewhere_clause(s: str, _guard: int = 0) -> str:
@@ -2886,7 +2992,7 @@ def translate(ch_sql: str) -> str:
         s,
     )
     s = _rewrite_scalar_with(s)
-    s = _expand_aliases_in_groupby(s)
+    s = _expand_aliases_scoped(s)
     s = _rewrite_prewhere_clause(s)
     s = _rewrite_array_join_clause(s)
     s = _inline_expr_aliases(s)
@@ -2913,7 +3019,7 @@ def translate(ch_sql: str) -> str:
     out = re.sub(
         r"\bAS\s+((?:Nullable|LowCardinality|Array|Map|Tuple|FixedString|"
         r"Decimal\d*|DEC|NUMERIC|FIXED|DateTime64|Enum8|Enum16|Enum)"
-        r"\s*\((?:[^()]|\([^()]*\))*\))",
+        r"\s*\((?:[^()]|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))*\))",
         _as_type,
         out,
     )

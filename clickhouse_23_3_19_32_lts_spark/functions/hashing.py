@@ -4,12 +4,17 @@ Reference: src/Functions/FunctionsHashing.h (cityHash64, sipHash64/128,
 halfMD5, MD5, SHA1/224/256, xxHash32/64, farmHash64, intHash32/64,
 murmurHash2/3), registered in FunctionsHashingMisc.cpp.
 
-Fidelity note: these are *semantic* equivalents — stable well-distributed
-hashes of the same arity/width — not bit-identical to ClickHouse's
-implementations (cityHash64 etc. are non-cryptographic C++ hashes Spark
-doesn't ship; any pipeline logic built on hash *values* must use one
-engine's values end-to-end, which holds for dedup/bucketing use).
-Cryptographic hashes (MD5/SHA*) ARE bit-identical.
+Fidelity note — two tiers:
+  - These DataFrame builders are *semantic* equivalents (stable
+    well-distributed JVM-side hashes of the same arity) kept for pipeline
+    hot paths: dedup/bucketing logic only needs one engine's values
+    end-to-end, and xxhash64 stays inside whole-stage codegen at 100 TB.
+  - The SQL dialect renders cityHash64/sipHash64/halfMD5/murmurHash2+3/
+    gccMurmurHash/farmHash64/intHash32+64/javaHash/hiveHash BIT-EXACTLY via
+    the pandas-UDF kernels in functions/chhash.py (validated against the
+    reference's own stateless vectors) — use engine.sql()/ch_sql() when
+    reference-identical values matter.
+Cryptographic hashes (MD5/SHA*) are bit-identical in both tiers.
 """
 
 from __future__ import annotations

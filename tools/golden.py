@@ -129,7 +129,7 @@ def _fmt_top_f32(v) -> str:
 
 def _dt64_scales(stmt: str, schema, dt64_hint: dict[str, dict[str, int]]) -> dict[int, int]:
     """Per-output-column DateTime64 fractional scale (see caller)."""
-    m = re.search(r"(?i)^\s*SELECT\s+(?:DISTINCT\s+)?(.*?)\s+(?:FROM|$)", stmt, re.DOTALL)
+    m = re.search(r"(?i)^\s*SELECT\s+(?:DISTINCT\s+)?(.*?)(?:\s+FROM\b|$)", stmt, re.DOTALL)
     if m is None:
         return {}
     items = _split_top_level_commas(m.group(1))
