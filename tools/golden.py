@@ -736,6 +736,95 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
     mem_tables[name].createOrReplaceTempView(name)
 
 
+def _csv_cell(j, v, fmt_cell) -> str:
+    """CSV output cell (CSVRowOutputFormat): strings/dates double-quoted
+    with \"\" doubling, numerics bare, NULL as \\N."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    import decimal as _dec
+
+    if isinstance(v, (int, float, _dec.Decimal)):
+        return fmt_cell(j, v)
+    s = fmt_cell(j, v) if not isinstance(v, str) else v
+    return '"' + s.replace('"', '""') + '"'
+
+
+def _render_output(ofmt: str, rows, schema, fmt_cell):
+    """Render collected rows in a ClickHouse output format. Returns a list
+    of lines, or None if the format isn't supported (caller falls back to
+    TSV). Reference: src/Processors/Formats/Impl/*RowOutputFormat.cpp."""
+    import json as _json
+
+    names = [f.name for f in schema.fields]
+    low = ofmt.lower()
+    if low in ("tabseparated", "tsv"):
+        return ["\t".join(fmt_cell(j, v) for j, v in enumerate(r)) for r in rows]
+    if low in ("tabseparatedwithnames", "tsvwithnames"):
+        return ["\t".join(names)] + [
+            "\t".join(fmt_cell(j, v) for j, v in enumerate(r)) for r in rows
+        ]
+    if low == "csv":
+        return [
+            ",".join(_csv_cell(j, v, fmt_cell) for j, v in enumerate(r))
+            for r in rows
+        ]
+    if low == "csvwithnames":
+        return ['"' + '","'.join(n.replace('"', '""') for n in names) + '"'] + [
+            ",".join(_csv_cell(j, v, fmt_cell) for j, v in enumerate(r))
+            for r in rows
+        ]
+    if low == "jsoneachrow":
+        out = []
+        for r in rows:
+            obj = {}
+            for j, v in enumerate(r):
+                if v is None:
+                    obj[names[j]] = None
+                elif isinstance(v, bool):
+                    obj[names[j]] = 1 if v else 0
+                elif isinstance(v, int):
+                    # 64-bit ints quote by default
+                    # (output_format_json_quote_64bit_integers)
+                    from pyspark.sql import types as T
+
+                    big = isinstance(schema.fields[j].dataType, (T.LongType, T.DecimalType))
+                    obj[names[j]] = str(v) if big else v
+                elif isinstance(v, float):
+                    obj[names[j]] = v
+                elif isinstance(v, str):
+                    obj[names[j]] = v
+                else:
+                    obj[names[j]] = _json.loads(_json.dumps(v, default=lambda x: fmt_cell(j, x)))
+            out.append(_json.dumps(obj, ensure_ascii=False, separators=(",", ":")))
+        return out
+    if low == "vertical":
+        if not rows:
+            return []
+        width = max(len(n) for n in names)
+        out = []
+        for i, r in enumerate(rows):
+            if i:
+                out.append("")
+            out.append(f"Row {i + 1}:")
+            out.append("─" * 6)
+            for j, v in enumerate(r):
+                pad = " " * (width - len(names[j]) + 1)
+                # Vertical writes values RAW (no TSV escaping) — embedded
+                # newlines continue on their own output lines
+                val = v if isinstance(v, str) else fmt_cell(j, v)
+                out.extend(f"{names[j]}:{pad}{val}".split("\n"))
+        return out
+    if low == "values":
+        return [
+            ",".join(
+                "(" + ",".join(_fmt_nested(v) for v in r) + ")" for r in rows
+            )
+        ] if rows else []
+    return None
+
+
 def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     """Run every statement; compare concatenated formatted output to the
     .reference file. Returns (ok, detail). Handles CREATE TABLE / INSERT /
@@ -900,12 +989,25 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     return v.strftime("%Y-%m-%d %H:%M:%S") + "." + frac
                 return _fmt_top(v)
 
-            blocks.append(
-                (
-                    ["\t".join(_fmt_cell(j, v) for j, v in enumerate(r)) for r in rows],
-                    "ORDER BY" not in up,
+            fmt_m = re.search(r"\bFORMAT\s+([A-Za-z]+)\s*$", stmt, re.IGNORECASE)
+            lines = None
+            if fmt_m and fmt_m.group(1).lower() not in ("tabseparated", "tsv"):
+                lines = _render_output(
+                    fmt_m.group(1), rows, res_df.schema, _fmt_cell
                 )
-            )
+            if lines is not None:
+                # multi-line / headered formats compare strictly in order
+                blocks.append((lines, False))
+            else:
+                blocks.append(
+                    (
+                        [
+                            "\t".join(_fmt_cell(j, v) for j, v in enumerate(r))
+                            for r in rows
+                        ],
+                        "ORDER BY" not in up,
+                    )
+                )
     finally:
         spark.conf.set("spark.sql.storeAssignmentPolicy", prev_policy)
         for name in created:
