@@ -830,8 +830,8 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     .reference file. Returns (ok, detail). Handles CREATE TABLE / INSERT /
     DROP TABLE statements against the Spark session catalog (parquet
     tables), mirroring clickhouse-test's stateful-statement support."""
-    sql_text = open(sql_path).read()
-    want = open(reference_path).read().rstrip("\n")
+    sql_text = open(sql_path, errors="replace").read()
+    want = open(reference_path, errors="replace").read().rstrip("\n")
     # (lines, order_insensitive) per result-producing statement: a SELECT
     # with no top-level ORDER BY has no defined row order in EITHER engine
     # (ClickHouse happens to emit Memory-table insertion order; Spark's
