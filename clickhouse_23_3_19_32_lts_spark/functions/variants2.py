@@ -786,31 +786,32 @@ def windowID(ts, *args) -> Column:
 
 @chfn("jumpConsistentHash")
 def jumpConsistentHash(key, buckets) -> Column:
-    """Lamping-Veach jump hash (consistentHashes.cpp) — exact via pandas UDF
-    (data-dependent loop; not hot-path material)."""
-    @pandas_udf("int")
-    def _jump(k: pd.Series, n: pd.Series) -> pd.Series:
-        def one(key_v, num):
-            if num is None or num <= 0:
-                return 0
-            k64 = int(key_v) & 0xFFFFFFFFFFFFFFFF
-            b, j = -1, 0
-            while j < num:
-                b = j
-                k64 = (k64 * 2862933555777941757 + 1) & 0xFFFFFFFFFFFFFFFF
-                j = int((b + 1) * (float(1 << 31) / float((k64 >> 33) + 1)))
-            return b
+    """Lamping-Veach jump hash (consistentHashes.cpp) — exact via the
+    session-registered chhash kernel (data-dependent loop; not hot-path
+    material). The registered name keeps the SQL rendering resolvable."""
+    from pyspark.sql import SparkSession
 
-        return pd.Series([one(a, c) for a, c in zip(k, n)])
+    from clickhouse_23_3_19_32_lts_spark.functions.chhash import register_hash_udfs
 
-    return _jump(col(key).cast("long"), col(buckets).cast("int"))
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        register_hash_udfs(spark)
+    return F.call_function(
+        "ch_jumpconsistenthash", col(key).cast("long"), col(buckets).cast("int")
+    )
 
 
 @chfn("kostikConsistentHash", "yandexConsistentHash")
-def kostikConsistentHash(key, buckets) -> Column:
+def kostikConsistentHash(key, buckets: int = 32768) -> Column:
     """Stand-in: jump hash has the same contract (stable, minimal-movement
-    bucket assignment); values differ from the reference's algorithm
+    bucket assignment). The reference caps buckets at 32768
+    (consistentHashing.h) — enforce the same bound.
+    Values differ from the reference's algorithm
     (documented, consistent with the hashing-module fidelity note)."""
+    if isinstance(buckets, int) and not (0 < buckets <= 32768):
+        raise ValueError(
+            f"kostikConsistentHash: buckets must be in (0, 32768], got {buckets}"
+        )
     return jumpConsistentHash(key, buckets)
 
 
