@@ -2999,6 +2999,15 @@ def translate(ch_sql: str) -> str:
     s = _hoist_nested_array_join(s)
     s = _rewrite_totals_clause(s)
     s = _rewrite_limit_by_clause(s)
+    # LIMIT offset, count (ParserSelectQuery short form) → LIMIT n OFFSET o
+    blank3 = _blank_strings(s)
+    s = re.sub(
+        r"\bLIMIT\s+(\d+)\s*,\s*(\d+)",
+        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}"
+        if blank3[m.start() : m.end()] == m.group(0)
+        else m.group(0),
+        s,
+    )
     s = _rewrite_with_fill_clause(s)
     if "ARRAY JOIN" in _blank_strings(s).upper():
         raise ChSqlError(
