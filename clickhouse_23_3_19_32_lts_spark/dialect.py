@@ -1470,6 +1470,28 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             out.append(f"CAST('{lit}' AS DOUBLE)")
             i += 1
             continue
+        if (
+            t.lower() == "system"
+            and i + 2 < len(tokens)
+            and tokens[i + 1] == "."
+            and tokens[i + 2].lower() in ("numbers", "numbers_mt", "one", "zeros")
+            and (i + 3 >= len(tokens) or tokens[i + 3] != "(")
+            and (not out or out[-1] != ".")
+        ):
+            # system.numbers / system.one / system.zeros virtual tables
+            # (StorageSystemNumbers.cpp, StorageSystemOne.cpp). ClickHouse's
+            # system.numbers is an unbounded stream consumed lazily under
+            # LIMIT; Spark needs a bound — 1e8 rows covers every golden
+            # test's LIMIT and stays lazy under CollectLimit.
+            nm = tokens[i + 2].lower()
+            if nm == "one":
+                out.append("(SELECT CAST(0 AS INT) AS dummy)")
+            elif nm == "zeros":
+                out.append("(SELECT CAST(0 AS INT) AS zero FROM range(100000000))")
+            else:
+                out.append("(SELECT id AS number FROM range(100000000))")
+            i += 3
+            continue
         if t == "/" and out and i + 1 < len(tokens):
             # division by a LITERAL zero: ClickHouse '/' is IEEE float
             # division (0/0 = nan, x/0 = ±inf — DivisionUtils.h); Spark
@@ -1981,6 +2003,20 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             out.append(
                 f"(SELECT CAST(0 AS INT) AS zero FROM range({arg_sql[0]}))"
             )
+            i = close + 1
+            continue
+
+        if t in ("sleep", "sleepEachRow") and len(arg_sql) == 1:
+            # sleep()/sleepEachRow() (src/Functions/sleep.h) return UInt8 0;
+            # the wall-clock delay is irrelevant to batch output.
+            out.append("0")
+            i = close + 1
+            continue
+
+        if t == "currentDatabase" and not arg_sql:
+            # currentDatabase() (src/Functions/currentDatabase.cpp) — the
+            # engine has a single flat namespace; ClickHouse's default db.
+            out.append("'default'")
             i = close + 1
             continue
 

@@ -403,3 +403,28 @@ def test_sql_state_merge_combinators(spark):
         assert r["s"] == d["s"]
         assert abs(r["a"] - d["a"]) < 1e-9
         assert abs(r["u"] - d["ue"]) / d["ue"] < 0.05  # HLL estimate
+
+
+def test_system_virtual_tables(spark):
+    """system.numbers / system.one / system.zeros virtual tables
+    (StorageSystemNumbers.cpp, StorageSystemOne.cpp) map to bounded lazy
+    ranges; currentDatabase() and sleep() are constants for batch output."""
+    rows = spark.sql(
+        translate("SELECT number FROM system.numbers LIMIT 3")
+    ).collect()
+    assert [r["number"] for r in rows] == [0, 1, 2]
+    rows = spark.sql(translate("SELECT dummy FROM system.one")).collect()
+    assert [r["dummy"] for r in rows] == [0]
+    rows = spark.sql(
+        translate("SELECT count() AS c FROM (SELECT zero FROM system.zeros LIMIT 10)")
+    ).collect()
+    assert rows[0]["c"] == 10
+    rows = spark.sql(
+        translate("SELECT currentDatabase() AS db, sleep(0) AS s")
+    ).collect()
+    assert (rows[0]["db"], rows[0]["s"]) == ("default", 0)
+    # numbers_mt is the multithreaded variant — same row set
+    rows = spark.sql(
+        translate("SELECT sum(number) AS s FROM (SELECT number FROM system.numbers_mt LIMIT 5)")
+    ).collect()
+    assert rows[0]["s"] == 10

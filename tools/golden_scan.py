@@ -25,8 +25,9 @@ BASE = "/root/reference/tests/queries/0_stateless"
 _SKIP = re.compile(
     r"\b(CREATE\s+(?:MATERIALIZED|LIVE|WINDOW)?\s*(?:DATABASE|VIEW|DICTIONARY|"
     r"FUNCTION|USER|ROLE|QUOTA|POLICY)|ALTER|ATTACH|DETACH|OPTIMIZE|TRUNCATE|"
-    r"RENAME|SYSTEM|KILL|GRANT|REVOKE|SHOW|DESCRIBE|DESC\s|USE\s|WATCH|"
-    r"remote|cluster\(|file\(|url\(|currentDatabase|sleep|system\.)\b",
+    r"RENAME|SYSTEM\s|KILL|GRANT|REVOKE|SHOW|DESCRIBE|(?m:^\s*DESC\s)|USE\s|"
+    r"WATCH|remote|cluster\(|file\(|url\(|"
+    r"system\.(?!numbers\b|numbers_mt\b|one\b|zeros\b))",
     re.IGNORECASE,
 )
 
