@@ -329,6 +329,32 @@ TEMPLATES: dict[str, str] = {
 # SQL-standard `position(needle IN haystack)` single-arg form, which Spark
 # accepts verbatim with needle-first semantics on both sides).
 ARITY_TEMPLATES: dict[str, dict[int, str]] = {
+    # multi-array form counts distinct TUPLES of parallel elements
+    # (arrayUniq.cpp: "if multiple arguments, counts unique tuples")
+    "arrayUniq": {
+        2: "size(array_distinct(arrays_zip({0}, {1})))",
+        3: "size(array_distinct(arrays_zip({0}, {1}, {2})))",
+    },
+    # multi-arg uniq* count distinct tuples (IAggregateFunction uniq.h);
+    # Spark's approx_count_distinct reads arg 2 as rsd, so pack a struct
+    "uniq": {
+        2: "approx_count_distinct(struct({0}, {1}))",
+        3: "approx_count_distinct(struct({0}, {1}, {2}))",
+        4: "approx_count_distinct(struct({0}, {1}, {2}, {3}))",
+    },
+    "uniqExact": {
+        2: "count(DISTINCT {0}, {1})",
+        3: "count(DISTINCT {0}, {1}, {2})",
+        4: "count(DISTINCT {0}, {1}, {2}, {3})",
+    },
+    "uniqHLL12": {
+        2: "approx_count_distinct(struct({0}, {1}))",
+        3: "approx_count_distinct(struct({0}, {1}, {2}))",
+    },
+    "uniqCombined": {
+        2: "approx_count_distinct(struct({0}, {1}))",
+        3: "approx_count_distinct(struct({0}, {1}, {2}))",
+    },
     # default precision 12 (geohashEncode.cpp); the 3-arg form resolves to
     # the registered SQL pandas UDF (functions/sql_udfs.py)
     "geohashEncode": {2: "geohashEncode({0}, {1}, 12)"},
@@ -1578,7 +1604,13 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 if len(inner_sql) != 1:
                     raise ChSqlError("subscript needs one index")
                 base = out.pop()
-                out.append(f"element_at({base}, {inner_sql[0]})")
+                if _SAFE_SUBSCRIPT:
+                    idx = inner_sql[0]
+                    out.append(
+                        f"(CASE WHEN ({idx}) <> 0 THEN try_element_at({base}, CAST({idx} AS INT)) END)"
+                    )
+                else:
+                    out.append(f"element_at({base}, {inner_sql[0]})")
             else:
                 out.append(f"array({', '.join(inner_sql)})")
             i = close + 1
@@ -2032,10 +2064,24 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
-        if t == "transform" and len(arg_sql) == 4:
-            # transform(x, [f...], [t...], d) → element_at(map(...), x) default
+        if _SAFE_SUBSCRIPT and t == "arrayElement" and len(arg_sql) == 2:
             out.append(
-                f"coalesce(element_at(map_from_arrays({arg_sql[1]}, {arg_sql[2]}), {arg_sql[0]}), {arg_sql[3]})"
+                f"(CASE WHEN ({arg_sql[1]}) <> 0 THEN try_element_at({arg_sql[0]}, CAST({arg_sql[1]} AS INT)) END)"
+            )
+            i = close + 1
+            continue
+
+        if (
+            t == "transform"
+            and len(arg_sql) in (3, 4)
+            and not any("->" in a for a in arg_sql)
+        ):
+            # transform(x, [f...], [t...][, d]) → element_at(map(...), x);
+            # the 3-arg form keeps x itself on no match
+            # (src/Functions/transform.cpp: default = first argument)
+            dflt = arg_sql[3] if len(arg_sql) == 4 else arg_sql[0]
+            out.append(
+                f"coalesce(element_at(map_from_arrays({arg_sql[1]}, {arg_sql[2]}), {arg_sql[0]}), {dflt})"
             )
             i = close + 1
             continue
@@ -2280,6 +2326,23 @@ def _strip_block_comments(s: str) -> str:
 
 _FORMAT_TAIL = re.compile(r"\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$", re.IGNORECASE)
 _SETTINGS_TAIL = re.compile(r"\bSETTINGS\s+[^;]+;?\s*$", re.IGNORECASE)
+# SETTINGS clause at any depth (ParserSelectQuery allows it per (sub)query;
+# all settings are execution knobs with no Spark analogue — drop them).
+_SETTINGS_ANY = re.compile(
+    r"\bSETTINGS\s+\w+\s*=\s*(?:'[^']*'|[\w.+-]+)"
+    r"(?:\s*,\s*\w+\s*=\s*(?:'[^']*'|[\w.+-]+))*",
+    re.IGNORECASE,
+)
+
+
+def _strip_settings(s: str) -> str:
+    blank = _blank_strings(s)
+    out, pos = [], 0
+    for m in _SETTINGS_ANY.finditer(blank):
+        out.append(s[pos : m.start()])
+        pos = m.end()
+    out.append(s[pos:])
+    return "".join(out)
 
 
 
@@ -2982,12 +3045,85 @@ def _rewrite_array_join_clause(s: str, _guard: int = 0) -> str:
     return _rewrite_array_join_clause(new, _guard + 1)
 
 
-def translate(ch_sql: str) -> str:
+_FROMLESS_STOP_RE = re.compile(
+    r"(?i)\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION|"
+    r"INTERSECT|EXCEPT|WITH\s+TOTALS|SETTINGS|ANY\s+LEFT\s+JOIN|LEFT\s+JOIN|"
+    r"JOIN)\b"
+)
+
+
+def _rewrite_fromless_dummy(s: str) -> str:
+    """Insert `FROM (SELECT CAST(0 AS INT) AS dummy)` into every SELECT
+    scope (top level or subquery) that references dummy but has no FROM of
+    its own. Processes scopes right-to-left so insert offsets stay valid."""
+    blank = _blank_strings(s)
+    depth = []
+    d = 0
+    for c in blank:
+        if c == "(":
+            d += 1
+            depth.append(d)
+        elif c == ")":
+            depth.append(d)
+            d -= 1
+        else:
+            depth.append(d)
+    inserts = []  # (pos, text)
+    for m in re.finditer(r"(?i)\bSELECT\b", blank):
+        p = m.start()
+        dsel = depth[p]
+        # scope end: the first `)` at this depth closes the scope (a `)`
+        # carries its inside depth here); top level runs to end of string
+        q = len(s)
+        if dsel > 0:
+            for k in range(m.end(), len(s)):
+                if blank[k] == ")" and depth[k] == dsel:
+                    q = k
+                    break
+        seg = blank[p:q]
+        # top-level (same depth) FROM / dummy occurrences within the scope
+        has_from = any(
+            depth[p + fm.start()] == dsel
+            for fm in re.finditer(r"(?i)\bFROM\b", seg)
+        )
+        if has_from or not re.search(r"(?i)\bdummy\b", seg):
+            continue
+        ins_at = q
+        for fm in _FROMLESS_STOP_RE.finditer(seg):
+            if depth[p + fm.start()] == dsel:
+                ins_at = p + fm.start()
+                break
+        inserts.append((ins_at, " FROM (SELECT CAST(0 AS INT) AS dummy) "))
+    for pos, txt in sorted(inserts, reverse=True):
+        s = s[:pos] + txt + s[pos:]
+    return s
+
+
+_SAFE_SUBSCRIPT = False
+
+
+def translate(ch_sql: str, safe_subscript: bool = False) -> str:
     """ClickHouse SQL → Spark SQL. Raises ChSqlError on constructs that need
     the library operators instead (INTERPOLATE, multi-column WITH FILL,
-    bare ARRAY JOIN clause)."""
+    bare ARRAY JOIN clause).
+
+    safe_subscript renders arr[i] with a zero/out-of-range guard returning
+    NULL (ClickHouse returns the type default there — ArrayElement.cpp);
+    it is a retry mode because the guard's `idx <> 0` comparison would
+    break string-keyed Map subscripts, which share this syntax."""
+    global _SAFE_SUBSCRIPT
+    prev = _SAFE_SUBSCRIPT
+    _SAFE_SUBSCRIPT = safe_subscript
+    try:
+        return _translate_impl(ch_sql)
+    finally:
+        _SAFE_SUBSCRIPT = prev
+
+
+def _translate_impl(ch_sql: str) -> str:
     s = _strip_block_comments(ch_sql).strip().rstrip(";")
     s = _FORMAT_TAIL.sub("", s)
+    s = _strip_settings(s)
     s = _SETTINGS_TAIL.sub("", s)
     # join strictness/locality prefixes: ALL JOIN ≡ JOIN exactly; GLOBAL is a
     # Distributed locality hint (Spark plans shuffles itself); ANY JOIN picks
@@ -3009,14 +3145,11 @@ def translate(ch_sql: str) -> str:
         flags=re.IGNORECASE,
     )
     # FROM-less `dummy` is system.one's single UInt8-zero column
-    # (StorageSystemOne.cpp) — give it a real FROM so GROUP BY dummy works
-    if re.search(r"(?i)\bdummy\b", s) and not re.search(r"(?i)\bfrom\b", s):
-        m = re.search(
-            r"(?i)\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WITH\s+TOTALS)\b",
-            s,
-        )
-        ins = " FROM (SELECT CAST(0 AS INT) AS dummy) "
-        s = (s[: m.start()] + ins + s[m.start() :]) if m else s + ins
+    # (StorageSystemOne.cpp; every FROM-less SELECT implicitly reads
+    # system.one) — give each such SELECT scope a real FROM, subqueries
+    # included, so GROUP BY dummy / USING dummy resolve
+    if re.search(r"(?i)\bdummy\b", s):
+        s = _rewrite_fromless_dummy(s)
     # 0xDEADBEEF integer literals (ParserNumber accepts hex; Spark doesn't).
     # Only outside string literals — match positions against the blanked copy
     blank = _blank_strings(s)

@@ -536,6 +536,39 @@ def _sql_default_lit(dt) -> str:
     return "0"
 
 
+def _null_producer_free(stmt: str, nullable_cols: dict) -> bool:
+    """True when the statement cannot legitimately produce NULL in ClickHouse:
+    no NULL-producing construct in its text (NULL literal, nullIf, *OrNull,
+    Nullable casts — all contain 'null') and no Nullable column declared in
+    any table it could read. Under the reference defaults (join_use_nulls=0,
+    src/Core/Settings.h) ClickHouse fills outer-join misses, out-of-range
+    arr[i], and empty-set aggregates with TYPE DEFAULTS where Spark yields
+    NULL; when this predicate holds, every NULL in the Spark result is such
+    a site and must render as the default, not \\N."""
+    if any(nullable_cols.values()):
+        return False
+    return not re.search(r"null", stmt, re.IGNORECASE)
+
+
+def _fill_null_defaults(df):
+    """coalesce() every nullable output column with its ClickHouse type
+    default (see _null_producer_free). Columns are addressed by ordinal so
+    duplicate output names are safe."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    fields = df.schema.fields
+    tmp = df.toDF(*[f"__c{i}" for i in range(len(fields))])  # positional —
+    # uniquified names sidestep duplicate/ambiguous output columns
+    cols = []
+    for i, f in enumerate(fields):
+        c = tmp[f"__c{i}"]
+        if f.nullable and not isinstance(f.dataType, (T.NullType, T.BinaryType)):
+            c = F.coalesce(c, _type_default(f.dataType))
+        cols.append(c.alias(f.name))
+    return tmp.select(*cols)
+
+
 def _type_default(dt):
     """ClickHouse default value for a type (addMissingDefaults.cpp)."""
     from pyspark.sql import functions as F
@@ -959,20 +992,49 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 )
 
                 parsed = parse_fill_query(stmt)
-                if parsed is not None:
-                    res_df = apply_fill(spark, parsed)
-                else:
-                    res_df = spark.sql(translate(stmt))
+
+                def _build(safe: bool = False):
+                    if parsed is not None:
+                        df = apply_fill(spark, parsed)
+                    else:
+                        df = spark.sql(translate(stmt, safe_subscript=safe))
+                    if _null_producer_free(stmt, nullable_cols):
+                        try:
+                            df = _fill_null_defaults(df)
+                        except Exception:  # noqa: BLE001 — keep unwrapped
+                            pass
+                    return df
+
+                def _subscript_err(ex) -> bool:
+                    s = str(ex)
+                    return "INVALID_INDEX_OF_ZERO" in s or (
+                        "DATATYPE_MISMATCH" in s and "element_at" in s
+                    )
+
+                try:
+                    res_df = _build()
+                except Exception as ex:  # noqa: BLE001
+                    if not _subscript_err(ex):
+                        raise
+                    res_df = _build(safe=True)
                 if re.search(r"\bFORMAT\s+Null\b", stmt, re.IGNORECASE):
                     res_df.collect()  # execute for effects; output discarded
                     continue
+                try:
+                    rows = res_df.collect()
+                except Exception as ex:
+                    # arr[i] hit index 0 at runtime — ClickHouse returns the
+                    # type default there; retry with the guarded subscript
+                    if not _subscript_err(ex):
+                        raise
+                    res_df = _build(safe=True)
+                    rows = res_df.collect()
                 f32_cols = _float32_positions(res_df.schema)
                 # DateTime64(N) renders with N fractional digits; Spark's
                 # schema can't carry the scale, so recover it per column:
                 # an inline toDateTime64(..., N) in the item, or a bare
                 # reference to a created DateTime64(N) column
                 ts_scales = _dt64_scales(stmt, res_df.schema, dt64_hint)
-                rows = res_df.collect()
             except ChSqlError as ex:
                 return False, f"translate error: {ex}"
             except Exception as ex:  # noqa: BLE001 — report engine errors as diffs
