@@ -296,7 +296,8 @@ TEMPLATES: dict[str, str] = {
     "countDistinct": "count(DISTINCT {0})",
     "uniqExact": "count(DISTINCT {0})",
     "avgWeighted": "(sum({0} * {1}) / sum({1}))",
-    "countIf": "count_if({0})",
+    # countIf counts non-zero (AggregateFunctionIf); CAST covers numeric args
+    "countIf": "count_if(CAST(({0}) AS BOOLEAN))",
     "sumIf": "sum(CASE WHEN {1} THEN {0} END)",
     "avgIf": "avg(CASE WHEN {1} THEN {0} END)",
     "minIf": "min(CASE WHEN {1} THEN {0} END)",
@@ -616,9 +617,21 @@ PARAMETRIC: dict[str, str] = {
     # k MOST FREQUENT values (AggregateFunctionTopK.h), most-frequent first,
     # value-ascending tiebreak; exact (the reference's space-saving sketch is
     # an approximation of this same ordering)
+    # count-desc, first-seen tiebreak (space-saving keeps insertion order
+    # for equal counts — AggregateFunctionTopK.h)
     "topK": (
         "transform(slice(array_sort(transform(array_distinct(collect_list({a0})),"
-        " v -> struct(-size(filter(collect_list({a0}), y -> y = v)) AS neg, v AS val))),"
+        " v -> struct(-size(filter(collect_list({a0}), y -> y = v)) AS neg,"
+        " array_position(collect_list({a0}), v) AS pos, v AS val))),"
+        " 1, {p0}), s -> s.val)"
+    ),
+    # weight-sum-desc, first-seen tiebreak (AggregateFunctionTopK.h weighted)
+    "topKWeighted": (
+        "transform(slice(array_sort(transform("
+        "array_distinct(collect_list({a0})),"
+        " v -> struct(-aggregate(filter(collect_list(named_struct('x', {a0}, 'w', CAST({a1} AS DOUBLE))),"
+        " __p -> __p.x = v), CAST(0 AS DOUBLE), (__s, __p) -> __s + __p.w) AS neg,"
+        " array_position(collect_list({a0}), v) AS pos, v AS val))),"
         " 1, {p0}), s -> s.val)"
     ),
     "groupArraySample": "slice(collect_list({a0}), 1, {p0})",
@@ -1768,6 +1781,80 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close2 + 1
             continue
 
+        # Exponential-decay window family (WindowTransform.cpp):
+        #   exponentialMovingAverage(hl)(v,t)   = Σ v·2^(-(tc-ti)/hl)·(1-2^(-1/hl))
+        #   exponentialTimeDecayedSum(λ)(v,t)   = Σ v·e^(-(tc-ti)/λ)
+        #   exponentialTimeDecayedCount(λ)(t)   = Σ e^(-(tc-ti)/λ)
+        #   exponentialTimeDecayedAvg(λ)(v,t)   = decayedSum / decayedCount
+        #   exponentialTimeDecayedMax(λ)(v,t)   = max(v·e^(-(tc-ti)/λ))
+        # Factored as (agg(·e^(t/λ)) [OVER w]) · e^(-tc/λ) so the window
+        # attaches to the inner aggregate; plain-agg form uses max(t).
+        if (
+            t in (
+                "exponentialMovingAverage",
+                "exponentialTimeDecayedSum",
+                "exponentialTimeDecayedCount",
+                "exponentialTimeDecayedAvg",
+                "exponentialTimeDecayedMax",
+            )
+            and close + 1 < len(tokens)
+            and tokens[close + 1] == "("
+            and len(arg_sql) == 1
+        ):
+            close2 = _find_call_end(tokens, close + 1)
+            args2 = [_rewrite(a) for a in _split_args(tokens[close + 2 : close2])]
+            nargs = 1 if t == "exponentialTimeDecayedCount" else 2
+            if len(args2) == nargs:
+                lam = f"CAST({arg_sql[0]} AS DOUBLE)"
+                t_raw = args2[-1]
+                tm = f"CAST({t_raw} AS DOUBLE)"
+                v = f"CAST({args2[0]} AS DOUBLE)" if nargs == 2 else None
+                j = close2 + 1
+                over_sql = ""
+                if j + 1 < len(tokens) and tokens[j].lower() == "over":
+                    if tokens[j + 1] == "(":
+                        close3 = _find_call_end(tokens, j + 1)
+                        over_sql = (
+                            " OVER (" + _rewrite(tokens[j + 2 : close3]) + ")"
+                        )
+                        j = close3 + 1
+                    elif re.fullmatch(r"[A-Za-z_]\w*", tokens[j + 1]):
+                        over_sql = f" OVER {tokens[j + 1]}"  # named window
+                        j += 2
+                # reference time = time of the LAST row in the frame
+                # (WindowTransform.cpp: back_t at prevRowNumber(frame_end));
+                # dividing by grow(back_t) rather than multiplying by its
+                # inverse keeps x == 1.0 exact when the sum is one term
+                back_t = (
+                    f"CAST(last({t_raw}){over_sql} AS DOUBLE)"
+                    if over_sql
+                    else f"CAST(max({t_raw}) AS DOUBLE)"
+                )
+                if t == "exponentialMovingAverage":
+                    grow = f"pow(2.0, {tm} / {lam})"
+                    denom = f"pow(2.0, {back_t} / {lam})"
+                    expr = (
+                        f"((sum({v} * {grow}){over_sql})"
+                        f" / {denom} * (1 - pow(2.0, -1.0 / {lam})))"
+                    )
+                else:
+                    grow = f"exp({tm} / {lam})"
+                    denom = f"exp({back_t} / {lam})"
+                    if t == "exponentialTimeDecayedSum":
+                        expr = f"((sum({v} * {grow}){over_sql}) / {denom})"
+                    elif t == "exponentialTimeDecayedCount":
+                        expr = f"((sum({grow}){over_sql}) / {denom})"
+                    elif t == "exponentialTimeDecayedMax":
+                        expr = f"((max({v} * {grow}){over_sql}) / {denom})"
+                    else:  # Avg — the decay-to-back_t factor cancels
+                        expr = (
+                            f"((sum({v} * {grow}){over_sql})"
+                            f" / (sum({grow}){over_sql}))"
+                        )
+                out.append(expr)
+                i = j
+                continue
+
         # generic parametric aggregate f(params)(args): ClickHouse library
         # builders take (params..., args...) positionally — route the
         # flattened call through the registry bridge (windowFunnel,
@@ -2324,7 +2411,9 @@ def _strip_block_comments(s: str) -> str:
     return "".join(out)
 
 
-_FORMAT_TAIL = re.compile(r"\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$", re.IGNORECASE)
+_FORMAT_TAIL = re.compile(
+    r"\bFORMAT\s+`?[A-Za-z][A-Za-z0-9]*`?\s*;?\s*$", re.IGNORECASE
+)
 _SETTINGS_TAIL = re.compile(r"\bSETTINGS\s+[^;]+;?\s*$", re.IGNORECASE)
 # SETTINGS clause at any depth (ParserSelectQuery allows it per (sub)query;
 # all settings are execution knobs with no Spark analogue — drop them).
@@ -3099,10 +3188,81 @@ def _rewrite_fromless_dummy(s: str) -> str:
     return s
 
 
+def _inline_select_aliases_fn(s: str) -> str:
+    """Macro-substitute each top-level select-item alias into the OTHER
+    items of the same SELECT list. ClickHouse lets any select item (e.g. a
+    window expression) reference a sibling alias; Spark rejects lateral
+    alias references inside window expressions
+    (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW), so this runs as a
+    retry mode only."""
+    toks = _tokenize(s)
+    out_parts: list[str] = []
+    i = 0
+    n = len(toks)
+    stop = {"from", "where", "group", "having", "order", "limit", "union",
+            "intersect", "except", "settings", "window"}
+    while i < n:
+        if toks[i].lower() != "select":
+            out_parts.append(toks[i])
+            i += 1
+            continue
+        out_parts.append(toks[i])
+        i += 1
+        # collect the select list: items at depth 0 until a stop keyword
+        items: list[list[str]] = [[]]
+        depth = 0
+        while i < n:
+            t = toks[i]
+            if t in ("(", "["):
+                depth += 1
+            elif t in (")", "]"):
+                if depth == 0:
+                    break  # closing an enclosing subquery
+                depth -= 1
+            if depth == 0 and t.lower() in stop:
+                break
+            if depth == 0 and t == ",":
+                items.append([])
+            else:
+                items[-1].append(t)
+            i += 1
+        aliases: dict[str, list[str]] = {}
+        for it in items:
+            if (
+                len(it) >= 3
+                and it[-2].lower() == "as"
+                and re.fullmatch(r"[A-Za-z_]\w*", it[-1])
+            ):
+                aliases[it[-1]] = it[:-2]
+        new_items = []
+        for it in items:
+            own = it[-1] if len(it) >= 3 and it[-2].lower() == "as" else None
+            rewritten: list[str] = []
+            for k, t in enumerate(it):
+                prev = it[k - 1] if k else ""
+                nxt = it[k + 1] if k + 1 < len(it) else ""
+                if (
+                    t in aliases
+                    and t != own
+                    and prev != "."
+                    and prev.lower() != "as"
+                    and nxt != "("
+                ):
+                    rewritten += ["("] + aliases[t] + [")"]
+                else:
+                    rewritten.append(t)
+            new_items.append(" ".join(rewritten))
+        out_parts.append(", ".join(new_items))
+    return " ".join(out_parts)
+
+
 _SAFE_SUBSCRIPT = False
+_INLINE_SELECT_ALIASES = False
 
 
-def translate(ch_sql: str, safe_subscript: bool = False) -> str:
+def translate(
+    ch_sql: str, safe_subscript: bool = False, inline_aliases: bool = False
+) -> str:
     """ClickHouse SQL → Spark SQL. Raises ChSqlError on constructs that need
     the library operators instead (INTERPOLATE, multi-column WITH FILL,
     bare ARRAY JOIN clause).
@@ -3110,14 +3270,18 @@ def translate(ch_sql: str, safe_subscript: bool = False) -> str:
     safe_subscript renders arr[i] with a zero/out-of-range guard returning
     NULL (ClickHouse returns the type default there — ArrayElement.cpp);
     it is a retry mode because the guard's `idx <> 0` comparison would
-    break string-keyed Map subscripts, which share this syntax."""
-    global _SAFE_SUBSCRIPT
-    prev = _SAFE_SUBSCRIPT
+    break string-keyed Map subscripts, which share this syntax.
+    inline_aliases macro-expands sibling select-item aliases (retry mode
+    for Spark's lateral-alias-in-window restriction)."""
+    global _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES
+    prev, prev2 = _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES
     _SAFE_SUBSCRIPT = safe_subscript
+    _INLINE_SELECT_ALIASES = inline_aliases
     try:
         return _translate_impl(ch_sql)
     finally:
         _SAFE_SUBSCRIPT = prev
+        _INLINE_SELECT_ALIASES = prev2
 
 
 def _translate_impl(ch_sql: str) -> str:
@@ -3162,6 +3326,8 @@ def _translate_impl(ch_sql: str) -> str:
     )
     s = _rewrite_scalar_with(s)
     s = _expand_aliases_scoped(s)
+    if _INLINE_SELECT_ALIASES:
+        s = _inline_select_aliases_fn(s)
     s = _rewrite_prewhere_clause(s)
     s = _rewrite_array_join_clause(s)
     s = _inline_expr_aliases(s)

@@ -130,11 +130,16 @@ def formatReadableTimeDelta(x) -> Column:
 
 @chfn("bar")
 def bar(x, lo, hi, width: int = 80) -> Column:
-    """Unicode bar chart (bar.cpp) — full blocks only (eighth-blocks omitted)."""
+    """Unicode bar chart (bar.cpp / UnicodeBar.h): full blocks plus one
+    trailing eighth-block for the fractional remainder (▏…▉)."""
     c = col(x).cast("double")
     frac = F.greatest(F.least((c - lo) / (hi - lo), F.lit(1.0)), F.lit(0.0))
-    n = (frac * width).cast("int")
-    return F.repeat(F.lit("█"), n)
+    eighths = F.floor(frac * width * 8).cast("int")
+    partials = F.array(*[F.lit(s) for s in ["", "▏", "▎", "▍", "▌", "▋", "▊", "▉"]])
+    return F.concat(
+        F.repeat(F.lit("█"), (eighths / 8).cast("int")),
+        F.element_at(partials, eighths % 8 + 1),
+    )
 
 
 @chfn("runningDifference")

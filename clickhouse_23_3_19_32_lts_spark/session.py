@@ -81,7 +81,9 @@ def get_spark(
     confs = dict(DEFAULT_CONFS)
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if master.startswith("local"):
-        confs.setdefault("spark.driver.memory", "48g")
+        confs.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
         confs.setdefault("spark.ui.enabled", "false")
     if extra_confs:
         confs.update(extra_confs)

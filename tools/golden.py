@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+import os
 import re
 
 from clickhouse_23_3_19_32_lts_spark.dialect import (
@@ -993,11 +994,15 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
 
                 parsed = parse_fill_query(stmt)
 
-                def _build(safe: bool = False):
+                def _build(safe: bool = False, inline: bool = False):
                     if parsed is not None:
                         df = apply_fill(spark, parsed)
                     else:
-                        df = spark.sql(translate(stmt, safe_subscript=safe))
+                        df = spark.sql(
+                            translate(
+                                stmt, safe_subscript=safe, inline_aliases=inline
+                            )
+                        )
                     if _null_producer_free(stmt, nullable_cols):
                         try:
                             df = _fill_null_defaults(df)
@@ -1014,10 +1019,13 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 try:
                     res_df = _build()
                 except Exception as ex:  # noqa: BLE001
-                    if not _subscript_err(ex):
+                    if _subscript_err(ex):
+                        res_df = _build(safe=True)
+                    elif "LATERAL_COLUMN_ALIAS_IN_WINDOW" in str(ex):
+                        res_df = _build(inline=True)
+                    else:
                         raise
-                    res_df = _build(safe=True)
-                if re.search(r"\bFORMAT\s+Null\b", stmt, re.IGNORECASE):
+                if re.search(r"\bFORMAT\s+`?Null`?(\s|;|$)", stmt, re.IGNORECASE):
                     res_df.collect()  # execute for effects; output discarded
                     continue
                 try:
@@ -1093,4 +1101,5 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
             want2 += sorted(ref) if unordered else ref
         if got2 == want2:
             return True, "ok"
-    return False, f"mismatch:\n--got--\n{got[:2000]}\n--want--\n{want[:2000]}"
+    lim = int(os.environ.get("GOLDEN_DIFF_LIMIT", "2000"))
+    return False, f"mismatch:\n--got--\n{got[:lim]}\n--want--\n{want[:lim]}"

@@ -30,6 +30,7 @@ def main() -> None:
     os.chdir(tempfile.mkdtemp(prefix=f"golden_diag{shard}_"))
 
     os.environ["SPARK_GRAFT_CPUS"] = "8"
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
     from clickhouse_23_3_19_32_lts_spark.session import get_spark
     from tools.golden import run_golden
     from tools.golden_scan import candidates
