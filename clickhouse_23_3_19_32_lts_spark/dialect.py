@@ -675,7 +675,10 @@ _TOKEN_RE = re.compile(
     | "(?:[^"\\]|\\.)*"            # double-quoted identifier
     | `(?:[^`\\]|\\.)*`            # backtick identifier
     | [A-Za-z_][A-Za-z0-9_]*       # identifier
-    | \d+\.\d+ | \.\d+ | \d+       # number
+    | \d+\.\d+(?:[eE][+-]?\d+)?    # number (incl. scientific exponent)
+    | \.\d+(?:[eE][+-]?\d+)?
+    | \d+[eE][+-]?\d+
+    | \d+
     | ==                           # CH equality
     | ::                           # CH/Postgres cast operator
     | <> | <= | >= | != | ->

@@ -537,6 +537,70 @@ def _sql_default_lit(dt) -> str:
     return "0"
 
 
+_JOIN_ENGINE_RE = re.compile(
+    r"ENGINE\s*=?\s*Join\s*\(\s*\w+\s*,\s*\w+\s*,\s*([\w\s,]+?)\)", re.IGNORECASE
+)
+
+
+def _rewrite_joinget(stmt: str, join_keys: dict) -> str:
+    """joinGet[OrNull](table, 'col', k1[, k2…]) → correlated scalar subquery
+    `(SELECT first(col) FROM table WHERE key1 = (k1) AND …)` using the key
+    columns recorded from the table's ENGINE = Join(any, left, k…) clause
+    (StorageJoin.cpp). ANY-join keeps the first inserted row per key; a NULL
+    key compares NULL and therefore never matches, as in HashJoin."""
+    i = 0
+    while True:
+        m = re.search(r"\bjoinGet(?:OrNull)?\s*\(", stmt[i:])
+        if not m:
+            return stmt
+        start = i + m.start()
+        open_p = i + m.end() - 1
+        depth, j, in_str = 0, open_p, False
+        while j < len(stmt):
+            c = stmt[j]
+            if in_str:
+                if c == "\\":
+                    j += 2
+                    continue
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth:
+            return stmt
+        args = _split_top_level_commas(stmt[open_p + 1 : j])
+        tbl = args[0].strip().strip("'").split(".")[-1] if args else ""
+        entry = join_keys.get(tbl)
+        if not entry or len(args) != 2 + len(entry[0]):
+            i = open_p + 1
+            continue
+        keys, agg = entry
+        col = args[1].strip().strip("'")
+        # rename key/value columns so correlated outer references with the
+        # same name (SELECT … AS user_id WHERE joinGet(t,'c',user_id)) don't
+        # capture the inner table's columns
+        inner_cols = ", ".join(
+            [f"{k} AS __jg_k{n}" for n, k in enumerate(keys)]
+            + [f"{col} AS __jg_v"]
+        )
+        preds = " AND ".join(
+            f"__jg_k{n} = ({v.strip()})" for n, v in enumerate(args[2:])
+        )
+        repl = (
+            f"(SELECT {agg}(__jg_v) FROM"
+            f" (SELECT {inner_cols} FROM {tbl}) WHERE {preds})"
+        )
+        stmt = stmt[:start] + repl + stmt[j + 1 :]
+        i = start + len(repl)
+
+
 def _null_producer_free(stmt: str, nullable_cols: dict) -> bool:
     """True when the statement cannot legitimately produce NULL in ClickHouse:
     no NULL-producing construct in its text (NULL literal, nullIf, *OrNull,
@@ -876,6 +940,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     nullable_cols: dict[str, set] = {}
     nested_cols: dict[str, dict] = {}
     enum_cols: dict[str, dict] = {}
+    join_keys: dict[str, list] = {}
     dt64_hint: dict[str, str] = {}
     # ClickHouse coerces INSERT literals to column types ('2016-01-01' →
     # Date); Spark's default store-assignment policy rejects string→date
@@ -912,6 +977,8 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 while chunk.startswith("\n"):
                     chunk = chunk[1:]
                 blocks.append(([ln for ln in (chunk + ";").split("\n")], False))
+            if "joinGet" in stmt:
+                stmt = _rewrite_joinget(stmt, join_keys)
             up = stmt.lstrip().upper()
             # `-- { serverError N }` / `{ clientError }` directives: the
             # statement MUST fail (clickhouse-test contract); it produces no
@@ -965,6 +1032,16 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         created.append(name)
                         continue
                     schema_ddl, name, nullset, nestset, enumset = _translate_create(stmt)
+                    jm = _JOIN_ENGINE_RE.search(stmt)
+                    if jm:
+                        # join_any_take_last_row=1 → later inserts overwrite
+                        last_row = re.search(
+                            r"join_any_take_last_row\s*=\s*1", stmt, re.IGNORECASE
+                        )
+                        join_keys[name] = (
+                            [k.strip() for k in jm.group(1).split(",") if k.strip()],
+                            "last" if last_row else "first",
+                        )
                     if enumset:
                         enum_cols[name] = enumset
                     if "DateTime64" in stmt:
