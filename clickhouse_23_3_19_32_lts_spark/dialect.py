@@ -1686,6 +1686,26 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             if len(args) >= 2 and not is_lambda_params and not any(
                 h in ("select", "with", "partition", "order") for h in heads
             ):
+                # `(a, b) IN (SELECT x, y)`: Spark's native multi-column IN
+                # matches the subquery arity — a struct LHS would not
+                nxt = tokens[close + 1].lower() if close + 1 < len(tokens) else ""
+                nxt2 = tokens[close + 2].lower() if close + 2 < len(tokens) else ""
+                in_pos = None
+                if nxt == "in":
+                    in_pos = close + 2
+                elif nxt == "not" and nxt2 == "in":
+                    in_pos = close + 3
+                if (
+                    in_pos is not None
+                    and in_pos + 1 < len(tokens)
+                    and tokens[in_pos] == "("
+                    and tokens[in_pos + 1].lower() in ("select", "with")
+                ):
+                    out.append(
+                        "(" + ", ".join(_rewrite(a) for a in args) + ")"
+                    )
+                    i = close + 1
+                    continue
                 # bare parenthesized tuple literal (1, 'a') →
                 # named_struct('_1', …) so .N access and comparisons work
                 inner = ", ".join(
@@ -3352,6 +3372,15 @@ def _translate_impl(ch_sql: str) -> str:
             "bare ARRAY JOIN needs the library operator (use operators.arrayjoin.array_join / explode())"
         )
     out = _rewrite(_rewrite_ternary_tokens(_tokenize(s)))
+
+    # `x IN (SELECT 'str' …)`: Spark lexes SELECT followed by a string as a
+    # typed literal (UNSUPPORTED_TYPED_LITERAL) — alias the leading string
+    # item to defuse the ambiguity
+    out = re.sub(
+        r"(?is)\b(IN\s*\(\s*SELECT\s+)('(?:[^'\\]|\\.)*')(\s*)(?=,|\)|FROM\b)",
+        r"\1\2 AS __slit\3",
+        out,
+    )
 
     # CAST(x AS Nullable(Int64)) style ClickHouse type names → Spark types.
     # Bare names are replaced only for exact CH spellings (UInt8, String, …)
