@@ -330,6 +330,20 @@ TEMPLATES: dict[str, str] = {
 # SQL-standard `position(needle IN haystack)` single-arg form, which Spark
 # accepts verbatim with needle-first semantics on both sides).
 ARITY_TEMPLATES: dict[str, dict[int, str]] = {
+    # multi-array form ranks occurrences of equal TUPLES
+    # (arrayEnumerateUniq.cpp)
+    "arrayEnumerateUniq": {
+        2: (
+            "transform(sequence(1, size({0})), __i -> size(filter("
+            "slice(arrays_zip({0}, {1}), 1, __i),"
+            " __p -> __p = element_at(arrays_zip({0}, {1}), __i))))"
+        ),
+        3: (
+            "transform(sequence(1, size({0})), __i -> size(filter("
+            "slice(arrays_zip({0}, {1}, {2}), 1, __i),"
+            " __p -> __p = element_at(arrays_zip({0}, {1}, {2}), __i))))"
+        ),
+    },
     # multi-array form counts distinct TUPLES of parallel elements
     # (arrayUniq.cpp: "if multiple arguments, counts unique tuples")
     "arrayUniq": {
@@ -2173,6 +2187,37 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             out.append(" ".join(parts))
             i = close + 1
             continue
+
+        if (
+            t == "JSONExtract"
+            and len(arg_sql) >= 2
+            and re.fullmatch(r"'[^']*'", arg_sql[-1])
+        ):
+            # generic typed extraction (FunctionsJSON.cpp JSONExtract):
+            # JSONExtract(j, k1, …, 'Type') → CAST(get_json_object) for
+            # scalars, from_json for Array/Map/Tuple results
+            try:
+                spark_t = ch_type_to_spark(arg_sql[-1][1:-1])
+            except ChSqlError:
+                spark_t = None
+            parts, ok_path = [], True
+            for a in arg_sql[1:-1]:
+                if re.fullmatch(r"'[^']*'", a):
+                    parts.append("." + a[1:-1])
+                elif re.fullmatch(r"-?\d+", a):
+                    idx = int(a)
+                    parts.append(f"[{idx - 1 if idx > 0 else idx}]")
+                else:
+                    ok_path = False
+                    break
+            if spark_t is not None and ok_path:
+                inner = f"get_json_object({arg_sql[0]}, '${''.join(parts)}')"
+                if re.match(r"(?i)\s*(ARRAY|MAP|STRUCT)", spark_t):
+                    out.append(f"from_json({inner}, '{spark_t}')")
+                else:
+                    out.append(f"CAST({inner} AS {spark_t})")
+                i = close + 1
+                continue
 
         if _SAFE_SUBSCRIPT and t == "arrayElement" and len(arg_sql) == 2:
             out.append(
