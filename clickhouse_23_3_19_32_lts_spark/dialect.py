@@ -330,6 +330,25 @@ TEMPLATES: dict[str, str] = {
 # SQL-standard `position(needle IN haystack)` single-arg form, which Spark
 # accepts verbatim with needle-first semantics on both sides).
 ARITY_TEMPLATES: dict[str, dict[int, str]] = {
+    # bare parametric-aggregate forms default to level 0.5
+    # (AggregateFunctionQuantile.h: params optional)
+    "quantile": {1: "coalesce(percentile({0}, 0.5), double('NaN'))"},
+    "quantileExact": {
+        1: (
+            "coalesce(cast(element_at(array_sort(collect_list({0})),"
+            " cast(least(floor(count({0}) * 0.5) + 1, count({0})) as int))"
+            " as double), double('NaN'))"
+        )
+    },
+    "quantileTiming": {
+        1: (
+            "coalesce(cast(element_at(array_sort(collect_list("
+            "cast(least(greatest({0}, 0), 30000) as int))),"
+            " cast(least(floor(count({0}) * 0.5) + 1, count({0})) as int))"
+            " as double), cast('NaN' as double))"
+        )
+    },
+    "quantileTDigest": {1: "coalesce(percentile_approx({0}, 0.5), double('NaN'))"},
     # multi-array form ranks occurrences of equal TUPLES
     # (arrayEnumerateUniq.cpp)
     "arrayEnumerateUniq": {
@@ -623,10 +642,12 @@ _CH_TYPE_MAP: dict[str, str] = {
 
 # parametric aggregates: name(params)(args) → template with p* and a*
 PARAMETRIC: dict[str, str] = {
-    "quantile": "percentile({a0}, {p0})",
-    "quantileExact": "percentile({a0}, {p0})",
-    "quantileTDigest": "percentile_approx({a0}, {p0})",
-    "quantileDeterministic": "percentile({a0}, {p0})",
+    # empty set → NaN (QuantileExact returns default NaN on no values)
+    "quantile": "coalesce(percentile({a0}, {p0}), double('NaN'))",
+    # QuantileExact.h: nth_element at floor(n*level), never interpolates
+    "quantileExact": "coalesce(cast(element_at(array_sort(collect_list({a0})), cast(least(floor(count({a0}) * ({p0})) + 1, count({a0})) as int)) as double), double('NaN'))",
+    "quantileTDigest": "coalesce(percentile_approx({a0}, {p0}), double('NaN'))",
+    "quantileDeterministic": "coalesce(percentile({a0}, {p0}), double('NaN'))",
     "quantiles": "array({percentiles})",
     # k MOST FREQUENT values (AggregateFunctionTopK.h), most-frequent first,
     # value-ascending tiebreak; exact (the reference's space-saving sketch is
@@ -663,10 +684,97 @@ PARAMETRIC: dict[str, str] = {
         " as double), cast('NaN' as double))"
     ),
     "quantilesTiming": "array({percentiles})",
+    # weighted Timing form — weighted counting-sort rank rule: first value
+    # whose cumulative weight exceeds floor(total*level); elems[count-1] cap
+    # (QuantileTiming.h). Threshold math, not repeat-expansion, so huge
+    # weights stay finite.
+    "quantileTimingWeighted": (
+        "element_at(transform(array("
+        "collect_list(named_struct('v', cast(least(greatest({a0}, 0), 30000) as int),"
+        " 'w', CAST({a1} AS DOUBLE)))"
+        "), __p0 -> element_at(transform(array("
+        "transform(array_sort(array_distinct(transform(__p0, __q -> __q.v))), __v ->"
+        " named_struct('v', __v, 'w', aggregate(filter(__p0, __q -> __q.v = __v),"
+        " CAST(0 AS DOUBLE), (__s, __q) -> __s + __q.w)))"
+        "), __ws -> CASE WHEN size(__ws) = 0 THEN double('NaN') ELSE"
+        " cast(coalesce(element_at(filter(transform(sequence(1, size(__ws)), __i ->"
+        " named_struct('v', element_at(__ws, __i).v,"
+        " 'c', aggregate(slice(__ws, 1, __i), CAST(0 AS DOUBLE), (__s, __q) -> __s + __q.w))),"
+        " __e -> __e.c >= floor(({p0}) * aggregate(__ws, CAST(0 AS DOUBLE),"
+        " (__s, __q) -> __s + __q.w)) + 1) , 1).v,"
+        " element_at(__ws, size(__ws)).v) as double) END), 1)), 1)"
+    ),
+    "quantilesTimingWeighted": "array({percentiles})",
+    # PERCENTILE.INC/.EXC (QuantileExactInclusive/Exclusive in
+    # AggregateFunctionQuantile.cpp): INC is Spark's percentile; EXC
+    # interpolates at h = level*(n+1)
+    "quantileExactInclusive": "coalesce(percentile({a0}, {p0}), double('NaN'))",
+    "quantilesExactInclusive": "array({percentiles})",
+    "quantileExactExclusive": (
+        "element_at(transform(array(array_sort(collect_list(CAST({a0} AS DOUBLE)))), __a ->"
+        " CASE WHEN size(__a) = 0 THEN double('NaN')"
+        " WHEN ({p0}) * (size(__a) + 1) < 1 THEN element_at(__a, 1)"
+        " WHEN ({p0}) * (size(__a) + 1) >= size(__a) THEN element_at(__a, size(__a))"
+        " ELSE element_at(transform(array(floor(({p0}) * (size(__a) + 1))), __h ->"
+        " element_at(__a, cast(__h as int)) + (({p0}) * (size(__a) + 1) - __h)"
+        " * (element_at(__a, cast(__h as int) + 1) - element_at(__a, cast(__h as int)))), 1)"
+        " END), 1)"
+    ),
+    "quantilesExactExclusive": "array({percentiles})",
+    # weighted-percentile linear interpolation over the per-distinct-value
+    # cumulative weight CDF h_i = (cum_i - w_i/2) / total
+    # (QuantileInterpolatedWeighted.h); single-element transform() arrays
+    # act as let-bindings for the intermediate pair/CDF arrays
+    "quantileInterpolatedWeighted": (
+        "element_at(transform(array("
+        "collect_list(named_struct('v', CAST({a0} AS DOUBLE), 'w', CAST({a1} AS DOUBLE)))"
+        "), __p0 -> element_at(transform(array("
+        "transform(array_sort(array_distinct(transform(__p0, __q -> __q.v))), __v ->"
+        " named_struct('v', __v, 'w', aggregate(filter(__p0, __q -> __q.v = __v),"
+        " CAST(0 AS DOUBLE), (__s, __q) -> __s + __q.w)))"
+        "), __ws -> element_at(transform(array("
+        "CASE WHEN size(__ws) = 0 THEN array() ELSE"
+        " transform(sequence(1, size(__ws)), __i -> named_struct("
+        "'y', element_at(__ws, __i).v,"
+        " 'x', (aggregate(slice(__ws, 1, __i), CAST(0 AS DOUBLE),"
+        " (__s, __q) -> __s + __q.w) - 0.5 * element_at(__ws, __i).w)"
+        " / aggregate(__ws, CAST(0 AS DOUBLE), (__s, __q) -> __s + __q.w))) END"
+        "), __h -> CASE"
+        " WHEN size(__h) = 0 THEN double('NaN')"
+        " WHEN ({p0}) <= element_at(__h, 1).x THEN element_at(__h, 1).y"
+        " WHEN ({p0}) >= element_at(__h, size(__h)).x THEN element_at(__h, size(__h)).y"
+        " ELSE element_at(transform(array(element_at(transform("
+        "array(size(filter(__h, __e -> __e.x <= ({p0})))),"
+        " __i -> element_at(__h, __i).y + (element_at(__h, __i + 1).y - element_at(__h, __i).y)"
+        " * (({p0}) - element_at(__h, __i).x)"
+        " / (element_at(__h, __i + 1).x - element_at(__h, __i).x)), 1)),"
+        # integer inputs keep the integer type in ClickHouse — the C++
+        # conversion truncates the interpolated value toward zero
+        " __r -> CASE WHEN forall(__ws, __q -> __q.v = floor(__q.v))"
+        " THEN CAST(CAST(__r AS BIGINT) AS DOUBLE) ELSE __r END), 1)"
+        " END), 1)), 1)), 1)"
+    ),
+    "quantilesInterpolatedWeighted": "array({percentiles})",
     "quantilesExact": "array({percentiles})",
     "quantilesTDigest": "array({percentiles})",
     "quantilesDeterministic": "array({percentiles})",
-    "quantileExactWeighted": "percentile({a0}, {p0}, CAST({a1} AS BIGINT))",
+    # QuantileExactWeighted.h: first value whose cumulative weight reaches
+    # trunc(total*level); no interpolation
+    "quantileExactWeighted": (
+        "element_at(transform(array("
+        "collect_list(named_struct('v', CAST({a0} AS DOUBLE), 'w', CAST({a1} AS DOUBLE)))"
+        "), __p0 -> element_at(transform(array("
+        "transform(array_sort(array_distinct(transform(__p0, __q -> __q.v))), __v ->"
+        " named_struct('v', __v, 'w', aggregate(filter(__p0, __q -> __q.v = __v),"
+        " CAST(0 AS DOUBLE), (__s, __q) -> __s + __q.w)))"
+        "), __ws -> CASE WHEN size(__ws) = 0 THEN double('NaN') ELSE"
+        " coalesce(element_at(filter(transform(sequence(1, size(__ws)), __i ->"
+        " named_struct('v', element_at(__ws, __i).v,"
+        " 'c', aggregate(slice(__ws, 1, __i), CAST(0 AS DOUBLE), (__s, __q) -> __s + __q.w))),"
+        " __e -> __e.c >= cast(aggregate(__ws, CAST(0 AS DOUBLE),"
+        " (__s, __q) -> __s + __q.w) * ({p0}) as bigint)), 1).v,"
+        " element_at(__ws, size(__ws)).v) END), 1)), 1)"
+    ),
     "quantilesExactWeighted": "array({percentiles})",
     # sliding aggregates over the collected group (per-row array result,
     # AggregateFunctionGroupArrayMoving.cpp)
@@ -1715,11 +1823,27 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                     and tokens[in_pos] == "("
                     and tokens[in_pos + 1].lower() in ("select", "with")
                 ):
-                    out.append(
-                        "(" + ", ".join(_rewrite(a) for a in args) + ")"
-                    )
-                    i = close + 1
-                    continue
+                    # count the subquery's top-level select items — a single
+                    # tuple item still compares against a struct LHS
+                    sub_close = _find_call_end(tokens, in_pos)
+                    depth2, commas = 0, 0
+                    for k2 in range(in_pos + 2, sub_close):
+                        tk = tokens[k2]
+                        if tk in ("(", "["):
+                            depth2 += 1
+                        elif tk in (")", "]"):
+                            depth2 -= 1
+                        elif depth2 == 0:
+                            if tk == ",":
+                                commas += 1
+                            elif tk.lower() in ("from", "where", "group", "order", "limit"):
+                                break
+                    if commas >= 1:
+                        out.append(
+                            "(" + ", ".join(_rewrite(a) for a in args) + ")"
+                        )
+                        i = close + 1
+                        continue
                 # bare parenthesized tuple literal (1, 'a') →
                 # named_struct('_1', …) so .N access and comparisons work
                 inner = ", ".join(
@@ -1790,6 +1914,12 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             continue
 
         arg_sql = [_rewrite(a) for a in args]
+
+        if t == "uniqUpTo" and arg_sql:
+            # AggregateFunctionUniqUpTo.h: threshold must fit in [0, 100]
+            v = _as_py_literal(arg_sql[0])
+            if isinstance(v, (int, float)) and not 0 <= v <= 100:
+                raise ChSqlError(f"uniqUpTo threshold out of range: {arg_sql[0]}")
 
         # parametric aggregate: name(params)(args)
         if t in PARAMETRIC and close + 1 < len(tokens) and tokens[close + 1] == "(":
@@ -2250,6 +2380,22 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             # ClickHouse aggregates comparisons/logic as UInt8 0/1
             # (sum(x = 1) is a row count); Spark rejects booleans here
             out.append(f"{t.lower()}(CAST(({arg_sql[0]}) AS INT))")
+            i = close + 1
+            continue
+
+        if (
+            t.lower() in ("avg", "median")
+            and len(arg_sql) == 1
+            and not (close + 1 < len(tokens) and tokens[close + 1].lower() == "over")
+            and not re.search(
+                r"(?i)null", " ".join(tokens[i + 2 : close]) + " " + arg_sql[0]
+            )
+        ):
+            # empty-set avg/median is NaN in ClickHouse (AggregateFunctionAvg
+            # divides 0/0), not NULL; a Nullable argument DOES yield NULL
+            # there, and window uses keep OVER attached — both excluded
+            fn = "avg" if t.lower() == "avg" else "median"
+            out.append(f"coalesce({fn}({arg_sql[0]}), double('NaN'))")
             i = close + 1
             continue
 

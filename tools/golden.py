@@ -538,7 +538,7 @@ def _sql_default_lit(dt) -> str:
 
 
 _JOIN_ENGINE_RE = re.compile(
-    r"ENGINE\s*=?\s*Join\s*\(\s*\w+\s*,\s*\w+\s*,\s*([\w\s,]+?)\)", re.IGNORECASE
+    r"ENGINE\s*=?\s*Join\s*\(\s*\w+\s*,\s*(\w+)\s*,\s*([\w\s,]+?)\)", re.IGNORECASE
 )
 
 
@@ -583,6 +583,9 @@ def _rewrite_joinget(stmt: str, join_keys: dict) -> str:
             continue
         keys, agg = entry
         col = args[1].strip().strip("'")
+        if not col:
+            i = open_p + 1
+            continue
         # rename key/value columns so correlated outer references with the
         # same name (SELECT … AS user_id WHERE joinGet(t,'c',user_id)) don't
         # capture the inner table's columns
@@ -612,7 +615,14 @@ def _null_producer_free(stmt: str, nullable_cols: dict) -> bool:
     a site and must render as the default, not \\N."""
     if any(nullable_cols.values()):
         return False
-    return not re.search(r"null", stmt, re.IGNORECASE)
+    if re.search(r"null", stmt, re.IGNORECASE):
+        return False
+    # CASE without ELSE yields NULL for unmatched rows in ClickHouse too
+    if re.search(r"\bCASE\b", stmt, re.IGNORECASE) and not re.search(
+        r"\bELSE\b", stmt, re.IGNORECASE
+    ):
+        return False
+    return True
 
 
 def _fill_null_defaults(df):
@@ -1033,13 +1043,15 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         continue
                     schema_ddl, name, nullset, nestset, enumset = _translate_create(stmt)
                     jm = _JOIN_ENGINE_RE.search(stmt)
-                    if jm:
+                    if jm and jm.group(1).upper() == "LEFT":
+                        # joinGet only works on LEFT-kind Join tables
+                        # (StorageJoin.cpp joinGet check — else error 264);
                         # join_any_take_last_row=1 → later inserts overwrite
                         last_row = re.search(
                             r"join_any_take_last_row\s*=\s*1", stmt, re.IGNORECASE
                         )
                         join_keys[name] = (
-                            [k.strip() for k in jm.group(1).split(",") if k.strip()],
+                            [k.strip() for k in jm.group(2).split(",") if k.strip()],
                             "last" if last_row else "first",
                         )
                     if enumset:
