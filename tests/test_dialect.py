@@ -24,7 +24,7 @@ from clickhouse_23_3_19_32_lts_spark.dialect import ChSqlError, ch_sql, translat
         ("SELECT 1 SETTINGS max_threads = 8", "SELECT 1"),
         (
             "SELECT quantile(0.9)(x) FROM t",
-            "SELECT percentile(x, 0.9) FROM t",
+            "SELECT coalesce(percentile(x, 0.9), double('NaN')) FROM t",
         ),
         (
             "SELECT sumIf(v, c > 0) FROM t",
