@@ -2362,8 +2362,23 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             and not any("->" in a for a in arg_sql)
         ):
             # transform(x, [f...], [t...][, d]) → element_at(map(...), x);
-            # the 3-arg form keeps x itself on no match
-            # (src/Functions/transform.cpp: default = first argument)
+            # the 3-arg form keeps x itself on no match and REQUIRES the
+            # to-array's type to equal x's (transform.cpp error 43) — reject
+            # the obvious literal mismatches Spark would silently coerce
+            if len(arg_sql) == 3:
+                x_lit = _as_py_literal(arg_sql[0])
+                mto = re.fullmatch(r"array\((.+)\)", arg_sql[2])
+                to_lit = (
+                    _as_py_literal(mto.group(1).split(",")[0].strip()) if mto else None
+                )
+                if (
+                    x_lit is not None
+                    and to_lit is not None
+                    and isinstance(x_lit, str) != isinstance(to_lit, str)
+                ):
+                    raise ChSqlError(
+                        "transform: 3-arg form needs matching x/to types"
+                    )
             dflt = arg_sql[3] if len(arg_sql) == 4 else arg_sql[0]
             out.append(
                 f"coalesce(element_at(map_from_arrays({arg_sql[1]}, {arg_sql[2]}), {arg_sql[0]}), {dflt})"

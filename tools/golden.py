@@ -157,6 +157,8 @@ def _dt64_scales(stmt: str, schema, dt64_hint: dict[str, dict[str, int]]) -> dic
 
 
 def _strip_comments(text: str) -> str:
+    from clickhouse_23_3_19_32_lts_spark.dialect import _strip_block_comments
+
     lines = []
     for line in text.splitlines():
         # strip -- comments not inside quotes (simple heuristic: no quote after)
@@ -164,7 +166,7 @@ def _strip_comments(text: str) -> str:
         if idx >= 0 and line[:idx].count("'") % 2 == 0:
             line = line[:idx]
         lines.append(line)
-    return "\n".join(lines)
+    return _strip_block_comments("\n".join(lines))
 
 
 def split_statements_raw(sql_text: str) -> list[str]:
@@ -294,7 +296,8 @@ def _match_create(stmt: str):
         return None
     return m.group(1), stmt[start : i - 1]
 _DROP_RE = re.compile(
-    r"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_.]*)", re.IGNORECASE
+    r"^DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_.]*)",
+    re.IGNORECASE,
 )
 
 
@@ -998,7 +1001,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
             )
             if expect_error:
                 try:
-                    if up.startswith(("SET ", "DROP TABLE", "CREATE", "INSERT INTO")):
+                    if up.startswith(("SET ", "DROP ", "CREATE", "INSERT INTO")):
                         continue  # DDL paths are laxer here; don't judge them
                     from clickhouse_23_3_19_32_lts_spark.dialect import (
                         apply_fill,
@@ -1019,7 +1022,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 if up.startswith("CHECK TABLE"):
                     blocks.append((["1"], False))  # CHECK always healthy here
                     continue
-                if up.startswith("DROP TABLE"):
+                if up.startswith(("DROP TABLE", "DROP TEMPORARY TABLE")):
                     dm = _DROP_RE.match(stmt.strip())
                     if dm:
                         tname = dm.group(1).split(".")[-1]
