@@ -644,7 +644,9 @@ def _fill_null_defaults(df):
         if f.nullable and not isinstance(f.dataType, (T.NullType, T.BinaryType)):
             c = F.coalesce(c, _type_default(f.dataType))
         cols.append(c.alias(f.name))
-    return tmp.select(*cols)
+    wrapped = tmp.select(*cols)
+    wrapped.schema  # force analysis NOW so type errors hit our try/except
+    return wrapped
 
 
 def _type_default(dt):
