@@ -62,6 +62,17 @@ def main() -> None:
     # Warm-up: trigger session init + parquet footer reads once.
     queries[names[0]](spark, sf_dir).count()
 
+    # Machine-speed calibration: a fixed CPU-bound Spark job with no IO.
+    # Its time scales with current machine load/speed, so the regression
+    # guard can normalize prev-round timings recorded on a different
+    # machine state (round-4 postmortem: a contended driver run looked
+    # like a uniform ~2x plan regression and tripped the guard).
+    t0 = time.perf_counter()
+    spark.range(0, 400_000_000, 1, 32).selectExpr(
+        "sum(id * 2 + (id % 7))"
+    ).collect()
+    calib = round(time.perf_counter() - t0, 4)
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -74,6 +85,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib_sec": calib,
     }
 
     # Per-query regression diff vs the previous round's recorded bench
@@ -82,24 +94,44 @@ def main() -> None:
         f for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
         if f.startswith("BENCH_r") and f.endswith(".json")
     )
-    if prev_files:
+    # Walk backwards to the newest file with a USABLE record: a guard-tripped
+    # round leaves {"rc": 2, "parsed": null} — skip those rather than crash
+    # (round-4 postmortem: prev["parsed"] -> None -> .get() AttributeError).
+    for prev_file in reversed(prev_files):
         try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), prev_files[-1])) as fh:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), prev_file)) as fh:
                 prev = json.load(fh)
             if "parsed" in prev:  # driver wraps the bench line under "parsed"
-                prev = prev["parsed"]
+                prev = prev.get("parsed") or prev
+            if not isinstance(prev, dict) or not prev.get("queries"):
+                continue
+            # Normalize prev timings by relative machine speed when the prev
+            # record carries a calibration time; clamp so a bogus calib can't
+            # silence a real regression entirely.
+            prev_calib = prev.get("calib_sec")
+            speed = 1.0
+            if isinstance(prev_calib, (int, float)) and prev_calib > 0:
+                speed = max(0.5, min(3.0, calib / prev_calib))
             regressions = {
-                n: {"prev": p, "now": timings[n], "ratio": round(timings[n] / p, 2)}
+                n: {
+                    "prev": p,
+                    "prev_norm": round(p * speed, 4),
+                    "now": timings[n],
+                    "ratio": round(timings[n] / (p * speed), 2),
+                }
                 for n, p in prev.get("queries", {}).items()
-                if n in timings and p > 0 and timings[n] / p > 1.5
+                if n in timings and p > 0 and timings[n] / (p * speed) > 1.5
             }
             out["vs_prev"] = {
-                "file": prev_files[-1],
+                "file": prev_file,
                 "prev_total": prev.get("value"),
+                "prev_total_norm": round((prev.get("value") or 0) * speed, 4),
+                "speed_factor": round(speed, 3),
                 "regressions": regressions,
             }
-        except (OSError, ValueError, KeyError):
-            pass
+            break
+        except (OSError, ValueError, KeyError, AttributeError, TypeError):
+            continue
     print(json.dumps(out))
 
     # Guard: fail (exit 2) when the headline total regresses >30% vs the
@@ -109,7 +141,7 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_NO_GUARD=1 reports without enforcing.
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_GUARD"):
         vs = out.get("vs_prev") or {}
-        prev_total = vs.get("prev_total")
+        prev_total = vs.get("prev_total_norm") or vs.get("prev_total")
         bad_total = bool(prev_total) and out["value"] > 1.30 * prev_total
         bad_queries = {
             n: r

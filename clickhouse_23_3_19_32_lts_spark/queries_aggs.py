@@ -49,17 +49,37 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_uniq_approx")  # sketch-specific: rows-only check; tolerance in unit tests
+@query(
+    "q_uniq_approx",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def q_uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """uniq/uniqHLL12/uniqCombined (AggregateFunctionUniq.cpp) →
-    approx_count_distinct (HLL++). No oracle: HLL sketches are
-    engine-specific; tests/test_aggs.py bounds the relative error vs exact."""
+    approx_count_distinct (HLL++). Self-verifying: the query returns the
+    exact distinct count plus the ASSERTION that the sketch estimate is
+    within 5% of it (rsd=0.01, so 5% is a wide margin) — the DuckDB oracle
+    computes the same exact side and emits literal TRUE, making the sketch
+    hash-matchable despite being engine-specific."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
             F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                / F.greatest(F.col("exact_orders"), F.lit(1))
+                <= 0.05
+            ).alias("within_5pct"),
         )
         .orderBy("l_returnflag")
     )

