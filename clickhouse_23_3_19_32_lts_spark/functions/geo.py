@@ -1,15 +1,17 @@
 """Geo function families: H3 index math + embedded-geobase regions.
 
 Reference surface:
-  - H3 family: src/Functions/h3*.cpp (CH 23.3 bundles Uber H3 v3; each .cpp
+  - H3 family: src/Functions/h3*.cpp (CH 23.3 bundles Uber H3; each .cpp
     is a thin wrapper over one libh3 call). The functions here are the
     index-MATH subset — resolution/base-cell/digit bit-field manipulation and
     the per-resolution average edge/area constant tables, which the public H3
     spec defines exactly and which need no geometry library. The geographic
-    projection subset (geoToH3, h3ToGeo, h3kRing, h3ToGeoBoundary, ...)
-    requires the icosahedral gnomonic projection from libh3 (not available in
-    this environment) and is intentionally NOT registered rather than
-    registered-but-wrong.
+    projection subset (geoToH3, h3ToGeo, h3kRing, h3ToGeoBoundary, kRing/
+    hexRing/line/distance/faces/areas/directed edges) is re-derived from the
+    public H3 v3 spec in h3_core.py (icosahedral gnomonic projection,
+    validated against the reference's stateless vectors) and registered as
+    pandas UDFs by functions/h3_udfs.register_h3_udfs; the chfn builders
+    below delegate to those session-registered kernels.
   - regionTo* family: src/Functions/FunctionsEmbeddedDictionaries.{h,cpp} +
     src/Dictionaries/Embedded/RegionsHierarchy.cpp — a parent-chain walk over
     a user-provided geobase (id, parent, type, population). register_geobase()
@@ -49,6 +51,16 @@ _HEX_AREA_KM2 = (
     4250546.848, 607220.9782, 86745.85403, 12392.26486, 1770.323552,
     252.9033645, 36.1290521, 5.1612932, 0.7373276, 0.1053325,
     0.0150475, 0.0021496, 0.0003071, 0.0000439, 0.0000063, 0.0000009,
+)
+
+# Average hexagon area in m^2 (H3 v3 hexAreaM2 table — an INDEPENDENT
+# mixed-precision table, not km2*1e6: the reference's own test pins
+# res1 = 6.07221e11 and res2 = 8.6745854035e10, which km2*1e6 misses).
+_HEX_AREA_M2 = (
+    4.25055e12, 6.07221e11, 8.6745854035e10, 1.2392264862e10,
+    1.7700323552e9, 2.5290321230e8, 3.6129052913e7, 5.1612932229e6,
+    7.3732770290e5, 1.0533182538e5, 1.5047502048e4, 2.1496430261e3,
+    3.0712328981e2, 4.3870185939e1, 6.2671811353e0, 8.9531159694e-1,
 )
 
 # h3EdgeAngle.cpp:86 — 180 / pi / Earth-radius-in-m (h3's own radius).
@@ -223,8 +235,12 @@ def h3ToString(h) -> Column:
 @chfn("stringToH3")
 def stringToH3(s) -> Column:
     # conv() parses hex; returns 0 for garbage — same as stringToH3's "0 on
-    # parse failure" contract (src/Functions/stringToH3.cpp)
-    return F.coalesce(F.conv(col(s), 16, 10).cast("long"), F.lit(0).cast("long"))
+    # parse failure" contract (src/Functions/stringToH3.cpp). The reference
+    # accepts the Java-style '0x…L' spelling (02021_h3_get_faces fixture).
+    cleaned = F.regexp_replace(
+        F.regexp_replace(col(s), "^0[xX]", ""), "[lL]$", ""
+    )
+    return F.coalesce(F.conv(cleaned, 16, 10).cast("long"), F.lit(0).cast("long"))
 
 
 @chfn("h3NumHexagons")
@@ -279,7 +295,120 @@ def h3HexAreaKm2(res) -> Column:
 
 @chfn("h3HexAreaM2")
 def h3HexAreaM2(res) -> Column:
-    return F.element_at(_table([v * 1e6 for v in _HEX_AREA_KM2]), _res_arg(res) + 1)
+    return F.element_at(_table(_HEX_AREA_M2), _res_arg(res) + 1)
+
+
+# -- projection subset: DataFrame-level builders delegating to the pandas
+# UDF kernels registered by h3_udfs.register_h3_udfs (called automatically
+# by session.get_spark; F.call_function resolves the registered name).
+
+def _h3_call(name: str, *args) -> Column:
+    return F.call_function(name, *[col(a) for a in args])
+
+
+@chfn("geoToH3")
+def geoToH3(lon, lat, res) -> Column:
+    return _h3_call("geoToH3", lon, lat, res)
+
+
+@chfn("h3ToGeo")
+def h3ToGeo(h) -> Column:
+    return _h3_call("h3ToGeo", h)
+
+
+@chfn("h3ToGeoBoundary")
+def h3ToGeoBoundary(h) -> Column:
+    return _h3_call("h3ToGeoBoundary", h)
+
+
+@chfn("h3kRing")
+def h3kRing(h, k) -> Column:
+    return _h3_call("h3kRing", h, k)
+
+
+@chfn("h3HexRing")
+def h3HexRing(h, k) -> Column:
+    return _h3_call("h3HexRing", h, k)
+
+
+@chfn("h3Distance")
+def h3Distance(a, b) -> Column:
+    return _h3_call("h3Distance", a, b)
+
+
+@chfn("h3Line")
+def h3Line(a, b) -> Column:
+    return _h3_call("h3Line", a, b)
+
+
+@chfn("h3IndexesAreNeighbors")
+def h3IndexesAreNeighbors(a, b) -> Column:
+    return _h3_call("h3IndexesAreNeighbors", a, b)
+
+
+@chfn("h3GetFaces")
+def h3GetFaces(h) -> Column:
+    return _h3_call("h3GetFaces", h)
+
+
+@chfn("h3CellAreaRads2")
+def h3CellAreaRads2(h) -> Column:
+    return _h3_call("h3CellAreaRads2", h)
+
+
+@chfn("h3CellAreaM2")
+def h3CellAreaM2(h) -> Column:
+    return _h3_call("h3CellAreaM2", h)
+
+
+@chfn("h3GetUnidirectionalEdge")
+def h3GetUnidirectionalEdge(a, b) -> Column:
+    return _h3_call("h3GetUnidirectionalEdge", a, b)
+
+
+@chfn("h3GetOriginIndexFromUnidirectionalEdge")
+def h3GetOriginIndexFromUnidirectionalEdge(e) -> Column:
+    return _h3_call("h3GetOriginIndexFromUnidirectionalEdge", e)
+
+
+@chfn("h3GetDestinationIndexFromUnidirectionalEdge")
+def h3GetDestinationIndexFromUnidirectionalEdge(e) -> Column:
+    return _h3_call("h3GetDestinationIndexFromUnidirectionalEdge", e)
+
+
+@chfn("h3GetIndexesFromUnidirectionalEdge")
+def h3GetIndexesFromUnidirectionalEdge(e) -> Column:
+    return _h3_call("h3GetIndexesFromUnidirectionalEdge", e)
+
+
+@chfn("h3GetUnidirectionalEdgesFromHexagon")
+def h3GetUnidirectionalEdgesFromHexagon(h) -> Column:
+    return _h3_call("h3GetUnidirectionalEdgesFromHexagon", h)
+
+
+@chfn("h3UnidirectionalEdgeIsValid")
+def h3UnidirectionalEdgeIsValid(e) -> Column:
+    return _h3_call("h3UnidirectionalEdgeIsValid", e)
+
+
+@chfn("h3GetUnidirectionalEdgeBoundary")
+def h3GetUnidirectionalEdgeBoundary(e) -> Column:
+    return _h3_call("h3GetUnidirectionalEdgeBoundary", e)
+
+
+@chfn("h3ExactEdgeLengthRads")
+def h3ExactEdgeLengthRads(e) -> Column:
+    return _h3_call("h3ExactEdgeLengthRads", e)
+
+
+@chfn("h3ExactEdgeLengthKm")
+def h3ExactEdgeLengthKm(e) -> Column:
+    return _h3_call("h3ExactEdgeLengthKm", e)
+
+
+@chfn("h3ExactEdgeLengthM")
+def h3ExactEdgeLengthM(e) -> Column:
+    return _h3_call("h3ExactEdgeLengthM", e)
 
 
 @chfn("s2CellsIntersect")

@@ -181,3 +181,116 @@ def test_point_in_polygon_boundary_inclusive(spark):
     point = F.struct(F.col("x").alias("_1"), F.col("y").alias("_2"))
     got = [bool(r[0]) for r in df.select(REGISTRY["pointInPolygon"](point, ring)).collect()]
     assert got == [w for _, w in cases]
+
+
+# --- H3 projection core (h3_core.py) — validated against the reference's
+# own stateless vectors (01042, 01906, 02006, 02292, 02293) ----------------
+
+
+def test_h3_core_kring_libh3_vectors():
+    import re
+
+    from clickhouse_23_3_19_32_lts_spark.functions import h3_core as h3
+
+    base = "/root/reference/tests/queries/0_stateless/01042_h3_k_ring"
+    sql = open(base + ".sql").read()
+    ref = open(base + ".reference").read().strip().split("\n")
+    pairs = sorted(
+        (int(a), int(b))
+        for a, b in re.findall(r"VALUES \((\d+),(\d+)\)", sql)
+    )
+    for (h, k), line in zip(pairs, ref[4:20]):
+        exp = sorted(int(x) for x in line.strip("[]").split(","))
+        assert sorted(h3.k_ring(h, k)) == exp, (h, k)
+
+
+def test_h3_core_kring_pentagon_hash_order():
+    # libh3 v3 _kRingInternal hash-slot order (02223 prints it raw)
+    from clickhouse_23_3_19_32_lts_spark.functions import h3_core as h3
+
+    got = h3.k_ring(579205133326352383, 1)
+    assert got == [
+        579275502070530047, 579768083279773695, 578888473977552895,
+        579662530163507199, 579205133326352383, 578466261512486911,
+        578712552117108735,
+    ]
+
+
+def test_h3_core_geo_roundtrip_and_neighbors():
+    import math
+    import random
+
+    from clickhouse_23_3_19_32_lts_spark.functions import h3_core as h3
+
+    random.seed(11)
+    for _ in range(300):
+        lat = math.degrees(math.asin(random.uniform(-1, 1)))
+        lng = random.uniform(-180, 180)
+        res = random.randint(0, 15)
+        c = h3.geo_to_h3(lat, lng, res)
+        la, lo = h3.h3_to_geo(c)
+        assert h3.geo_to_h3(la, lo, res) == c
+        # neighbor symmetry
+        for dr in range(1, 7):
+            try:
+                nb, _ = h3._h3_neighbor_rotations(c, dr, 0)
+            except h3.PentagonDistortion:
+                continue
+            back = set()
+            for dr2 in range(1, 7):
+                try:
+                    back.add(h3._h3_neighbor_rotations(nb, dr2, 0)[0])
+                except h3.PentagonDistortion:
+                    continue
+            assert c in back
+
+
+def test_h3_core_boundary_vectors():
+    import re
+
+    from clickhouse_23_3_19_32_lts_spark.functions import h3_core as h3
+
+    base = "/root/reference/tests/queries/0_stateless/02006_h3_to_geo_boundary"
+    cells = sorted(
+        int(m)
+        for m in re.findall(r"VALUES \((\d+)\)", open(base + ".sql").read())
+    )
+    for h, line in zip(cells, open(base + ".reference").read().split("\n")):
+        exp = [
+            (float(a), float(b))
+            for a, b in re.findall(r"\(([-\d.]+),([-\d.]+)\)", line)
+        ]
+        got = h3.h3_to_geo_boundary(h)
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            assert abs(g[0] - e[0]) <= 0.011 and abs(g[1] - e[1]) <= 0.011
+
+
+def test_h3_core_edges_and_distance():
+    from clickhouse_23_3_19_32_lts_spark.functions import h3_core as h3
+
+    e = 1248204388774707199
+    assert h3.edge_origin(e) == 599686042433355775
+    assert h3.edge_destination(e) == 599686043507097599
+    assert h3.edge_destination(1248204388774707197) == 599686043507097597
+    assert h3.edge_origin(599686042433355775) == 0  # cell mode -> 0
+    assert h3.cells_to_edge(599686042433355775, 599686043507097599) == e
+    assert h3.edge_is_valid(e) and not h3.edge_is_valid(e - 2)
+    # 02293 vectors: CH h3Distance = gridPathCellsSize = distance + 1
+    for a, b, want in (
+        (0x830631FFFFFFFFF, 0x830780FFFFFFFFF, 7),
+        (0x8301A6FFFFFFFFF, 0x830014FFFFFFFFF, 9),
+        (0x8301A5FFFFFFFFF, 0x830B49FFFFFFFFF, 13),
+    ):
+        assert h3.grid_distance(a, b) + 1 == want
+        assert len(h3.grid_path(a, b)) == want
+
+
+def test_h3_core_pentagon_boundary_shape():
+    from clickhouse_23_3_19_32_lts_spark.functions import h3_core as h3
+
+    for bc in sorted(h3.PENTAGON_CELLS):
+        for res in (0, 1, 2):
+            hp = h3._make_h3(res, bc, [0] * 15)
+            b = h3.h3_to_geo_boundary(hp)
+            assert len(b) == (10 if res % 2 else 5), (bc, res)

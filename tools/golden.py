@@ -1094,7 +1094,14 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     else:
                         df = spark.sql(
                             translate(
-                                stmt, safe_subscript=safe, inline_aliases=inline
+                                stmt,
+                                safe_subscript=safe,
+                                inline_aliases=inline,
+                                nullable_cols=set().union(
+                                    *nullable_cols.values()
+                                )
+                                if nullable_cols
+                                else None,
                             )
                         )
                     if _null_producer_free(stmt, nullable_cols):
