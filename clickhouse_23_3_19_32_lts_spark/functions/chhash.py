@@ -28,6 +28,14 @@ storage widths the dialect read off toDecimal32/64/128 calls.
 
 UInt64 results surface as DECIMAL(20,0) so the unsigned value (and its
 ordering) matches ClickHouse; UInt32 families as BIGINT.
+
+TIER BOUNDARY (policy): these kernels are Python-math pandas UDFs — a
+COMPAT surface for the CH dialect and golden-test parity, never a data
+path. At 100 TB, shuffle/dedup/bucketing keys must use the JVM-native
+tier (pipeline/hashing.py: xxhash64/md5/hash, whole-stage codegen) —
+dedup only needs ONE engine's hash to be consistent end-to-end, not
+ClickHouse's exact values. tests/test_plan_quality.py asserts no gated
+registry query plan contains a ch_* hash UDF.
 """
 
 from __future__ import annotations

@@ -265,3 +265,105 @@ def test_blocked_near_dup_recall(spark, emb):
     assert recall >= 0.6, f"blocking recall degraded: {recall:.2f}"
     for pair, sim in blocked.items():
         assert abs(sim - exact[pair]) < 1e-9  # found pairs score exactly
+
+
+# --- real codecs: BMP/PPM/WAV roundtrips (pipeline/codecs.py) --------------
+
+
+def _rgb_fixture(w, h):
+    return bytes((x * 7 + y * 13 + c * 29) % 256 for y in range(h) for x in range(w) for c in range(3))
+
+
+def test_bmp_roundtrip():
+    from clickhouse_23_3_19_32_lts_spark.pipeline import codecs
+
+    for w, h in ((5, 3), (4, 4), (7, 2)):  # odd widths exercise row padding
+        rgb = _rgb_fixture(w, h)
+        blob = codecs.encode_bmp(w, h, rgb)
+        assert codecs.sniff(blob) == "bmp"
+        w2, h2, nch, rgb2 = codecs.decode_bmp(blob)
+        assert (w2, h2, nch) == (w, h, 3)
+        assert rgb2 == rgb
+
+
+def test_ppm_roundtrip_and_ascii():
+    from clickhouse_23_3_19_32_lts_spark.pipeline import codecs
+
+    rgb = _rgb_fixture(6, 4)
+    blob = codecs.encode_ppm(6, 4, rgb)
+    assert codecs.sniff(blob) == "ppm"
+    assert codecs.decode_ppm(blob)[3] == rgb
+    # P3 ASCII variant with a comment
+    p3 = b"P3\n# comment\n2 2\n255\n" + b" ".join(
+        str(v).encode() for v in _rgb_fixture(2, 2)
+    )
+    w, h, _, pix = codecs.decode_ppm(p3)
+    assert (w, h) == (2, 2) and pix == _rgb_fixture(2, 2)
+
+
+def test_wav_roundtrip():
+    import struct
+
+    from clickhouse_23_3_19_32_lts_spark.pipeline import codecs
+
+    pcm = struct.pack("<8h", 0, 100, -100, 32767, -32768, 5, -5, 1)
+    blob = codecs.encode_wav(16000, 1, 16, pcm)
+    assert codecs.sniff(blob) == "wav"
+    rate, ch, bits, data = codecs.decode_wav(blob)
+    assert (rate, ch, bits) == (16000, 1, 16)
+    assert data == pcm
+
+
+def test_decode_image_real_and_stubbed():
+    import pytest as _pytest
+
+    from clickhouse_23_3_19_32_lts_spark.pipeline import codecs
+    from clickhouse_23_3_19_32_lts_spark.pipeline.multimodal import (
+        decode_audio,
+        decode_image,
+        image_meta,
+    )
+
+    rgb = _rgb_fixture(3, 3)
+    assert decode_image(codecs.encode_bmp(3, 3, rgb)) == rgb
+    assert decode_image(codecs.encode_ppm(3, 3, rgb)) == rgb
+    assert image_meta(codecs.encode_bmp(3, 3, rgb)) == (3, 3)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n garbage")  # png: codec-stubbed
+    assert decode_audio(codecs.encode_wav(8000, 1, 8, b"\x01\x02")) == b"\x01\x02"
+
+
+def test_resize_images_real(spark):
+    from pyspark.sql import Row
+
+    from clickhouse_23_3_19_32_lts_spark.pipeline import codecs
+    from clickhouse_23_3_19_32_lts_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    rgb = _rgb_fixture(8, 8)
+    rows = [
+        Row(
+            media_id=1,
+            kind="image",
+            blob=codecs.encode_bmp(8, 8, rgb),
+            meta=Row(width=8, height=8, n_frames=1, codec="bmp"),
+        ),
+        Row(
+            media_id=2,
+            kind="image",
+            blob=b"\xff\xd8\xffjpeg-ish",
+            meta=Row(width=0, height=0, n_frames=1, codec="jpeg"),
+        ),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(df, 4, 4).collect()}
+    r1 = out[1]
+    assert r1["meta"]["width"] == 4 and r1["meta"]["codec"] == "ppm"
+    w, h, _, scaled = codecs.decode_ppm(bytes(r1["blob"]))
+    assert (w, h) == (4, 4)
+    # nearest-neighbor: sampled pixels come from the source image
+    assert scaled[:3] == rgb[:3]
+    # non-decodable blob passes through untouched
+    assert bytes(out[2]["blob"]) == b"\xff\xd8\xffjpeg-ish"

@@ -133,3 +133,16 @@ def test_prefix_sum_no_global_window(spark, name):
         # the printed form lists the partition columns first; partitioned
         # specs here are always over pid
         assert "pid#" in spec, f"{name}: unpartitioned window: {l.strip()}"
+
+
+def test_no_chhash_udfs_on_data_path(spark):
+    """Policy (SCALING.md, chhash.py docstring): the ClickHouse-bit-exact
+    hash family (ch_*_fold / ch_*_elems pandas UDFs) is a dialect compat
+    surface only — no gated registry query may carry one in its plan; the
+    data path uses the JVM-native tier (pipeline/hashing.py)."""
+    for name, fn in sorted(all_queries().items()):
+        df = fn(spark, SF)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "ch_cityhash" not in p and "ch_siphash" not in p and (
+            "ch_murmur" not in p
+        ), f"{name}: CH-exact hash UDF on a data path"
