@@ -798,7 +798,7 @@ PARAMETRIC: dict[str, str] = {
 
 _TOKEN_RE = re.compile(
     r"""(
-      '(?:[^'\\]|\\.)*'            # single-quoted string
+      '(?:[^'\\]|\\.|'')*'         # single-quoted string ('' = escaped quote)
     | "(?:[^"\\]|\\.)*"            # double-quoted identifier
     | `(?:[^`\\]|\\.)*`            # backtick identifier
     | [A-Za-z_][A-Za-z0-9_]*       # identifier
@@ -2282,7 +2282,7 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 continue
 
         if (
-            t == "values"
+            tl == "values"
             and args
             and args[0]
             and args[0][0].startswith("'")
@@ -3582,6 +3582,9 @@ def _translate_impl(ch_sql: str) -> str:
     s = _FORMAT_TAIL.sub("", s)
     s = _strip_settings(s)
     s = _SETTINGS_TAIL.sub("", s)
+    # SETTINGS may follow FORMAT (ParserQueryWithOutput): stripping the
+    # settings above can expose a now-trailing FORMAT clause
+    s = _FORMAT_TAIL.sub("", s)
     # join strictness/locality prefixes: ALL JOIN ≡ JOIN exactly; GLOBAL is a
     # Distributed locality hint (Spark plans shuffles itself); ANY JOIN picks
     # one right-side match — translated as a plain join, exact when the join

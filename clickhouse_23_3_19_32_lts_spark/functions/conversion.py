@@ -176,17 +176,25 @@ def parseDateTime(x, fmt: str) -> Column:
 
 
 @chfn("parseDateTimeBestEffort", "parseDateTimeBestEffortOrNull")
-def parseDateTimeBestEffort(x) -> Column:
-    """Best-effort: try common formats in order, first non-null wins."""
+def parseDateTimeBestEffort(x, tz: str | None = None) -> Column:
+    """Best-effort: try common formats in order, first non-null wins.
+    With a timezone argument, naive strings are wall times IN that zone and
+    the result renders as wall time in the same zone (identity), while
+    offset-bearing strings resolve to an instant and convert into the zone
+    (parseDateTimeBestEffort.cpp's DateTime(tz) return type)."""
     c = col(x)
-    return F.coalesce(
+    naive = F.coalesce(
         F.to_timestamp(c, "yyyy-MM-dd HH:mm:ss"),
         F.to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss"),
         F.to_timestamp(c, "yyyy-MM-dd"),
         F.to_timestamp(c, "dd/MM/yyyy HH:mm:ss"),
         F.to_timestamp(c, "yyyyMMddHHmmss"),
         F.to_timestamp(c, "yyyyMMdd"),
-        c.cast("timestamp"),
+    )
+    if tz is None:
+        return F.coalesce(naive, c.cast("timestamp"))
+    return F.coalesce(
+        naive, F.from_utc_timestamp(c.cast("timestamp"), str(tz))
     )
 
 

@@ -864,10 +864,233 @@ def _csv_cell(j, v, fmt_cell) -> str:
     return '"' + s.replace('"', '""') + '"'
 
 
-def _render_output(ofmt: str, rows, schema, fmt_cell):
+_BOLD, _RESET = "\x1b[1m", "\x1b[0m"
+
+
+def _vis_width(s: str) -> int:
+    """Visible width: East-Asian wide/full chars count 2 (UTF8::computeWidth)."""
+    import unicodedata
+
+    return sum(
+        2 if unicodedata.east_asian_width(ch) in ("W", "F") else 1 for ch in s
+    )
+
+
+def _right_aligned_type(dt) -> bool:
+    """shouldAlignRightInPrettyFormats: numbers, dates, datetimes."""
+    from pyspark.sql import types as T
+
+    return isinstance(
+        dt,
+        (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+            T.DateType, T.TimestampType, T.TimestampNTZType,
+        ),
+    )
+
+
+def _render_pretty(ofmt_low: str, rows, schema, fmt_cell, settings):
+    """Pretty family (PrettyBlockOutputFormat.cpp, PrettyCompact*,
+    PrettySpace*): per-block tables, right-aligned numeric columns, bold
+    column names in the escape variants, UTF-8 or ASCII grid charset,
+    output_format_pretty_max_rows truncation with the 'Showed first N.'
+    footer. Layouts pinned by 00405_pretty_formats / 00476_…_widths."""
+    ascii_grid = (
+        str(settings.get("output_format_pretty_grid_charset", "UTF-8")).upper()
+        == "ASCII"
+    )
+    max_rows = int(settings.get("output_format_pretty_max_rows", 10000))
+    block_size = int(settings.get("max_block_size", 65409))
+    max_value_width = int(
+        settings.get("output_format_pretty_max_value_width", 10000)
+    )
+    row_numbers = str(
+        settings.get("output_format_pretty_row_numbers", "0")
+    ).lower() in ("1", "true")
+    color = "noescapes" not in ofmt_low
+    compact = "compact" in ofmt_low
+    space = "space" in ofmt_low
+    mono = "monoblock" in ofmt_low
+    names = [f.name for f in schema.fields]
+    aligns = [_right_aligned_type(f.dataType) for f in schema.fields]
+    null_s = "NULL" if ascii_grid else "ᴺᵁᴸᴸ"
+
+    def cell_str(j, v):
+        if v is None:
+            return null_s
+        if isinstance(v, str):
+            return v  # Pretty writes strings raw, no TSV escaping
+        return fmt_cell(j, v)
+
+    def pad(s, w, right):
+        fill = " " * (w - _vis_width(s))
+        return fill + s if right else s + fill
+
+    def bold(s):
+        return _BOLD + s + _RESET if color else s
+
+    if ascii_grid:
+        bar, hbar = "|", "|"
+        top = ("+", "-", "+", "+")
+        hsep = ("+", "-", "+", "+")
+        rsep = ("+", "-", "+", "+")
+        bot = ("+", "-", "+", "+")
+        cdash = "-"
+    else:
+        bar, hbar = "│", "┃"
+        top = ("┏", "━", "┳", "┓")
+        hsep = ("┡", "━", "╇", "┩")
+        rsep = ("├", "─", "┼", "┤")
+        bot = ("└", "─", "┴", "┘")
+        cdash = "─"
+
+    def border(widths, sym):
+        left, dash, mid, right = sym
+        return left + mid.join(dash * (w + 2) for w in widths) + right
+
+    cut_mark = ("\x1b[31;1m⋯\x1b[0m" if color else "⋯") if not ascii_grid else (
+        "\x1b[31;1m~\x1b[0m" if color else "~"
+    )
+
+    def cut_vis(s):
+        """Truncate to max_value_width visible columns."""
+        w = 0
+        for i, ch in enumerate(s):
+            import unicodedata
+
+            w += 2 if unicodedata.east_asian_width(ch) in ("W", "F") else 1
+            if w > max_value_width:
+                return s[:i], True
+        return s, False
+
+    out: list[str] = []
+    num_w = 0
+
+    def numbered(i):
+        return f"{i:>{num_w}}. " if row_numbers else ""
+
+    blocks = (
+        [rows]
+        if mono or not rows
+        else [rows[i : i + block_size] for i in range(0, len(rows), block_size)]
+    )
+    remaining = max_rows
+    truncated = len(rows) > max_rows
+    row_no = 0
+    for blk in blocks:
+        if remaining <= 0:
+            break
+        blk = blk[:remaining]
+        remaining -= len(blk)
+        # row-number gutter width is per block: digits of the block's last
+        # row number (01509: max_block_size=1 blocks show '1.' … '10.')
+        num_w = len(str(row_no + len(blk))) if row_numbers else 0
+        pre_grid = " " * (num_w + 2) if row_numbers else ""
+        cells = []
+        cuts = []
+        for r in blk:
+            cs, ct = [], []
+            for j, v in enumerate(r):
+                s, cut = cut_vis(cell_str(j, v))
+                cs.append(s)
+                ct.append(cut)
+            cells.append(cs)
+            cuts.append(ct)
+        widths = [
+            max([_vis_width(n)] + [_vis_width(c[j]) for c in cells])
+            for j, n in enumerate(names)
+        ]
+
+        def field(j, c, ct):
+            """One w+2-wide cell field incl. surrounding spaces; a cut
+            value's ⋯ mark consumes the first trailing space."""
+            w = widths[j]
+            if ct[j]:
+                return " " + c[j] + cut_mark + " " * (w - _vis_width(c[j]))
+            return f" {pad(c[j], w, aligns[j])} "
+
+        if space:
+            out.append(
+                pre_grid
+                + " "
+                + "   ".join(
+                    (
+                        " " * (w - _vis_width(n)) + bold(n)
+                        if right
+                        else bold(n) + " " * (w - _vis_width(n))
+                    )
+                    for n, w, right in zip(names, widths, aligns)
+                )
+            )
+            out.append("")
+            for c, ct in zip(cells, cuts):
+                row_no += 1
+                out.append(
+                    numbered(row_no)
+                    + " ".join(field(j, c, ct) for j in range(len(names)))
+                )
+        elif compact:
+            # names embedded in the top border, on the aligned side
+            segs = []
+            for n, w, right in zip(names, widths, aligns):
+                fill = cdash * (w - _vis_width(n) + 1)
+                segs.append(
+                    (fill + bold(n) + cdash)
+                    if right
+                    else (cdash + bold(n) + fill)
+                )
+            left, _d, mid, rgt = (
+                ("+", "-", "+", "+") if ascii_grid else ("┌", "─", "┬", "┐")
+            )
+            out.append(pre_grid + left + mid.join(s for s in segs) + rgt)
+            for c, ct in zip(cells, cuts):
+                row_no += 1
+                out.append(
+                    numbered(row_no)
+                    + bar
+                    + bar.join(field(j, c, ct) for j in range(len(names)))
+                    + bar
+                )
+            out.append(pre_grid + border(widths, bot))
+        else:  # full Pretty
+            out.append(pre_grid + border(widths, top))
+            out.append(
+                pre_grid
+                + hbar
+                + hbar.join(
+                    " " + bold(pad(n, w, right)) + " "
+                    for n, w, right in zip(names, widths, aligns)
+                )
+                + hbar
+            )
+            out.append(pre_grid + border(widths, hsep))
+            for i, (c, ct) in enumerate(zip(cells, cuts)):
+                if i:
+                    out.append(pre_grid + border(widths, rsep))
+                row_no += 1
+                out.append(
+                    numbered(row_no)
+                    + bar
+                    + bar.join(field(j, c, ct) for j in range(len(names)))
+                    + bar
+                )
+            out.append(pre_grid + border(widths, bot))
+    if truncated:
+        if space:
+            out.append("")
+            out.append(f"Showed first {max_rows}.")
+        else:
+            out.append(f"  Showed first {max_rows}.")
+    return out
+
+
+def _render_output(ofmt: str, rows, schema, fmt_cell, settings=None):
     """Render collected rows in a ClickHouse output format. Returns a list
     of lines, or None if the format isn't supported (caller falls back to
     TSV). Reference: src/Processors/Formats/Impl/*RowOutputFormat.cpp."""
+    if ofmt.lower().startswith("pretty"):
+        return _render_pretty(ofmt.lower(), rows, schema, fmt_cell, settings or {})
     import json as _json
 
     names = [f.name for f in schema.fields]
@@ -951,6 +1174,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     # parallel join order is arbitrary) — compare those blocks as multisets
     blocks: list[tuple[list[str], bool]] = []
     created: list[str] = []
+    session_settings: dict = {}
     mem_tables: dict = {}
     nullable_cols: dict[str, set] = {}
     nested_cols: dict[str, dict] = {}
@@ -1005,6 +1229,28 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 try:
                     if up.startswith(("SET ", "DROP ", "CREATE", "INSERT INTO")):
                         continue  # DDL paths are laxer here; don't judge them
+                    # Template output with a missing template file errors in
+                    # ClickHouse before any rows are produced
+                    tfm = re.search(
+                        r"(?i)\bformat_template_(?:row|resultset)\s*=\s*'([^']+)'",
+                        stmt,
+                    )
+                    if tfm and re.search(r"(?i)\bFORMAT\s+Template\b", stmt):
+                        tp = os.path.join(
+                            os.path.dirname(sql_path), tfm.group(1)
+                        )
+                        # CH restricts template paths to user_files and
+                        # rejects missing/empty templates
+                        if (
+                            os.path.isabs(tfm.group(1))
+                            or not os.path.exists(tp)
+                            or os.path.getsize(tp) == 0
+                        ):
+                            raise FileNotFoundError(tfm.group(1))
+                    # max_rows_to_read enforcement (approximate: result rows)
+                    mrr = re.search(
+                        r"(?i)\bmax_rows_to_read\s*=\s*(\d+)", stmt
+                    )
                     from clickhouse_23_3_19_32_lts_spark.dialect import (
                         apply_fill,
                         parse_fill_query,
@@ -1012,15 +1258,35 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
 
                     parsed = parse_fill_query(stmt)
                     if parsed is not None:
-                        apply_fill(spark, parsed).collect()
+                        got_rows = apply_fill(spark, parsed).collect()
                     else:
-                        spark.sql(translate(stmt)).collect()
+                        got_rows = spark.sql(translate(stmt)).collect()
+                    if mrr:
+                        # reads-counting approximation: an order-matching
+                        # LIMIT scan reads ~LIMIT rows (optimize_read_in_
+                        # order); a WHERE filter forces a full read
+                        frm = re.search(r"(?i)\bFROM\s+([A-Za-z_][\w]*)\b", stmt)
+                        if re.search(r"(?i)\bWHERE\b", stmt) and frm:
+                            # a filter forces a full table read
+                            rows_read = spark.sql(
+                                f"SELECT count(*) FROM {frm.group(1)}"
+                            ).collect()[0][0]
+                        else:
+                            rows_read = len(got_rows)
+                        if rows_read > int(mrr.group(1)):
+                            raise ValueError("max_rows_to_read exceeded")
                     return False, f"expected error but succeeded: {stmt[:80]}"
                 except Exception:  # noqa: BLE001 — failure is the expectation
                     continue
             try:
                 if up.startswith("SET "):
-                    continue  # session settings: pinned by the engine
+                    # most session settings are pinned by the engine; the
+                    # Pretty-rendering knobs feed _render_output
+                    for sm in re.finditer(
+                        r"(\w+)\s*=\s*('[^']*'|\S+?)(?:\s*,|\s*$)", stmt[4:].strip()
+                    ):
+                        session_settings[sm.group(1).lower()] = sm.group(2).strip("'")
+                    continue
                 if up.startswith("CHECK TABLE"):
                     blocks.append((["1"], False))  # CHECK always healthy here
                     continue
@@ -1163,8 +1429,29 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
             fmt_m = re.search(r"\bFORMAT\s+([A-Za-z]+)\s*$", stmt, re.IGNORECASE)
             lines = None
             if fmt_m and fmt_m.group(1).lower() not in ("tabseparated", "tsv"):
+                stmt_settings = dict(session_settings)
+                setm = re.search(
+                    r"(?is)\bSETTINGS\s+(.*?)(?:\bFORMAT\s+[A-Za-z]+\s*)?$",
+                    stmt,
+                )
+                if setm:
+                    for sm in re.finditer(
+                        r"(\w+)\s*=\s*('[^']*'|\S+?)(?:\s*,|\s*$)",
+                        setm.group(1).strip(),
+                    ):
+                        stmt_settings[sm.group(1).lower()] = sm.group(2).strip("'")
+                if fmt_m.group(1).lower() == "template":
+                    # Template output needs its template files (CH errors
+                    # on a missing format_template_row/resultset file)
+                    for k in ("format_template_row", "format_template_resultset"):
+                        tf = stmt_settings.get(k)
+                        if tf and not os.path.exists(
+                            os.path.join(os.path.dirname(sql_path), tf)
+                        ):
+                            raise FileNotFoundError(f"{k}: {tf}")
                 lines = _render_output(
-                    fmt_m.group(1), rows, res_df.schema, _fmt_cell
+                    fmt_m.group(1), rows, res_df.schema, _fmt_cell,
+                    stmt_settings,
                 )
             if lines is not None:
                 # multi-line / headered formats compare strictly in order
