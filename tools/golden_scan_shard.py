@@ -78,11 +78,20 @@ def main() -> None:
     spark = _fresh_spark(shard)
     names = candidates()[shard::nshards]
     print(f"shard {shard}/{nshards}: {len(names)} files", flush=True)
+    import threading
+
     passed = 0
     signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(_Timeout()))
     with open(out_path, "w") as out:
         for i, name in enumerate(names):
             signal.alarm(90)
+            # SIGALRM can't interrupt a JVM-side runaway (the Python thread
+            # sits in a py4j recv): a watchdog cancels the Spark jobs so the
+            # blocked collect() raises and the alarm path regains control
+            sc = spark.sparkContext
+            dog = threading.Timer(100.0, lambda: sc.cancelAllJobs())
+            dog.daemon = True
+            dog.start()
             ok = False
             failed = False
             try:
@@ -93,6 +102,7 @@ def main() -> None:
                 failed = True
             finally:
                 signal.alarm(0)
+                dog.cancel()
             if ok:
                 passed += 1
                 out.write(name + "\n")
