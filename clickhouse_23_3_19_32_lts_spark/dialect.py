@@ -155,6 +155,13 @@ TEMPLATES: dict[str, str] = {
     "toUInt64": "CAST({0} AS BIGINT)",
     "toFloat32": "CAST({0} AS FLOAT)",
     "toFloat64": "CAST({0} AS DOUBLE)",
+    # Int128/256 carried as BIGINT: values beyond ±2^63 are documented
+    # unsupported (SCALING.md; src/Core/Types.h wide integers) but the
+    # in-range arithmetic the golden corpus exercises is exact
+    "toInt128": "CAST({0} AS BIGINT)",
+    "toInt256": "CAST({0} AS BIGINT)",
+    "toUInt128": "CAST({0} AS BIGINT)",
+    "toUInt256": "CAST({0} AS BIGINT)",
     # toDate/toDateTime accept strings, dates, AND numbers (DataTypeDate.cpp:
     # numeric input is days-since-epoch below 65536, else unix seconds).
     # Routing through STRING keeps every branch type-checkable whatever the
@@ -251,7 +258,12 @@ TEMPLATES: dict[str, str] = {
         " WHEN 'timestamp' THEN 'DateTime' WHEN 'boolean' THEN 'Bool'"
         " ELSE typeof({0}) END)"
     ),
-    "arrayWithConstant": "array_repeat({1}, CAST({0} AS INT))",
+    # negative size errors in CH (TOO_LARGE_ARRAY_SIZE), array_repeat gives []
+    "arrayWithConstant": (
+        "array_repeat({1}, CAST(CASE WHEN ({0}) < 0 THEN"
+        " raise_error('arrayWithConstant: negative size') ELSE ({0}) END"
+        " AS INT))"
+    ),
     "tuple": None,  # variadic — handled specially (struct)
     "extractURLParameter": "parse_url({0}, 'QUERY', {1})",
     "domain": "parse_url({0}, 'HOST')",
@@ -330,6 +342,13 @@ TEMPLATES: dict[str, str] = {
 # SQL-standard `position(needle IN haystack)` single-arg form, which Spark
 # accepts verbatim with needle-first semantics on both sides).
 ARITY_TEMPLATES: dict[str, dict[int, str]] = {
+    # zero-arg forms (count() short form extends to its -State alias;
+    # ignore() with no args is legal and returns 0)
+    "countState": {0: "count(*)", 1: "count({0})"},
+    "ignore": {0: "0", 1: "(length(CAST({0} AS STRING)) * 0)"},
+    # 2-arg arraySlice runs to the end; 1-arg arrayStringConcat joins with ''
+    "arraySlice": {2: "slice({0}, {1}, size({0}))"},
+    "arrayStringConcat": {1: "array_join({0}, '')"},
     # bare parametric-aggregate forms default to level 0.5
     # (AggregateFunctionQuantile.h: params optional)
     "quantile": {1: "coalesce(percentile({0}, 0.5), double('NaN'))"},
@@ -490,19 +509,38 @@ _DATEDIFF_TEMPLATES = {
 }
 
 
+def _fill_template(tpl: str, arg_sql: list[str], t: str) -> str:
+    """Fill {0},{1}… placeholders in one pass so argument text containing
+    brace sequences (e.g. the regex quantifier 'it{2}' inside a string
+    literal) is never rescanned as a placeholder."""
+    missing: list[int] = []
+
+    def _rep(m: re.Match) -> str:
+        j = int(m.group(1))
+        if j < len(arg_sql):
+            return arg_sql[j]
+        missing.append(j)
+        return m.group(0)
+
+    s = re.sub(r"\{(\d+)\}", _rep, tpl)
+    if missing:
+        raise ChSqlError(f"{t} expects more arguments than given: {arg_sql}")
+    return s
+
+
 def _datediff_expr(fname: str, arg_sql: list[str]) -> str:
     if len(arg_sql) < 3:
         raise ChSqlError(f"{fname} needs ('unit', start, end); got {arg_sql}")
-    m = re.fullmatch(r"'(\w+)'", arg_sql[0])
+    # unit may be a quoted literal or a bare keyword (dateDiff(DAY, a, b))
+    m = re.fullmatch(r"'(\w+)'", arg_sql[0]) or re.fullmatch(
+        r"(\w+)", arg_sql[0]
+    )
     if not m or m.group(1).lower() not in _UNIT_ALIASES:
         raise ChSqlError(f"{fname}: unit must be a literal like 'day'; got {arg_sql[0]}")
     unit = _UNIT_ALIASES[m.group(1).lower()]
     if fname == "age":
         return f"timestampdiff({unit.upper()}, {arg_sql[1]}, {arg_sql[2]})"
-    s = _DATEDIFF_TEMPLATES[unit]
-    for j, a in enumerate(arg_sql):
-        s = s.replace(f"{{{j}}}", a)
-    return s
+    return _fill_template(_DATEDIFF_TEMPLATES[unit], arg_sql, fname)
 
 # --- ClickHouse type grammar → Spark SQL types ------------------------------
 # Recursive: Nullable/LowCardinality unwrap; Array/Map/Tuple recurse;
@@ -808,6 +846,7 @@ _TOKEN_RE = re.compile(
     | \d+
     | ==                           # CH equality
     | ::                           # CH/Postgres cast operator
+    | \|\|                         # string concatenation
     | <> | <= | >= | != | ->
     | .                            # any single char
     )""",
@@ -2100,29 +2139,6 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
-        if t == "arrayReduce" and len(arg_sql) >= 2 and re.fullmatch(
-            r"'\w+'", arg_sql[0]
-        ):
-            # arrayReduce('agg', arr) — apply an aggregate over array
-            # elements (src/Functions/array/arrayReduce.cpp) via HOFs
-            agg, arr = arg_sql[0][1:-1].lower(), arg_sql[1]
-            forms = {
-                "min": f"array_min({arr})",
-                "max": f"array_max({arr})",
-                "count": f"size({arr})",
-                "sum": f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))",
-                "avg": f"(aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE)) / size({arr}))",
-                "any": f"element_at({arr}, 1)",
-                "anylast": f"element_at({arr}, -1)",
-                "uniq": f"size(array_distinct({arr}))",
-                "uniqexact": f"size(array_distinct({arr}))",
-                "grouparray": arr,
-            }
-            if agg in forms:
-                out.append(forms[agg])
-                i = close + 1
-                continue
-
         if t == "length" and len(arg_sql) == 1 and re.match(
             r"(?:array\(|array_distinct\(|array_sort\(|array_intersect\(|"
             r"array_except\(|array_union\(|array_repeat\(|array_remove\(|"
@@ -2138,6 +2154,83 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             out.append(f"size({arg_sql[0]})")
             i = close + 1
             continue
+
+        if tl == "arrayreduce" and len(arg_sql) >= 2 and re.fullmatch(
+            r"'[^']*'", arg_sql[0].strip()
+        ):
+            # arrayReduce('agg', arr) — scalar per-row reduction of an array
+            # by aggregate-function name (src/Functions/array/arrayReduce.cpp).
+            # Computable subset: plain math aggs incl. -OrNull/-OrDefault and
+            # quantile levels; opaque -State/-Merge forms fall through loud.
+            spec = arg_sql[0].strip()[1:-1]
+            am = re.fullmatch(
+                r"([A-Za-z]+?)(OrNull|OrDefault)?(?:\(([^()]*)\))?", spec
+            )
+            x = arg_sql[1]
+            expr2 = None
+            if am:
+                base = am.group(1).lower()
+                suffix = am.group(2) or ""
+                params = am.group(3)
+                n = f"size({x})"
+                srt = f"array_sort({x})"
+
+                def _quant_exact(p):
+                    # QuantileExact.h get(): nth = level*(s-1) floored
+                    return (
+                        f"element_at({srt}, CAST(floor(({p}) * ({n} - 1)) AS INT) + 1)"
+                    )
+
+                def _quant_interp(p):
+                    h = f"(({p}) * ({n} - 1))"
+                    lo = f"element_at({srt}, CAST(floor({h}) AS INT) + 1)"
+                    hi = f"element_at({srt}, CAST(ceiling({h}) AS INT) + 1)"
+                    return (
+                        f"(CAST({lo} AS DOUBLE) + ({h} - floor({h}))"
+                        f" * (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)))"
+                    )
+
+                forms = {
+                    "sum": f"aggregate({x}, CAST(0 AS DOUBLE),"
+                           f" (__a, __x) -> __a + CAST(__x AS DOUBLE))",
+                    "max": f"array_max({x})",
+                    "min": f"array_min({x})",
+                    "count": n,
+                    "avg": f"(aggregate({x}, CAST(0 AS DOUBLE),"
+                           f" (__a, __x) -> __a + CAST(__x AS DOUBLE)) / {n})",
+                    "any": f"element_at({x}, 1)",
+                    "anylast": f"element_at({x}, -1)",
+                    "uniq": f"size(array_distinct({x}))",
+                    "uniqexact": f"size(array_distinct({x}))",
+                    "grouparray": x,
+                    "groupuniqarray": f"array_distinct({x})",
+                    "median": _quant_interp("0.5"),
+                    "stddevpop": (
+                        f"sqrt(aggregate({x}, CAST(0 AS DOUBLE), (__s, __e) ->"
+                        f" __s + pow(CAST(__e AS DOUBLE) - aggregate({x},"
+                        f" CAST(0 AS DOUBLE), (__a, __b) -> __a + __b) / {n}, 2))"
+                        f" / {n})"
+                    ),
+                }
+                if base == "quantile" or base == "medianexact":
+                    expr2 = _quant_interp(params or "0.5")
+                elif base == "quantileexact":
+                    expr2 = _quant_exact(params or "0.5")
+                elif base in forms:
+                    expr2 = forms[base]
+                if expr2 is not None and suffix:
+                    empty = f"(size({x}) = 0)"
+                    if suffix == "OrNull":
+                        expr2 = f"(CASE WHEN {empty} THEN NULL ELSE {expr2} END)"
+                    else:  # OrDefault: type default for the empty set
+                        dflt = f"(element_at({x}, 1) * 0)"
+                        if base in ("avg", "median", "quantile", "stddevpop"):
+                            dflt = "CAST(0 AS DOUBLE)"
+                        expr2 = f"(CASE WHEN {empty} THEN {dflt} ELSE {expr2} END)"
+            if expr2 is not None:
+                out.append(expr2)
+                i = close + 1
+                continue
 
         if t == "toStartOfInterval" and len(arg_sql) >= 2:
             ivm2 = _INTERVAL_RE.match(arg_sql[1].strip().replace("'", ""))
@@ -2466,21 +2559,12 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             and len(arg_sql) in ARITY_TEMPLATES[t]
             and not _has_lambda
         ):
-            s = ARITY_TEMPLATES[t][len(arg_sql)]
-            for j, a in enumerate(arg_sql):
-                s = s.replace(f"{{{j}}}", a)
-            out.append(s)
+            out.append(_fill_template(ARITY_TEMPLATES[t][len(arg_sql)], arg_sql, t))
             i = close + 1
             continue
 
         if t in TEMPLATES and TEMPLATES[t] is not None and not _has_lambda:
-            tpl = TEMPLATES[t]
-            s = tpl
-            for j, a in enumerate(arg_sql):
-                s = s.replace(f"{{{j}}}", a)
-            if re.search(r"\{\d+\}", s):
-                raise ChSqlError(f"{t} expects more arguments than given: {arg_sql}")
-            out.append(s)
+            out.append(_fill_template(TEMPLATES[t], arg_sql, t))
             i = close + 1
             continue
 
@@ -2827,6 +2911,175 @@ def _enclosing_scope(s: str, pos: int) -> tuple[int, int]:
     raise ChSqlError("unbalanced parentheses")
 
 
+_SEMI_LEFT_RE = re.compile(
+    r"(?i)\b(?:GLOBAL\s+)?(SEMI|ANY)\s+(LEFT|INNER)\s+(?:OUTER\s+)?JOIN\s+"
+)
+_SEMI_RIGHT_RE = re.compile(
+    r"(?i)\b(?:GLOBAL\s+)?(SEMI|ANY)\s+(RIGHT|INNER)\s+(?:OUTER\s+)?JOIN\s+"
+)
+
+
+def _read_relation(s: str, pos: int) -> tuple[str, str, int]:
+    """(relation_sql, alias, end_pos) starting at pos: a bare identifier or
+    a balanced parenthesized subquery, plus an optional [AS] alias."""
+    n = len(s)
+    if pos < n and s[pos] == "(":
+        depth = 0
+        i = pos
+        while i < n:
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        rel = s[pos : i + 1]
+        j = i + 1
+    else:
+        m = re.match(r"[A-Za-z_][\w.]*", s[pos:])
+        if not m:
+            return "", "", pos
+        rel = m.group(0)
+        j = pos + m.end()
+    am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", s[j:], re.IGNORECASE)
+    alias = ""
+    if am and am.group(1).upper() not in (
+        "USING", "ON", "WHERE", "GROUP", "ORDER", "LIMIT", "SETTINGS",
+        "FORMAT", "SEMI", "ANTI", "LEFT", "RIGHT", "INNER", "FULL", "JOIN",
+        "UNION", "HAVING", "CROSS", "ANY", "ALL", "GLOBAL", "PREWHERE",
+    ):
+        alias = am.group(1)
+        j += am.end()
+    return rel, alias, j
+
+
+def _dedup_by_keys(rel: str, keys: str) -> str:
+    """First row per key tuple, whole-row-ordered (the SEMI join pick)."""
+    inner = rel if rel.startswith("(") else f"(SELECT * FROM {rel})"
+    return (
+        f"(SELECT * EXCEPT(__rn) FROM (SELECT *, row_number() OVER"
+        f" (PARTITION BY {keys} ORDER BY struct(*)) AS __rn FROM"
+        f" {inner} __semi_in) WHERE __rn = 1)"
+    )
+
+
+def _rewrite_semi_join(s: str) -> str:
+    """SEMI/ANY strictness joins (JoinStrictness::{Semi,Any}): the build
+    side contributes at most ONE match per key. SEMI LEFT / ANY LEFT /
+    ANY INNER dedupe the right side; SEMI RIGHT / ANY RIGHT (and ANY INNER
+    again) dedupe the left side; the join kind then lowers to
+    INNER (semi / any-inner), LEFT (any-left) or RIGHT (any-right)."""
+    m = _SEMI_LEFT_RE.search(_blank_strings(s))
+    if m:
+        strict, kind = m.group(1).upper(), m.group(2).upper()
+        rel, alias, end = _read_relation(s, m.end())
+        um = re.match(
+            r"\s*USING\s*(\(([^)]*)\)|([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*))",
+            s[end:],
+            re.IGNORECASE,
+        )
+        if rel and um:
+            keys = um.group(2) or um.group(3)
+            name = alias or (rel if not rel.startswith("(") else "__semi_r")
+            name = name.split(".")[-1]
+            lowered = (
+                "INNER JOIN" if strict == "SEMI" or kind == "INNER"
+                else "LEFT JOIN"
+            )
+            out = (
+                s[: m.start()]
+                + f"{lowered} {_dedup_by_keys(rel, keys)} AS {name} "
+                + s[end:]
+            )
+            # ANY INNER also dedupes the left side
+            if strict == "ANY" and kind == "INNER":
+                out = _dedup_left_relation(out, m.start(), keys)
+            return _rewrite_semi_join(out)
+    m = _SEMI_RIGHT_RE.search(_blank_strings(s))
+    if m:
+        strict, kind = m.group(1).upper(), m.group(2).upper()
+        if kind == "RIGHT":
+            um = re.search(
+                r"\s*USING\s*(\(([^)]*)\)|([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*))",
+                s[m.end() :],
+                re.IGNORECASE,
+            )
+            if um:
+                keys = um.group(2) or um.group(3)
+                lowered = "INNER JOIN " if strict == "SEMI" else "RIGHT JOIN "
+                out = _dedup_left_relation(
+                    s[: m.start()] + lowered + s[m.end() :], m.start(), keys
+                )
+                if out is not None:
+                    return _rewrite_semi_join(out)
+    return s
+
+
+def _dedup_left_relation(s: str, join_pos: int, keys: str):
+    """Wrap the relation right after the last FROM before join_pos in the
+    per-key dedupe (the build side of SEMI RIGHT / ANY RIGHT / ANY INNER)."""
+    blank = _blank_strings(s)
+    join_depth = _depth_at(blank, join_pos)
+    fm = None
+    for cand in re.finditer(r"(?i)\bFROM\s+", blank):
+        if cand.end() <= join_pos and _depth_at(blank, cand.start()) == join_depth:
+            fm = cand
+    if fm is None:
+        return s
+    rel, alias, end = _read_relation(s, fm.end())
+    if not rel or end > join_pos:
+        return s
+    name = alias or (rel if not rel.startswith("(") else "__semi_l")
+    name = name.split(".")[-1]
+    return (
+        s[: fm.end()]
+        + f"{_dedup_by_keys(rel, keys)} AS {name}"
+        + s[end:]
+    )
+
+
+_DISTINCT_ON_RE = re.compile(r"(?i)\bSELECT\s+DISTINCT\s+ON\s*\(")
+
+
+def _rewrite_distinct_on(s: str) -> str:
+    """SELECT DISTINCT ON (keys) … → SELECT … LIMIT 1 BY keys
+    (ParserSelectQuery treats them as equivalent; the LIMIT BY machinery
+    below then turns it into a row_number window)."""
+    m = _DISTINCT_ON_RE.search(_blank_strings(s))
+    if not m:
+        return s
+    open_idx = m.end() - 1
+    depth = 0
+    blank = _blank_strings(s)
+    close_idx = -1
+    for i in range(open_idx, len(blank)):
+        if blank[i] == "(":
+            depth += 1
+        elif blank[i] == ")":
+            depth -= 1
+            if depth == 0:
+                close_idx = i
+                break
+    if close_idx < 0:
+        return s
+    keys = s[open_idx + 1 : close_idx]
+    rest = s[close_idx + 1 :]
+    head = s[: m.start()] + "SELECT "
+    # append at the end of this (sub)query's scope — same depth as SELECT
+    tail_depth = _depth_at(blank, m.start())
+    end = len(s)
+    for i in range(close_idx + 1, len(blank)):
+        if blank[i] == ")" and _depth_at(blank, i) == tail_depth:
+            end = i
+            break
+    body = head + rest[: end - close_idx - 1]
+    return _rewrite_distinct_on(
+        body + f" LIMIT 1 BY {keys} " + s[end:] if end < len(s) else
+        body + f" LIMIT 1 BY {keys}"
+    )
+
+
 def _rewrite_limit_by_clause(s: str, _guard: int = 0) -> str:
     if _guard > 16:
         return s
@@ -2999,6 +3252,28 @@ def _rewrite_scalar_with(s: str) -> str:
         scalars.append((item[: am.start()].strip(), item[am.end() :].strip()))
     if not scalars:
         return s
+    # Aliases may reference earlier (or later) aliases — ClickHouse expands
+    # these transitively (00997_trim chains x→spaces→s→sl…). Expand the
+    # alias map itself to a fixpoint before touching the body.
+    for _ in range(10):
+        changed = False
+        for i, (expr, name) in enumerate(scalars):
+            for e2, n2 in scalars:
+                if n2 == name:
+                    continue
+                new = re.sub(
+                    rf"(?<![A-Za-z0-9_.`]){re.escape(n2)}(?![A-Za-z0-9_(])",
+                    lambda _m, e=e2: f"({e})",
+                    expr,
+                )
+                if new != expr:
+                    expr, changed = new, True
+            if len(expr) > 200_000:
+                # exponential alias chains hit TOO_DEEP_AST in the reference
+                raise ChSqlError("WITH alias expansion too deep")
+            scalars[i] = (expr, name)
+        if not changed:
+            break
     body = s[sel.start() :]
     for expr, name in scalars:
         # a bare select-list item keeps the alias name on the expression;
@@ -3577,14 +3852,72 @@ def translate(
         _NULLABLE_COLS = prev3
 
 
+def _check_alias_expansion_budget(s: str) -> None:
+    """Mirror the reference's max_expanded_ast_elements guard
+    (Settings.h, default 500000): a select list whose alias chain expands
+    exponentially (`1 AS a, a+a AS b, b+b AS c, …`) must error like
+    TOO_DEEP_AST instead of being evaluated."""
+    sb = _blank_strings(s)
+    m = re.search(r"\bSELECT\b", sb, re.IGNORECASE)
+    if m is None:
+        return
+    endm = next(
+        (
+            c
+            for c in re.finditer(
+                r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|FORMAT|UNION)\b",
+                sb,
+                re.IGNORECASE,
+            )
+            if c.start() > m.end() and _depth_at(s, c.start()) == 0
+        ),
+        None,
+    )
+    items = _split_top_commas(s[m.end() : endm.start() if endm else len(s)])
+    aliases: dict[str, str] = {}
+    for item in items:
+        am = re.match(r"^(.*)\bAS\s+([A-Za-z_]\w*)\s*$", item.strip(), re.IGNORECASE | re.DOTALL)
+        if am:
+            aliases[am.group(2)] = am.group(1)
+    if len(aliases) < 8:
+        return
+    memo: dict[str, int] = {}
+
+    def _weight(name: str, stack: frozenset) -> int:
+        if name in memo:
+            return memo[name]
+        if name in stack:
+            return 1
+        expr = aliases[name]
+        total = max(len(expr) // 4, 1)
+        for n2 in re.findall(r"[A-Za-z_]\w*", expr):
+            if n2 in aliases and n2 != name:
+                total += _weight(n2, stack | {name})
+            if total > 500_000:
+                break
+        memo[name] = total
+        return total
+
+    for name in aliases:
+        if _weight(name, frozenset()) > 500_000:
+            raise ChSqlError("alias expansion exceeds max_expanded_ast_elements")
+
+
 def _translate_impl(ch_sql: str) -> str:
     s = _strip_block_comments(ch_sql).strip().rstrip(";")
+    _check_alias_expansion_budget(s)
+    # hyperscan caps fuzzy edit distance at 2 (MultiMatchAnyImpl.h:
+    # max_hyperscan_regexp_length / fuzzy distance check → error in CH)
+    fz = re.search(r"multiFuzzyMatch\w*\s*\(\s*[^,()]+,\s*(\d+)\s*,", s)
+    if fz and int(fz.group(1)) > 2:
+        raise ChSqlError("multiFuzzyMatch: edit distance must be ≤ 2")
     s = _FORMAT_TAIL.sub("", s)
     s = _strip_settings(s)
     s = _SETTINGS_TAIL.sub("", s)
     # SETTINGS may follow FORMAT (ParserQueryWithOutput): stripping the
     # settings above can expose a now-trailing FORMAT clause
     s = _FORMAT_TAIL.sub("", s)
+    s = _rewrite_semi_join(s)
     # join strictness/locality prefixes: ALL JOIN ≡ JOIN exactly; GLOBAL is a
     # Distributed locality hint (Spark plans shuffles itself); ANY JOIN picks
     # one right-side match — translated as a plain join, exact when the join
@@ -3621,6 +3954,8 @@ def _translate_impl(ch_sql: str) -> str:
         s,
     )
     s = _rewrite_scalar_with(s)
+    s = _rewrite_distinct_on(s)  # before alias passes: `ON (k) expr` would
+    # otherwise parse as an aliased select item and macro-expand
     s = _expand_aliases_scoped(s)
     if _INLINE_SELECT_ALIASES:
         s = _inline_select_aliases_fn(s)

@@ -409,7 +409,13 @@ def arraySplit(fn, arr) -> Column:
 
 @chfn("arrayWithConstant")
 def arrayWithConstant(n, v) -> Column:
-    return F.array_repeat(lit_or_col(v), n if isinstance(n, int) else col(n).cast("int"))
+    """Negative sizes error in the reference (TOO_LARGE_ARRAY_SIZE,
+    arrayWithConstant.cpp) where array_repeat would return []."""
+    nn = F.lit(n) if isinstance(n, int) else col(n)
+    guarded = F.when(
+        nn < 0, F.raise_error(F.lit("arrayWithConstant: negative size"))
+    ).otherwise(nn.cast("int"))
+    return F.array_repeat(lit_or_col(v), guarded)
 
 
 @chfn("arrayShuffle")

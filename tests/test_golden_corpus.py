@@ -26,5 +26,28 @@ with open(LIST) as fh:
 @pytest.mark.skipif(not os.path.isdir(BASE), reason="reference corpus not present")
 @pytest.mark.parametrize("name", CORPUS)
 def test_golden(name, spark):
-    ok, msg = run_golden(spark, f"{BASE}/{name}.sql", f"{BASE}/{name}.reference")
+    # per-test guard: a JVM-side runaway can't be interrupted by SIGALRM
+    # alone (the py4j recv blocks), so cancel Spark jobs from a watchdog
+    import signal
+    import threading
+
+    class _TO(Exception):
+        pass
+
+    old = signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(_TO()))
+    sc = spark.sparkContext
+    dog = threading.Timer(100.0, lambda: sc.cancelAllJobs())
+    dog.daemon = True
+    dog.start()
+    signal.alarm(90)
+    try:
+        ok, msg = run_golden(
+            spark, f"{BASE}/{name}.sql", f"{BASE}/{name}.reference"
+        )
+    except _TO:
+        pytest.fail(f"{name}: timed out after 90s")
+    finally:
+        signal.alarm(0)
+        dog.cancel()
+        signal.signal(signal.SIGALRM, old)
     assert ok, msg

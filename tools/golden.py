@@ -1161,6 +1161,101 @@ def _render_output(ofmt: str, rows, schema, fmt_cell, settings=None):
     return None
 
 
+_ANTI_JOIN_RE = re.compile(
+    r"(?i)\bFROM\s+([A-Za-z_]\w*)\s+(?:GLOBAL\s+)?ANTI\s+(LEFT|RIGHT)\s+"
+    r"(?:OUTER\s+)?JOIN\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!USING\b)"
+    r"([A-Za-z_]\w*))?\s+USING\s*\(?\s*"
+    r"([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)?"
+)
+
+
+def _rewrite_anti_join(spark, stmt: str) -> str:
+    """ANTI LEFT/RIGHT JOIN (JoinStrictness::Anti): probe-side rows WITHOUT
+    a match; the build side's columns are type defaults (join_use_nulls=0),
+    except ANTI LEFT's USING keys which unify with the probe side. Needs
+    the build table's schema, so this runs in the harness, not the dialect
+    (supports the bare-table USING shape the reference tests use)."""
+    m = _ANTI_JOIN_RE.search(stmt)
+    if m is None:
+        return stmt
+    lt, side, rt, ralias, keys_s = (
+        m.group(1), m.group(2).upper(), m.group(3), m.group(4), m.group(5),
+    )
+    keys = [k.strip() for k in keys_s.split(",")]
+    rname = ralias or rt
+    try:
+        lschema = spark.table(lt).schema
+        rschema = spark.table(rt).schema
+    except Exception:  # noqa: BLE001 — unknown relation: leave untouched
+        return stmt
+
+    def defaults(schema, qualifier_for_keys=None):
+        items = []
+        for f in schema.fields:
+            if f.name in keys and qualifier_for_keys:
+                items.append(f"{qualifier_for_keys}.{f.name} AS {f.name}")
+            else:
+                items.append(f"{_sql_default_lit(f.dataType)} AS {f.name}")
+        return ", ".join(items)
+
+    if side == "LEFT":
+        # keep left rows without a match; right cols default, keys unify
+        join_sql = f"FROM {lt} LEFT ANTI JOIN {rt} USING ({', '.join(keys)})"
+        gone, gone_schema, keep, key_src = rname, rschema, lt, lt
+        star = (
+            f"{lt}.*, "
+            + ", ".join(
+                f"{_sql_default_lit(f.dataType)} AS {f.name}"
+                for f in rschema.fields
+                if f.name not in keys
+            )
+        )
+    else:
+        # keep right rows without a match; ALL left cols default; the
+        # reference's bare * keeps CH column order: keys, left-rest, right-rest
+        join_sql = f"FROM {rt} LEFT ANTI JOIN {lt} USING ({', '.join(keys)})"
+        if ralias:
+            join_sql = (
+                f"FROM {rt} AS {rname} LEFT ANTI JOIN {lt}"
+                f" USING ({', '.join(keys)})"
+            )
+        gone, gone_schema, keep, key_src = lt, lschema, rname, None
+        star = ", ".join(
+            [f"{rname}.{k} AS {k}" for k in keys]
+            + [
+                f"{_sql_default_lit(f.dataType)} AS {f.name}"
+                for f in lschema.fields
+                if f.name not in keys
+            ]
+            + [
+                f"{rname}.{f.name}"
+                for f in rschema.fields
+                if f.name not in keys
+            ]
+        )
+    out = stmt[: m.start()] + join_sql + stmt[m.end() :]
+    # SELECT-list surgery for the bare star and the defaulted side's star
+    sel = re.match(r"(?is)^(\s*SELECT\s+)(.*?)(\sFROM\s)", out)
+    if sel:
+        items = sel.group(2)
+        if items.strip() == "*":
+            items = star
+        items = items.replace(f"{gone}.*", defaults(gone_schema, key_src))
+        out = sel.group(1) + items + sel.group(3) + out[sel.end() :]
+    # the vanished side's qualified references elsewhere (ORDER BY …):
+    # keys unify with the surviving side (ANTI LEFT) or default (ANTI RIGHT)
+    for f in gone_schema.fields:
+        if f.name in keys and key_src:
+            repl = f"{key_src}.{f.name}"
+        else:
+            # wrapped in a function call so a bare 0 isn't read as an
+            # ORDER BY ordinal (parens alone don't prevent that in Spark)
+            lit = _sql_default_lit(f.dataType)
+            repl = f"coalesce({lit}, {lit})"
+        out = re.sub(rf"\b{re.escape(gone)}\.{re.escape(f.name)}\b", repl, out)
+    return out
+
+
 def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     """Run every statement; compare concatenated formatted output to the
     .reference file. Returns (ok, detail). Handles CREATE TABLE / INSERT /
@@ -1218,6 +1313,8 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 blocks.append(([ln for ln in (chunk + ";").split("\n")], False))
             if "joinGet" in stmt:
                 stmt = _rewrite_joinget(stmt, join_keys)
+            if re.search(r"(?i)\bANTI\s+(LEFT|RIGHT)\s", stmt):
+                stmt = _rewrite_anti_join(spark, stmt)
             up = stmt.lstrip().upper()
             # `-- { serverError N }` / `{ clientError }` directives: the
             # statement MUST fail (clickhouse-test contract); it produces no

@@ -31,6 +31,18 @@ _SKIP = re.compile(
     re.IGNORECASE,
 )
 
+# memory-limit acceptance tests (serverError 241 from max_memory_usage):
+# this engine enforces no memory quota, so the statement either errors by
+# luck (flaky pass) or genuinely OOMs the driver — never scan them
+_SKIP_NAMES = {
+    "01782_field_oom",
+    "01784_parallel_formatting_memory",
+    # 256-bit integer acceptance tests: Int256/UInt256 map to BIGINT here
+    # (documented unsupported, COVERAGE.md); tests asserting 256-bit-only
+    # behavior (e.g. range() rejecting UInt256 with code 44) are wontfix
+    "01780_range_msan",
+}
+
 
 def candidates() -> list[str]:
     names = []
@@ -38,6 +50,8 @@ def candidates() -> list[str]:
         if not f.endswith(".sql"):
             continue
         name = f[:-4]
+        if name in _SKIP_NAMES:
+            continue
         ref = os.path.join(BASE, name + ".reference")
         if not os.path.exists(ref):
             continue
