@@ -43,8 +43,12 @@ def read_format(
     **options: str,
 ) -> DataFrame:
     """file(path, Format[, schema]) table function / FORMAT clause on read."""
+    if fmt in _BINARY_READERS:
+        from . import binary_formats as bf
+
+        return _BINARY_READERS[fmt](bf, spark, path, schema)
     if fmt not in FORMAT_MAP:
-        raise ValueError(f"unsupported format {fmt!r}; known: {sorted(FORMAT_MAP)}")
+        raise ValueError(f"unsupported format {fmt!r}; known: {sorted(FORMAT_MAP) + sorted(_BINARY_READERS)}")
     source, opts = FORMAT_MAP[fmt]
     reader = spark.read.format(source).options(**{**opts, **options})
     if schema is not None:
@@ -62,6 +66,21 @@ def write_format(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **
     if source in ("binaryFile",):
         raise ValueError(f"format {fmt!r} is read-only")
     df.write.format(source).options(**{**opts, **options}).mode(mode).save(path)
+
+
+# Binary interchange formats (Native / RowBinary* / Arrow*): schema param is
+# either a [(name, ch_type)] list or None (self-describing variants derive it
+# from the stream header). See binary_formats.py for codings + citations.
+_BINARY_READERS = {
+    "Native": lambda bf, sp, p, s: bf.read_native(sp, p, s),
+    "RowBinary": lambda bf, sp, p, s: bf.read_rowbinary(sp, p, s, "none"),
+    "RowBinaryWithNames": lambda bf, sp, p, s: bf.read_rowbinary(sp, p, s, "names"),
+    "RowBinaryWithNamesAndTypes": lambda bf, sp, p, s: bf.read_rowbinary(
+        sp, p, s, "names_types"
+    ),
+    "Arrow": lambda bf, sp, p, s: bf.read_arrow(sp, p, stream=False),
+    "ArrowStream": lambda bf, sp, p, s: bf.read_arrow(sp, p, stream=True),
+}
 
 
 # --- structured-text input formats (parse with codegen expressions) ---------
