@@ -238,6 +238,13 @@ TEMPLATES: dict[str, str] = {
     # regexp replace (One-variant: Spark replaces all; documented divergence)
     "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
     "replaceRegexpOne": "regexp_replace({0}, {1}, {2})",
+    # first literal occurrence only (ReplaceStringImpl replace_one): splice
+    # at locate(); empty/missing needle leaves the haystack unchanged
+    "replaceOne": (
+        "(CASE WHEN length({1}) = 0 OR locate({1}, {0}) = 0 THEN {0}"
+        " ELSE concat(substr({0}, 1, locate({1}, {0}) - 1), {2},"
+        " substr({0}, locate({1}, {0}) + length({1}))) END)"
+    ),
     "ignore": "(length(CAST({0} AS STRING)) * 0)",
     "identity": "{0}",
     # numeric classification
@@ -278,7 +285,12 @@ TEMPLATES: dict[str, str] = {
     "indexOf": "array_position({0}, {1})",
     "arrayElement": "element_at({0}, {1})",
     "arraySlice": "slice({0}, {1}, {2})",
-    "arrayCompact": "array_distinct({0})",
+    # consecutive-duplicate removal (arrayCompact.cpp), NOT array_distinct:
+    # [1,2,1] keeps all three; null-safe compare collapses NULL/NaN runs
+    "arrayCompact": (
+        "filter({0}, (__x, __i) -> __i = 0"
+        " OR NOT (__x <=> element_at({0}, greatest(__i, 1))))"
+    ),
     "arrayUniq": "size(array_distinct({0}))",
     "arrayStringConcat": "array_join({0}, {1})",
     "arraySum": "aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
@@ -732,9 +744,12 @@ PARAMETRIC: dict[str, str] = {
     # test corpus exercises small states. Threshold math, not
     # repeat-expansion, so huge weights stay finite.
     "quantileTimingWeighted": (
+        # zero-weight pairs are never added to the Timing state
+        # (QuantileTiming.h insertWeighted: repeat count 0 → no-op), so an
+        # all-zero-weight set is EMPTY → NaN, not the first value
         "element_at(transform(array("
-        "collect_list(named_struct('v', cast(least(greatest({a0}, 0), 30000) as int),"
-        " 'w', CAST({a1} AS DOUBLE)))"
+        "filter(collect_list(named_struct('v', cast(least(greatest({a0}, 0), 30000) as int),"
+        " 'w', CAST({a1} AS DOUBLE))), __q -> __q.w <> 0)"
         "), __p0 -> element_at(transform(array("
         "transform(array_sort(array_distinct(transform(__p0, __q -> __q.v))), __v ->"
         " named_struct('v', __v, 'w', aggregate(filter(__p0, __q -> __q.v = __v),"
@@ -1056,11 +1071,17 @@ def _registry_bridge(fname: str, arg_sql: list[str]) -> str | None:
     if not any(lit_mask):
         # pure-Column call: render once per (name, arity), splice args in
         key = (fname, len(arg_sql))
-        if key not in _BRIDGE_CACHE:
-            _BRIDGE_CACHE[key] = _render_call(
+        tpl = _BRIDGE_CACHE.get(key)
+        if tpl is None:
+            # never cache a failed render: _render_call goes through py4j,
+            # so a transient JVM/socket failure would otherwise poison this
+            # (name, arity) for the rest of the process — long scans then
+            # report registered functions as UNRESOLVED_ROUTINE
+            tpl = _render_call(
                 spark, builder, [F.col(f"__dlt_a{j}") for j in range(len(arg_sql))]
             )
-        tpl = _BRIDGE_CACHE[key]
+            if tpl is not None:
+                _BRIDGE_CACHE[key] = tpl
         if tpl is None:
             return None
         for j, a in enumerate(arg_sql):
@@ -1974,6 +1995,22 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             if isinstance(v, (int, float)) and not 0 <= v <= 100:
                 raise ChSqlError(f"uniqUpTo threshold out of range: {arg_sql[0]}")
 
+        # median<Variant>(args) ≡ quantile<Variant>(0.5)(args)
+        # (AggregateFunctionQuantile.cpp registers a median alias per
+        # quantile variant); plain `median` keeps its dedicated path below
+        if t.startswith("median") and len(t) > len("median"):
+            _qt = "quantile" + t[len("median"):]
+            _qtpl = PARAMETRIC.get(_qt)
+            if _qtpl and _qtpl != "array({percentiles})" and not (
+                close + 1 < len(tokens) and tokens[close + 1] == "("
+            ):
+                s = _qtpl.replace("{p0}", "0.5")
+                for j, a in enumerate(arg_sql):
+                    s = s.replace(f"{{a{j}}}", a)
+                out.append(s)
+                i = close + 1
+                continue
+
         # parametric aggregate: name(params)(args)
         if t in PARAMETRIC and close + 1 < len(tokens) and tokens[close + 1] == "(":
             close2 = _find_call_end(tokens, close + 1)
@@ -2315,6 +2352,62 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
+        if t == "extract" and len(arg_sql) == 2:
+            # ClickHouse extract(haystack, pattern): first match of capture
+            # group 1, or the whole match when the pattern has no groups
+            # (FunctionsStringSearch extract) — never Spark's
+            # extract(field FROM ts), which this name would otherwise hit
+            pat = arg_sql[1]
+            g = 0
+            if pat.startswith("'"):
+                g = 1 if re.findall(r"(?<!\\)\((?!\?)", pat[1:-1]) else 0
+            out.append(f"regexp_extract({arg_sql[0]}, {pat}, {g})")
+            i = close + 1
+            continue
+
+        if t in ("hasAll", "hasAny", "hasSubstr") and len(arg_sql) == 2:
+            # ClickHouse raises NO_COMMON_TYPE for numeric-vs-string array
+            # args (hasAllAny.h getReturnTypeImpl); Spark's <=> would
+            # happily coerce — reject literal-array cases up front
+            def _arr_kind(a: str) -> str | None:
+                s2 = a.strip()
+                while s2.lower().startswith("array("):
+                    s2 = s2[6:].strip()
+                if s2.startswith("'"):
+                    return "str"
+                if re.match(r"[-+]?\d", s2):
+                    return "num"
+                return None
+
+            kinds = {_arr_kind(a) for a in arg_sql}
+            if kinds == {"num", "str"}:
+                raise ChSqlError(f"{t}: no common type between array arguments")
+
+        if t in ("replaceRegexpOne", "replaceRegexpAll") and len(arg_sql) == 3:
+            # ClickHouse replacement backrefs are \N (ReplaceRegexpImpl);
+            # Java's are $N with literal $ needing \$ — convert literal
+            # replacement strings. replaceRegexpOne also replaces only the
+            # FIRST match: locate the matched text and splice around it
+            # (regexp_replace on just the match applies the backrefs).
+            s0, pat, rep = arg_sql
+            if rep.startswith("'"):
+                body = rep[1:-1].replace("$", "\\\\$")
+                body = re.sub(r"\\\\(\d)", r"$\1", body)
+                rep = f"'{body}'"
+            if t == "replaceRegexpAll":
+                out.append(f"regexp_replace({s0}, {pat}, {rep})")
+            else:
+                first = f"regexp_extract({s0}, {pat}, 0)"
+                out.append(
+                    f"(CASE WHEN NOT ({s0}) RLIKE ({pat}) THEN {s0}"
+                    f" ELSE concat(substr({s0}, 1, locate({first}, {s0}) - 1),"
+                    f" regexp_replace({first}, {pat}, {rep}),"
+                    f" substr({s0}, locate({first}, {s0}) + length({first})))"
+                    f" END)"
+                )
+            i = close + 1
+            continue
+
         if t in ("sumMap", "minMap", "maxMap") and len(arg_sql) == 1:
             # single-argument forms (AggregateFunctionSumMap.cpp): a Map
             # column → Map result; a tuple of arrays → tuple result. Both
@@ -2553,7 +2646,7 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
-        _has_lambda = bool(arg_sql) and "->" in arg_sql[0]
+        _has_lambda = bool(arg_sql) and _is_lambda_sql(arg_sql[0])
         if (
             t in ARITY_TEMPLATES
             and len(arg_sql) in ARITY_TEMPLATES[t]
@@ -2589,14 +2682,17 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             "arrayMap", "arrayFilter", "arrayExists", "arrayAll", "arrayFirst",
             "arrayLast", "arrayFirstOrNull", "arrayLastOrNull",
             "arrayFirstIndex", "arrayCount", "arraySum",
-            "arrayAvg", "arrayMin", "arrayMax",
+            "arrayAvg", "arrayMin", "arrayMax", "arrayCompact",
+            "arraySort", "arrayReverseSort",
         )
-        if t in _HOF and arg_sql and "->" in arg_sql[0]:
+        if t in _HOF and arg_sql and _is_lambda_sql(arg_sql[0]):
             # ClickHouse HOFs are lambda-FIRST (FunctionsHigherOrder); Spark's
             # transform/filter/exists/forall are array-first — rotate. Multi-
             # array arrayMap(f, a, b) is Spark's zip_with.
             lam, arrs = arg_sql[0], arg_sql[1:]
-            if t not in ("arrayMap", "arraySum", "arrayAvg", "arrayMin", "arrayMax"):
+            if t not in ("arrayMap", "arraySum", "arrayAvg", "arrayMin",
+                         "arrayMax", "arrayCompact", "arraySort",
+                         "arrayReverseSort"):
                 # predicate HOFs: ClickHouse treats any nonzero as true
                 # (UInt8 lambdas like `x -> 1`); Spark demands BOOLEAN
                 head_l, body_l = lam.split("->", 1)
@@ -2625,6 +2721,47 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 # equal elements match equally and first-occurrence is exact
                 out.append(
                     f"coalesce(array_position({a0}, element_at(filter({a0}, {lam}), 1)), 0)"
+                )
+            elif t in ("arraySort", "arrayReverseSort"):
+                # keyed sort (FunctionArraySort): STABLE — decorate each
+                # element with (key, original index), sort by key with the
+                # index as tiebreak, strip. Spark's bare struct sort can't
+                # express desc or the stable tiebreak, so use a comparator.
+                # Two-array form sorts the FIRST array by a key computed
+                # from both, zipped positionally.
+                if len(arrs) == 2:
+                    key = f"element_at(zip_with(array(__x), array(element_at({arrs[1]}, __i + 1)), {lam}), 1)"
+                else:
+                    key = f"element_at(transform(array(__x), {lam}), 1)"
+                dec = (
+                    f"transform({a0}, (__x, __i) -> named_struct("
+                    f"'k', {key},"
+                    f" 'i', __i, 'v', __x))"
+                )
+                lt, gt = ("1", "-1") if t == "arrayReverseSort" else ("-1", "1")
+                cmp = (
+                    f"(__l, __r) -> CASE"
+                    f" WHEN __l.k < __r.k THEN {lt}"
+                    f" WHEN __l.k > __r.k THEN {gt}"
+                    f" WHEN __l.i < __r.i THEN -1 WHEN __l.i > __r.i THEN 1"
+                    f" ELSE 0 END"
+                )
+                out.append(
+                    f"transform(array_sort({dec}, {cmp}), __s -> __s.v)"
+                )
+            elif t == "arrayCompact":
+                # keyed form arrayCompact(f, a): drop an element when f of it
+                # null-safe-equals f of its predecessor; returns ORIGINAL
+                # elements (arrayCompact.cpp). The lambda is applied via a
+                # single-element transform so no param substitution is needed.
+                cur = f"element_at(transform(array(__x), {lam}), 1)"
+                prv = (
+                    f"element_at(transform(array("
+                    f"element_at({a0}, greatest(__i, 1))), {lam}), 1)"
+                )
+                out.append(
+                    f"filter({a0}, (__x, __i) -> __i = 0"
+                    f" OR NOT ({cur} <=> {prv}))"
                 )
             elif t == "arrayCount":
                 out.append(f"size(filter({a0}, {lam}))")
@@ -2792,6 +2929,25 @@ def _strip_settings(s: str) -> str:
     out.append(s[pos:])
     return "".join(out)
 
+
+
+def _is_lambda_sql(a: str) -> bool:
+    """True when the expression IS a lambda (x -> …, (x, y) -> …), i.e. has
+    a top-level `->`. A nested lambda inside a call argument — e.g.
+    arrayCompact(arrayMap(x -> f(x), a)) — sits at depth > 0 (or > 1 for
+    the parenthesized-params form) and must NOT count: treating the whole
+    arg as a lambda used to mis-dispatch the HOF rotation."""
+    for m in re.finditer(r"->", a):
+        d = _depth_at(a, m.start())
+        if d == 0:
+            return True
+        if d == 1 and a.lstrip().startswith("("):
+            # (x, y) -> …: params are a depth-1 paren group that closes
+            # before the arrow
+            close = a.find(")")
+            if 0 <= close < m.start() and _depth_at(a, close) == 1:
+                return True
+    return False
 
 
 def _depth_at(s: str, pos: int) -> int:

@@ -84,12 +84,18 @@ def has(arr, v) -> Column:
 
 @chfn("hasAll")
 def hasAll(a, b) -> Column:
-    return F.size(F.array_except(col(b), col(a))) == 0
+    """Per-element membership, not array_except/arrays_overlap: those
+    require identical element types, while ClickHouse compares across
+    integer widths ([-128,1,512] vs [1]); <=> implicit-casts to the
+    tightest common type and makes NULL match NULL (hasAllAny.h)."""
+    aa = col(a)
+    return F.forall(col(b), lambda e: F.exists(aa, lambda y: y.eqNullSafe(e)))
 
 
 @chfn("hasAny")
 def hasAny(a, b) -> Column:
-    return F.arrays_overlap(col(a), col(b))
+    aa = col(a)
+    return F.exists(col(b), lambda e: F.exists(aa, lambda y: y.eqNullSafe(e)))
 
 
 @chfn("hasSubstr")

@@ -1485,7 +1485,13 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 except Exception as ex:  # noqa: BLE001
                     if _subscript_err(ex):
                         res_df = _build(safe=True)
-                    elif "LATERAL_COLUMN_ALIAS_IN_WINDOW" in str(ex):
+                    elif (
+                        "LATERAL_COLUMN_ALIAS_IN_WINDOW" in str(ex)
+                        # lambdas can't capture lateral alias refs either:
+                        # arraySort(x -> -x, arr) with `[...] AS arr` in the
+                        # same list — inlining the alias removes the capture
+                        or "INVALID_LAMBDA_FUNCTION_CALL" in str(ex)
+                    ):
                         res_df = _build(inline=True)
                     else:
                         raise
@@ -1496,10 +1502,19 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     rows = res_df.collect()
                 except Exception as ex:
                     # arr[i] hit index 0 at runtime — ClickHouse returns the
-                    # type default there; retry with the guarded subscript
-                    if not _subscript_err(ex):
+                    # type default there; retry with the guarded subscript.
+                    # Analysis errors can surface here too (spark.sql defers
+                    # analysis to the first action), so the lateral-alias
+                    # lambda retry applies as well.
+                    if _subscript_err(ex):
+                        res_df = _build(safe=True)
+                    elif (
+                        "LATERAL_COLUMN_ALIAS_IN_WINDOW" in str(ex)
+                        or "INVALID_LAMBDA_FUNCTION_CALL" in str(ex)
+                    ):
+                        res_df = _build(inline=True)
+                    else:
                         raise
-                    res_df = _build(safe=True)
                     rows = res_df.collect()
                 f32_cols = _float32_positions(res_df.schema)
                 # DateTime64(N) renders with N fractional digits; Spark's
