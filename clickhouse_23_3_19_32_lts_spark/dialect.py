@@ -2176,6 +2176,20 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
+        if (
+            t in ("length", "empty", "notEmpty")
+            and len(arg_sql) == 1
+            and _LENGTH_AS_SIZE
+        ):
+            sz = f"size({arg_sql[0]})"
+            out.append(
+                sz if t == "length"
+                else f"({sz} = 0)" if t == "empty"
+                else f"({sz} > 0)"
+            )
+            i = close + 1
+            continue
+
         if t == "length" and len(arg_sql) == 1 and re.match(
             r"(?:array\(|array_distinct\(|array_sort\(|array_intersect\(|"
             r"array_except\(|array_union\(|array_repeat\(|array_remove\(|"
@@ -2540,6 +2554,7 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 raise ChSqlError("multiIf needs odd >= 3 args")
             parts = ["CASE"]
             for j in range(0, len(arg_sql) - 1, 2):
+                # UInt8 truthiness handled by _wrap_case_conditions
                 parts.append(f"WHEN {arg_sql[j]} THEN {arg_sql[j + 1]}")
             parts.append(f"ELSE {arg_sql[-1]} END")
             out.append(" ".join(parts))
@@ -3973,6 +3988,9 @@ def _inline_select_aliases_fn(s: str) -> str:
 _SAFE_SUBSCRIPT = False
 _INLINE_SELECT_ALIASES = False
 _NULLABLE_COLS: frozenset = frozenset()
+# retry mode: render 1-arg length()/empty()/notEmpty() with size() — CH
+# length() is polymorphic over arrays; Spark's is string/binary-only
+_LENGTH_AS_SIZE = False
 
 
 def translate(
@@ -3980,6 +3998,7 @@ def translate(
     safe_subscript: bool = False,
     inline_aliases: bool = False,
     nullable_cols: "set[str] | None" = None,
+    length_as_size: bool = False,
 ) -> str:
     """ClickHouse SQL → Spark SQL. Raises ChSqlError on constructs that need
     the library operators instead (INTERPOLATE, multi-column WITH FILL,
@@ -3996,16 +4015,20 @@ def translate(
     (avg/median NaN) are skipped when the argument references one, since
     ClickHouse returns NULL, not NaN, for Nullable empty sets."""
     global _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
+    global _LENGTH_AS_SIZE
     prev, prev2, prev3 = _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
+    prev4 = _LENGTH_AS_SIZE
     _SAFE_SUBSCRIPT = safe_subscript
     _INLINE_SELECT_ALIASES = inline_aliases
     _NULLABLE_COLS = frozenset(c.lower() for c in (nullable_cols or ()))
+    _LENGTH_AS_SIZE = length_as_size
     try:
-        return _translate_impl(ch_sql)
+        return _wrap_case_conditions(_translate_impl(ch_sql))
     finally:
         _SAFE_SUBSCRIPT = prev
         _INLINE_SELECT_ALIASES = prev2
         _NULLABLE_COLS = prev3
+        _LENGTH_AS_SIZE = prev4
 
 
 def _check_alias_expansion_budget(s: str) -> None:
@@ -4059,6 +4082,79 @@ def _check_alias_expansion_budget(s: str) -> None:
             raise ChSqlError("alias expansion exceeds max_expanded_ast_elements")
 
 
+def _wrap_case_conditions(s: str) -> str:
+    """Wrap searched-CASE conditions in CAST(… AS BOOLEAN): ClickHouse
+    conditions are UInt8 (`CASE WHEN 0 THEN …`, `WHEN flag_col THEN …`)
+    while Spark demands genuine booleans. The cast is a no-op on already-
+    boolean predicates. Value-form `CASE x WHEN v` compares x = v and must
+    NOT be wrapped — only CASE immediately followed by WHEN is searched."""
+    blank = _blank_strings(s)
+    edits: list[tuple[int, int]] = []  # (start, end) of each condition
+    stack: list[tuple[int, bool]] = []  # (depth, searched?)
+    i, n = 0, len(s)
+    depth = 0
+    word = re.compile(r"[A-Za-z_]\w*")
+    while i < n:
+        c = blank[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c.isalpha() or c == "_":
+            m = word.match(blank, i)
+            w = m.group(0).lower()
+            if w == "case":
+                nxt = word.search(blank, m.end())
+                stack.append((depth, bool(nxt and nxt.group(0).lower() == "when")))
+            elif w == "end" and stack:
+                stack.pop()
+            elif w == "when" and stack and stack[-1] == (depth, True):
+                # condition runs to the matching THEN at this depth
+                j = m.end()
+                d2 = depth
+                while j < n:
+                    cj = blank[j]
+                    if cj == "(":
+                        d2 += 1
+                    elif cj == ")":
+                        d2 -= 1
+                    elif cj.isalpha() and d2 == depth:
+                        m2 = word.match(blank, j)
+                        if m2 and m2.group(0).lower() == "then":
+                            edits.append((m.end(), j))
+                            break
+                        j = m2.end() - 1 if m2 else j
+                    j += 1
+            i = m.end()
+            continue
+        i += 1
+    for a, b in sorted(edits, reverse=True):
+        cond = s[a:b].strip()
+        if cond:
+            s = s[:a] + f" CAST(({cond}) AS BOOLEAN) " + s[b:]
+    return s
+
+
+_LIMIT_TIES_RE = re.compile(
+    r"(?is)^(.*\bORDER\s+BY\s+(.+?))\s+LIMIT\s+(\d+)\s+WITH\s+TIES\s*$"
+)
+
+
+def _rewrite_limit_with_ties(s: str) -> str:
+    """`… ORDER BY k LIMIT n WITH TIES` → rank()-bounded wrapper. Only the
+    top-level tail form is handled (the shape the reference tests use)."""
+    m = _LIMIT_TIES_RE.match(s)
+    if m is None:
+        return s
+    body, keys, n = m.group(1), m.group(2).strip(), m.group(3)
+    if _depth_at(s, m.start(3)) != 0:
+        return s
+    return (
+        f"SELECT * EXCEPT(__tk) FROM (SELECT *, rank() OVER (ORDER BY {keys})"
+        f" AS __tk FROM ({body}) __wt) WHERE __tk <= {n} ORDER BY {keys}"
+    )
+
+
 def _translate_impl(ch_sql: str) -> str:
     s = _strip_block_comments(ch_sql).strip().rstrip(";")
     _check_alias_expansion_budget(s)
@@ -4086,6 +4182,12 @@ def _translate_impl(ch_sql: str) -> str:
         flags=re.IGNORECASE,
     )
     s = re.sub(r"\bGLOBAL\s+(NOT\s+)?IN\b", r"\1IN", s, flags=re.IGNORECASE)
+    # `x IN tuple(a, b, ...)` is the function-form IN list
+    # (ParserTupleOfLiterals): unwrap to a plain parenthesized list
+    s = re.sub(r"(?i)\b(IN)\s+tuple\s*\(", r"\1 (", s)
+    # LIMIT n WITH TIES (ParserSelectQuery limit_with_ties_mode): emulate
+    # with rank() over the statement's ORDER BY — Spark has no WITH TIES
+    s = _rewrite_limit_with_ties(s)
     # bare USING k1, k2 → USING (k1, k2)
     s = re.sub(
         r"\bUSING\s+(?!\()([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)",
