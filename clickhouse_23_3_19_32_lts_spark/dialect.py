@@ -4082,6 +4082,129 @@ def _check_alias_expansion_budget(s: str) -> None:
             raise ChSqlError("alias expansion exceeds max_expanded_ast_elements")
 
 
+# date/datetime producers whose `± N` arithmetic means days/seconds
+# (DateTime is UInt32 epoch in the reference — FunctionsConversion.h;
+# Date is a day number, so Date ± N shifts days)
+_DT_PRODUCERS = {
+    "toDateTime": "s", "toDateTime64": "s", "now": "s",
+    "toStartOfDay": "s", "toStartOfHour": "s", "toStartOfMinute": "s",
+    "toStartOfFiveMinutes": "s", "toStartOfFifteenMinutes": "s",
+    "toStartOfTenMinutes": "s", "toStartOfSecond": "s",
+    "parseDateTimeBestEffort": "s",
+    "toDate": "d", "toDate32": "d", "today": "d", "yesterday": "d",
+    "toMonday": "d", "toStartOfMonth": "d", "toStartOfWeek": "d",
+    "toStartOfQuarter": "d", "toStartOfYear": "d", "toLastDayOfMonth": "d",
+    "addSeconds": "s", "subtractSeconds": "s", "addMinutes": "s",
+    "subtractMinutes": "s", "addHours": "s", "subtractHours": "s",
+    "addDays": "d2", "subtractDays": "d2", "addWeeks": "d2",
+    "subtractWeeks": "d2", "addMonths": "d2", "subtractMonths": "d2",
+    "addYears": "d2", "subtractYears": "d2",
+}
+_DT_PROD_RE = re.compile(
+    r"\b(" + "|".join(_DT_PRODUCERS) + r")\s*\("
+)
+
+
+def _scan_term(blank: str, s: str, j: int) -> int:
+    """End of a multiplicative term starting at j (factors chained by * / %)."""
+    n = len(s)
+    def _factor(k: int) -> int:
+        while k < n and s[k] == " ":
+            k += 1
+        if k >= n:
+            return k
+        if blank[k] == "(":
+            d = 0
+            while k < n:
+                if blank[k] == "(":
+                    d += 1
+                elif blank[k] == ")":
+                    d -= 1
+                    if d == 0:
+                        return k + 1
+                k += 1
+            return k
+        m = re.compile(r"[\w.']+").match(blank, k)
+        k2 = m.end() if m else k + 1
+        # identifier followed by a call: someFn(...)
+        k3 = k2
+        while k3 < n and s[k3] == " ":
+            k3 += 1
+        if m and k3 < n and blank[k3] == "(" and re.match(r"[A-Za-z_]", m.group(0)):
+            return _factor(k3)
+        return k2
+    j = _factor(j)
+    while True:
+        k = j
+        while k < n and s[k] == " ":
+            k += 1
+        if k < n and blank[k] in "*/%":
+            j = _factor(k + 1)
+        else:
+            return j
+
+
+def _rewrite_datetime_arith(s: str) -> str:
+    """`toDateTime(x) + N` → addSeconds(x', N); `toDate(x) ± N` →
+    addDays; `producer - producer` → dateDiff seconds/days. ClickHouse
+    Date/DateTime support raw integer arithmetic (day/second units) that
+    Spark's TIMESTAMP/DATE types reject. Iterates to a fixpoint so chained
+    `+ a - b` forms fold one step at a time."""
+    for _ in range(6):
+        blank = _blank_strings(s)
+        changed = False
+        for m in _DT_PROD_RE.finditer(blank):
+            name = m.group(1)
+            # find balanced close of the producer call
+            d = 0
+            k = m.end() - 1
+            while k < len(s):
+                if blank[k] == "(":
+                    d += 1
+                elif blank[k] == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+                k += 1
+            if k >= len(s):
+                continue
+            call_end = k + 1
+            j = call_end
+            while j < len(s) and s[j] == " ":
+                j += 1
+            if j >= len(s) or blank[j] not in "+-":
+                continue
+            op = s[j]
+            j2 = j + 1
+            while j2 < len(s) and s[j2] == " ":
+                j2 += 1
+            # interval forms are already legal; leave them
+            if re.match(r"(?i)interval\b", blank[j2:]):
+                continue
+            term_end = _scan_term(blank, s, j2)
+            term = s[j2:term_end].strip()
+            if not term:
+                continue
+            call_sql = s[m.start():call_end]
+            unit = _DT_PRODUCERS[name]
+            if op == "-" and _DT_PROD_RE.match(term):
+                # producer - producer: a difference, not a shift
+                fn = "dateDiff('second', {b}, {a})" if unit == "s" else (
+                    "dateDiff('day', {b}, {a})"
+                )
+                new = fn.format(a=call_sql, b=term)
+            else:
+                shift = "addSeconds" if unit == "s" else "addDays"
+                arg = term if op == "+" else f"-({term})"
+                new = f"{shift}({call_sql}, {arg})"
+            s = s[:m.start()] + new + s[term_end:]
+            changed = True
+            break
+        if not changed:
+            return s
+    return s
+
+
 def _wrap_case_conditions(s: str) -> str:
     """Wrap searched-CASE conditions in CAST(… AS BOOLEAN): ClickHouse
     conditions are UInt8 (`CASE WHEN 0 THEN …`, `WHEN flag_col THEN …`)
@@ -4169,6 +4292,7 @@ def _translate_impl(ch_sql: str) -> str:
     # SETTINGS may follow FORMAT (ParserQueryWithOutput): stripping the
     # settings above can expose a now-trailing FORMAT clause
     s = _FORMAT_TAIL.sub("", s)
+    s = _rewrite_datetime_arith(s)
     s = _rewrite_semi_join(s)
     # join strictness/locality prefixes: ALL JOIN ≡ JOIN exactly; GLOBAL is a
     # Distributed locality hint (Spark plans shuffles itself); ANY JOIN picks
