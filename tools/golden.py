@@ -323,7 +323,7 @@ def _translate_create(stmt: str) -> tuple[str, str]:
             # skip-index / projection / constraint declarations are storage
             # hints (MergeTreeIndices.h) — no bearing on query results here
             continue
-        dm = re.match(r"(?i)(?:DEFAULT|MATERIALIZED)\s+(.+)$", ctype.strip(), re.DOTALL)
+        dm = re.match(r"(?i)(?:DEFAULT|MATERIALIZED|ALIAS)\s+(.+)$", ctype.strip(), re.DOTALL)
         if dm:
             # typeless `x DEFAULT expr` (ParserCreateQuery: type optional when
             # a default exists) — infer the storage type from the literal
@@ -336,6 +336,8 @@ def _translate_create(stmt: str) -> tuple[str, str]:
                 ctype = "String"
             elif expr.startswith("["):
                 ctype = "Array(String)"
+            elif re.search(r"[+\-*/%]| div | intDiv", expr):
+                ctype = "Int64"  # arithmetic over integer columns
             else:
                 ctype = "String"
         else:
@@ -365,6 +367,447 @@ def _translate_create(stmt: str) -> tuple[str, str]:
                 enums[cname.strip("`").lower()] = emap
         cols.append(f"{cname} {_ch_type_to_spark(ctype)}")
     return ", ".join(cols), name, nullable, nested, enums
+
+
+def _parse_create_meta(stmt: str):
+    """CREATE TABLE metadata for DDL statements that need more than the
+    Spark schema: ordered (name, CH-type) pairs for DESCRIBE, the engine
+    family + sorting key + version column for OPTIMIZE FINAL merges
+    (ReplacingMergeTree/SummingMergeTree — MergeTreeData.cpp merge
+    algorithms), and per-column DEFAULT expressions."""
+    m = _match_create(stmt.strip())
+    if not m:
+        return None
+    cols: list[tuple[str, str]] = []
+    defaults: dict[str, str] = {}
+    for cdef in _split_top_level_commas(m[1]):
+        cm = re.match(
+            r"([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s+(.+)$", cdef.strip(), re.DOTALL
+        )
+        if not cm:
+            continue
+        cname = cm.group(1).strip("`")
+        if cname.upper() in ("INDEX", "PROJECTION", "CONSTRAINT"):
+            continue
+        rest = cm.group(2).strip()
+        dm = re.search(
+            r"(?i)\b(DEFAULT|MATERIALIZED|ALIAS)\s+(.+?)"
+            r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
+            rest, re.DOTALL,
+        )
+        if dm:
+            defaults[cname] = (dm.group(1).upper(), dm.group(2).strip())
+        ctype = re.split(
+            r"(?:^|\s+)(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\b",
+            rest, flags=re.IGNORECASE,
+        )[0].strip()
+        if not ctype and dm:
+            # typeless defaulted column: infer like the reference does
+            # (ParserCreateQuery — literal/expression type deduction)
+            expr = dm.group(2).strip()
+            if re.fullmatch(r"-?\d+", expr):
+                ctype = "UInt8" if expr.isdigit() and int(expr) < 256 else "Int64"
+            elif re.fullmatch(r"-?\d*\.\d+(e-?\d+)?", expr, re.IGNORECASE):
+                ctype = "Float64"
+            elif expr.startswith("'"):
+                ctype = "String"
+            elif re.search(r"(?i)\b(today|yesterday)\s*\(", expr):
+                ctype = "Date"
+            elif re.search(r"(?i)\bnow\s*\(", expr):
+                ctype = "DateTime"
+            else:
+                # integer arithmetic promotes to 64 bits in the reference
+                # (rand() UInt32 * UInt8 → UInt64, length() → UInt64)
+                ctype = "UInt64"
+        cols.append((cname, re.sub(r"\s*,\s*", ", ", ctype)))
+    engine = None
+    eargs = ""
+    em = re.search(r"(?i)\bENGINE\s*=\s*(\w+)\s*(\(((?:[^()]|\([^()]*\))*)\))?", stmt)
+    if em:
+        engine = em.group(1)
+        eargs = em.group(3) or ""
+    keys: list[str] = []
+    km = re.search(
+        r"(?i)\bORDER\s+BY\s+(\(((?:[^()]|\([^()]*\))*)\)|[A-Za-z_][\w.]*)", stmt
+    )
+    if km:
+        inner = km.group(2) if km.group(2) is not None else km.group(1)
+        keys = [k.strip() for k in _split_top_level_commas(inner) if k.strip()]
+    elif eargs.strip():
+        # old-style engine args: MergeTree(date, [sampling,] (k1, k2), 8192)
+        # — the parenthesized tuple is the primary/sorting key
+        tm = re.search(r"\(((?:[^()]|\([^()]*\))*)\)", eargs)
+        if tm:
+            keys = [k.strip() for k in _split_top_level_commas(tm.group(1)) if k.strip()]
+        else:
+            args = [a.strip() for a in _split_top_level_commas(eargs)]
+            named = [a for a in args if not re.fullmatch(r"\d+", a)]
+            if engine and engine.startswith(("Summing", "Replacing")) and len(named) > 1:
+                keys = [named[1]]  # (date, key, granularity) short form
+    version = None
+    if engine and engine.startswith("Replacing") and eargs.strip():
+        args = [a.strip() for a in _split_top_level_commas(eargs)]
+        # new-style ReplacingMergeTree(ver); old-style args end with the
+        # index granularity number — a trailing bare identifier is the ver
+        if args and re.fullmatch(r"[A-Za-z_]\w*", args[-1]):
+            version = args[-1]
+    return cols, defaults, engine, keys, version
+
+
+def _describe_lines(
+    ch_cols: list[tuple[str, str]], defaults: dict | None = None
+) -> list[str]:
+    """DESCRIBE TABLE rows: name, type, default_type, default_expression +
+    3 empty attribute columns (comment, codec, ttl) — TSV render of
+    InterpreterDescribeQuery. Nested(A T1, …) flattens to col.A Array(T1)
+    (NestedUtils.cpp flatten)."""
+    out = []
+    defaults = defaults or {}
+    for cname, ctype in ch_cols:
+        nm = re.match(r"(?i)Nested\s*\((.*)\)\s*$", ctype, re.DOTALL)
+        if nm:
+            for sub in _split_top_level_commas(nm.group(1)):
+                sm = re.match(r"(\w+)\s+(.+)$", sub.strip(), re.DOTALL)
+                if sm:
+                    out.append(
+                        f"{cname}.{sm.group(1)}\tArray({sm.group(2).strip()})\t\t\t\t\t"
+                    )
+        else:
+            kind, expr = defaults.get(cname) or ("", "")
+            out.append(f"{cname}\t{ctype}\t{kind}\t{expr}\t\t\t")
+    return out
+
+
+def _expr_sql(ch_expr: str) -> str:
+    """Translate a scalar ClickHouse expression to Spark SQL."""
+    out = translate("SELECT " + ch_expr)
+    return out[len("SELECT "):].strip()
+
+
+_CH_DEFAULT_BY_KIND = [
+    (re.compile(r"(?i)^Array"), "array()"),
+    (re.compile(r"(?i)^(String|FixedString|LowCardinality\(String)"), "''"),
+    (re.compile(r"(?i)^Date"), "DATE '1970-01-01'"),
+    (re.compile(r"(?i)^DateTime"), "timestamp_seconds(0)"),
+    (re.compile(r"(?i)^(Float|Decimal)"), "0.0"),
+]
+
+
+def _ch_default_sql(ctype: str) -> str:
+    for pat, lit in _CH_DEFAULT_BY_KIND:
+        if pat.search(ctype.strip()):
+            return lit
+    return "0"
+
+
+def _optimize_final(spark, df, engine, keys, version, dedup: bool):
+    """OPTIMIZE TABLE … FINAL merge semantics on the in-memory table:
+    ReplacingMergeTree keeps the last row (max version) per sorting key,
+    SummingMergeTree sums numeric non-key columns, DEDUPLICATE drops
+    identical rows (MergeTreeDataMergerMutator). Returns None for engines
+    whose merge is a physical no-op (plain MergeTree, Memory, …)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if dedup:
+        return df.dropDuplicates()
+    if not engine or not engine.startswith(("Replacing", "Summing")):
+        return None
+    try:
+        key_exprs = [_expr_sql(k) for k in keys if k.strip() not in ("tuple()",)]
+    except Exception:  # noqa: BLE001 — unsupported key expression
+        return None
+    if engine.startswith("Replacing"):
+        if not key_exprs:
+            return df.dropDuplicates()
+        ordered = df.withColumn("__ord", F.monotonically_increasing_id())
+        order = ([F.expr(_expr_sql(version)).desc()] if version else []) + [
+            F.col("__ord").desc()
+        ]
+        w = Window.partitionBy(*[F.expr(k) for k in key_exprs]).orderBy(*order)
+        out = (
+            ordered.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return out.orderBy(*[F.expr(k) for k in key_exprs]).drop("__ord")
+    # Summing: aggregate numeric non-key columns per key (key columns must
+    # be plain names for the groupBy to also project them)
+    plain_keys = [k for k in keys if re.fullmatch(r"[A-Za-z_]\w*", k.strip())]
+    if len(plain_keys) != len(keys):
+        return None
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in
+        ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or f.dataType.simpleString().startswith("decimal")
+    }
+    aggs = []
+    for f in df.schema.fields:
+        if f.name in plain_keys:
+            continue
+        if f.name in numeric:
+            aggs.append(F.sum(f.name).alias(f.name))
+        else:
+            aggs.append(F.last(f.name).alias(f.name))
+    if not aggs:  # every column is part of the key: merge keeps one row
+        out = df.dropDuplicates()
+        return out.orderBy(*plain_keys) if plain_keys else out
+    out = df.groupBy(*plain_keys).agg(*aggs).select(*[f.name for f in df.schema.fields])
+    summed = [f.name for f in df.schema.fields
+              if f.name in numeric and f.name not in plain_keys]
+    if summed:
+        # rows whose every summed value is zero are dropped by the merge
+        # (SummingSortedAlgorithm::Row::isZero)
+        out = out.where(" OR ".join(f"`{c}` <> 0" for c in summed))
+    return out.orderBy(*plain_keys) if plain_keys else out
+
+
+def _alter_nested(spark, df, schema_list, dotted, rest, after, drop):
+    """ADD/DROP of a Nested sub-column `base.sub` — the flattened Nested
+    maps to a STRUCT of ARRAYs here, so rebuild the struct with the field
+    added (empty-array default) or removed, and patch the Nested(...) type
+    text that DESCRIBE renders (NestedUtils.cpp)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    base, sub = dotted.split(".", 1)
+    ctype = re.split(r"(?i)\s+(DEFAULT|CODEC|TTL|COMMENT)\b", rest)[0].strip()
+    im = re.match(r"(?i)Array\s*\((.*)\)\s*$", ctype, re.DOTALL)
+    inner_ch = im.group(1).strip() if im else ctype
+    existing = next((f for f in df.schema.fields if f.name == base), None)
+    if drop:
+        if existing is None or not isinstance(existing.dataType, T.StructType):
+            return df.drop(dotted)
+        keep = [f.name for f in existing.dataType.fields if f.name != sub]
+        if keep:
+            df = df.withColumn(
+                base,
+                F.struct(*[F.col(f"{base}.{k}").alias(k) for k in keep]),
+            )
+        else:
+            df = df.drop(base)
+        for i2, (c, t) in enumerate(schema_list):
+            nm3 = re.match(r"(?i)Nested\s*\((.*)\)\s*$", t, re.DOTALL)
+            if c == base and nm3:
+                subs = [
+                    s for s in _split_top_level_commas(nm3.group(1))
+                    if not s.strip().startswith(sub + " ")
+                ]
+                if subs:
+                    schema_list[i2] = (c, f"Nested({', '.join(x.strip() for x in subs)})")
+                else:
+                    del schema_list[i2]
+                break
+        return df
+    spark_inner = _ch_type_to_spark(ctype)
+    default = f"CAST(array() AS {spark_inner})"
+    if existing is not None and isinstance(existing.dataType, T.StructType):
+        names = [f.name for f in existing.dataType.fields]
+        if sub in names:
+            return df
+        pos = len(names)
+        if after and "." in after and after.split(".", 1)[0] == base:
+            asub = after.split(".", 1)[1]
+            if asub in names:
+                pos = names.index(asub) + 1
+        fields = [F.col(f"{base}.{n}").alias(n) for n in names]
+        fields.insert(pos, F.expr(default).alias(sub))
+        df = df.withColumn(base, F.struct(*fields))
+    else:
+        df = df.withColumn(base, F.struct(F.expr(default).alias(sub)))
+    for i2, (c, t) in enumerate(schema_list):
+        nm3 = re.match(r"(?i)Nested\s*\((.*)\)\s*$", t, re.DOTALL)
+        if c == base and nm3:
+            subs = [s.strip() for s in _split_top_level_commas(nm3.group(1))]
+            pos = len(subs)
+            if after and "." in after:
+                asub = after.split(".", 1)[1]
+                for k2, s in enumerate(subs):
+                    if s.startswith(asub + " "):
+                        pos = k2 + 1
+            subs.insert(pos, f"{sub} {inner_ch}")
+            schema_list[i2] = (c, f"Nested({', '.join(subs)})")
+            break
+    else:
+        schema_list.append((base, f"Nested({sub} {inner_ch})"))
+    return df
+
+
+def _exec_alter(spark, stmt, mem_tables, ch_schemas, col_defaults) -> None:
+    """ALTER TABLE column DDL + mutations on the in-memory tables:
+    ADD/DROP/MODIFY/RENAME/CLEAR/COMMENT COLUMN, UPDATE … WHERE, DELETE
+    WHERE (InterpreterAlterQuery / MutationsInterpreter). Unsupported
+    actions raise, which the runner reports as a test failure."""
+    from pyspark.sql import functions as F
+
+    m = re.match(r"(?i)ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(.*)$",
+                 stmt.strip(), re.DOTALL)
+    if not m:
+        raise ChSqlError(f"unparsed ALTER: {stmt[:60]}")
+    tname = m.group(1).split(".")[-1]
+    df = mem_tables.get(tname)
+    if df is None:
+        raise ChSqlError(f"ALTER: unknown table {tname}")
+    schema_list = ch_schemas.setdefault(tname, [])
+    defaults = col_defaults.setdefault(tname, {})
+
+    def _typed_default(ctype, dflt_ch):
+        spark_t = _ch_type_to_spark(ctype)
+        if dflt_ch is not None:
+            src = _expr_sql(dflt_ch)
+        else:
+            from pyspark.sql.types import _parse_datatype_string
+
+            try:
+                src = _sql_default_lit(_parse_datatype_string(spark_t))
+            except Exception:  # noqa: BLE001 — fall back to scalar default
+                src = _ch_default_sql(ctype)
+        return f"CAST(({src}) AS {spark_t})"
+
+    for act in _split_top_level_commas(m.group(2)):
+        a = act.strip()
+        au = a.upper()
+        if au.startswith("ADD COLUMN"):
+            am = re.match(
+                r"(?i)ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_][\w.]*)`?"
+                r"\s+(.+?)(?:\s+AFTER\s+`?([\w.]+)`?|\s+(FIRST))?\s*$",
+                a, re.DOTALL,
+            )
+            if not am:
+                raise ChSqlError(f"unparsed ADD COLUMN: {a[:60]}")
+            cname, rest, after, first = am.group(1), am.group(2).strip(), am.group(3), am.group(4)
+            if "." in cname:
+                df = _alter_nested(
+                    spark, df, schema_list, cname, rest, after, drop=False
+                )
+                continue
+            if any(c == cname for c, _ in schema_list) or cname in df.columns:
+                continue  # IF NOT EXISTS semantics; CH errors without it
+            dm = re.search(
+                r"(?i)\b(DEFAULT|MATERIALIZED|ALIAS)\s+(.+?)"
+                r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
+                rest, re.DOTALL,
+            )
+            ctype = re.split(r"(?i)\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\b",
+                             rest)[0].strip()
+            dflt = dm.group(2).strip() if dm else None
+            if dflt is not None:
+                defaults[cname] = (dm.group(1).upper(), dflt)
+            names = [f.name for f in df.schema.fields]
+            if first:
+                order = [cname] + names
+            elif after and after in names:
+                k = names.index(after) + 1
+                order = names[:k] + [cname] + names[k:]
+            else:
+                order = names + [cname]
+            df = df.withColumn(cname, F.expr(_typed_default(ctype, dflt))).select(*order)
+            # schema position mirrors the dataframe order
+            entry = (cname, re.sub(r"\s*,\s*", ", ", ctype))
+            pos = order.index(cname)
+            schema_list.insert(min(pos, len(schema_list)), entry)
+        elif au.startswith("DROP COLUMN"):
+            dm2 = re.match(r"(?i)DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?`?([\w.]+)`?", a)
+            if not dm2:
+                raise ChSqlError(f"unparsed DROP COLUMN: {a[:60]}")
+            cname = dm2.group(1)
+            if "." in cname:
+                df = _alter_nested(
+                    spark, df, schema_list, cname, "", None, drop=True
+                )
+                continue
+            df = df.drop(cname)
+            schema_list[:] = [(c, t) for c, t in schema_list if c != cname]
+            defaults.pop(cname, None)
+        elif au.startswith("RENAME COLUMN"):
+            rm2 = re.match(
+                r"(?i)RENAME\s+COLUMN\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s+TO\s+`?(\w+)`?", a
+            )
+            if not rm2:
+                raise ChSqlError(f"unparsed RENAME COLUMN: {a[:60]}")
+            old, new = rm2.group(1), rm2.group(2)
+            df = df.withColumnRenamed(old, new)
+            schema_list[:] = [
+                (new if c == old else c, t) for c, t in schema_list
+            ]
+        elif au.startswith("MODIFY COLUMN"):
+            mm2 = re.match(
+                r"(?i)MODIFY\s+COLUMN\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s+(.+)$",
+                a, re.DOTALL,
+            )
+            if not mm2:
+                raise ChSqlError(f"unparsed MODIFY COLUMN: {a[:60]}")
+            if_exists, cname, rest = mm2.group(1), mm2.group(2), mm2.group(3).strip()
+            if cname not in df.columns:
+                if if_exists:
+                    continue
+                raise ChSqlError(f"MODIFY COLUMN: no column {cname}")
+            dm3 = re.match(r"(?i)(DEFAULT|MATERIALIZED)\s+(.+)$", rest, re.DOTALL)
+            if dm3:
+                defaults[cname] = (dm3.group(1).upper(), dm3.group(2).strip())
+                continue
+            if re.match(r"(?i)REMOVE\s", rest):
+                defaults.pop(cname, None)
+                continue
+            dm4 = re.search(
+                r"(?i)\b(DEFAULT|MATERIALIZED)\s+(.+?)"
+                r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
+                rest, re.DOTALL,
+            )
+            if dm4:
+                defaults[cname] = (dm4.group(1).upper(), dm4.group(2).strip())
+            ctype = re.split(r"(?i)\s+(DEFAULT|MATERIALIZED|CODEC|TTL|COMMENT)\b",
+                             rest)[0].strip()
+            df = df.withColumn(
+                cname, F.col(cname).cast(_ch_type_to_spark(ctype))
+            ).select(*[f.name for f in df.schema.fields])
+            schema_list[:] = [
+                (c, re.sub(r"\s*,\s*", ", ", ctype) if c == cname else t)
+                for c, t in schema_list
+            ]
+        elif au.startswith("CLEAR COLUMN"):
+            cm2 = re.match(r"(?i)CLEAR\s+COLUMN\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?", a)
+            if not cm2:
+                raise ChSqlError(f"unparsed CLEAR COLUMN: {a[:60]}")
+            cname = cm2.group(1)
+            ctype = next((t for c, t in schema_list if c == cname), "String")
+            dpair = defaults.get(cname)
+            df = df.withColumn(
+                cname, F.expr(_typed_default(ctype, dpair[1] if dpair else None))
+            )
+        elif au.startswith("COMMENT COLUMN"):
+            continue
+        elif au.startswith("UPDATE "):
+            um = re.match(r"(?i)UPDATE\s+(.+)\s+WHERE\s+(.+)$", a, re.DOTALL)
+            if not um:
+                raise ChSqlError(f"unparsed ALTER UPDATE: {a[:60]}")
+            cond = f"coalesce(CAST(({_expr_sql(um.group(2))}) AS BOOLEAN), false)"
+            assigns = {}
+            for one in _split_top_level_commas(um.group(1)):
+                em2 = re.match(r"\s*`?(\w+)`?\s*=\s*(.+)$", one, re.DOTALL)
+                if not em2:
+                    raise ChSqlError(f"unparsed assignment: {one[:60]}")
+                assigns[em2.group(1)] = _expr_sql(em2.group(2))
+            items = []
+            for f in df.schema.fields:
+                if f.name in assigns:
+                    t = f.dataType.simpleString()
+                    items.append(
+                        f"CASE WHEN {cond} THEN CAST(({assigns[f.name]}) AS {t})"
+                        f" ELSE `{f.name}` END AS `{f.name}`"
+                    )
+                else:
+                    items.append(f"`{f.name}`")
+            df = df.selectExpr(*items)
+        elif au.startswith("DELETE WHERE"):
+            cond = _expr_sql(a[len("DELETE WHERE"):].strip())
+            df = df.where(f"NOT coalesce(CAST(({cond}) AS BOOLEAN), false)")
+        else:
+            raise ChSqlError(f"unsupported ALTER action: {a[:60]}")
+    df.createOrReplaceTempView(tname)
+    mem_tables[tname] = df
 
 
 _INSERT_RE = re.compile(
@@ -526,9 +969,14 @@ def _sql_default_lit(dt) -> str:
     from pyspark.sql import types as T
 
     if isinstance(dt, T.ArrayType):
-        return "array()"
+        return f"CAST(array() AS {dt.simpleString()})"
     if isinstance(dt, T.MapType):
         return "map()"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"'{f.name}', {_sql_default_lit(f.dataType)}" for f in dt.fields
+        )
+        return f"named_struct({inner})"
     if isinstance(dt, T.StringType):
         return "''"
     if isinstance(dt, T.BooleanType):
@@ -673,7 +1121,7 @@ def _type_default(dt):
     return F.lit(0).cast(dt)
 
 
-def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None = None, nested_cols: dict | None = None, enum_cols: dict | None = None) -> None:
+def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None = None, nested_cols: dict | None = None, enum_cols: dict | None = None, col_defaults: dict | None = None) -> None:
     """INSERT INTO a memory-backed golden table, PRESERVING insertion order
     (ClickHouse Memory/Log engines append in order and the reference diffs
     output literally; a parquet round-trip loses order because Spark packs
@@ -845,7 +1293,27 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
                     s.rlike("^-?[0-9]+$"), F.element_at(num_map, s)
                 ).otherwise(s)
             out.append(c.cast(f.dataType).alias(f.name))
-    mem_tables[name] = target.unionAll(src.select(*out))
+    new_rows = src.select(*out)
+    # DEFAULT/MATERIALIZED/ALIAS expressions for columns the INSERT omitted
+    # (addMissingDefaults.cpp computes them from the sibling columns)
+    filled = {
+        f.name.lower()
+        for f in target.schema.fields
+        if pos.get(f.name.lower()) is not None
+        and pos[f.name.lower()] < len(src_cols)
+    }
+    for cname2, (kind2, expr2) in ((col_defaults or {}).get(name) or {}).items():
+        if cname2.lower() in filled or cname2 not in new_rows.columns:
+            continue
+        try:
+            dtype2 = target.schema[cname2].dataType.simpleString()
+            new_rows = new_rows.withColumn(
+                cname2,
+                F.expr(f"CAST(({_expr_sql(expr2)}) AS {dtype2})"),
+            )
+        except Exception:  # noqa: BLE001 — keep the type default
+            pass
+    mem_tables[name] = target.unionAll(new_rows)
     mem_tables[name].createOrReplaceTempView(name)
 
 
@@ -1276,6 +1744,10 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     enum_cols: dict[str, dict] = {}
     join_keys: dict[str, list] = {}
     dt64_hint: dict[str, str] = {}
+    ch_schemas: dict[str, list] = {}  # table → ordered (name, CH type)
+    col_defaults: dict[str, dict] = {}  # table → col → DEFAULT expr (CH SQL)
+    table_meta: dict[str, tuple] = {}  # table → (engine, sort keys, version)
+    table_alias: dict[str, str] = {}  # Buffer table → destination table
     # ClickHouse coerces INSERT literals to column types ('2016-01-01' →
     # Date); Spark's default store-assignment policy rejects string→date
     prev_policy = spark.conf.get("spark.sql.storeAssignmentPolicy", "ANSI")
@@ -1387,6 +1859,72 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 if up.startswith("CHECK TABLE"):
                     blocks.append((["1"], False))  # CHECK always healthy here
                     continue
+                if up.startswith("OPTIMIZE TABLE"):
+                    om = re.match(
+                        r"(?i)OPTIMIZE\s+TABLE\s+([A-Za-z_][\w.]*)(.*)$",
+                        stmt.strip(), re.DOTALL,
+                    )
+                    if om:
+                        tname = om.group(1).split(".")[-1]
+                        tail = om.group(2) or ""
+                        df0 = mem_tables.get(tname)
+                        engine, keys, ver = table_meta.get(tname, (None, [], None))
+                        if df0 is not None:
+                            df1 = _optimize_final(
+                                spark, df0, engine, keys, ver,
+                                dedup=bool(re.search(r"(?i)\bDEDUPLICATE\b", tail)),
+                            )
+                            if df1 is not None:
+                                df1.createOrReplaceTempView(tname)
+                                mem_tables[tname] = df1
+                    continue
+                if up.startswith("TRUNCATE"):
+                    tm2 = re.match(
+                        r"(?i)TRUNCATE\s+(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?"
+                        r"([A-Za-z_][\w.]*)", stmt.strip(),
+                    )
+                    if tm2:
+                        tname = tm2.group(1).split(".")[-1]
+                        df0 = mem_tables.get(tname)
+                        if df0 is not None:
+                            df1 = df0.limit(0)
+                            df1.createOrReplaceTempView(tname)
+                            mem_tables[tname] = df1
+                    continue
+                if re.match(r"(?i)DESC(?:RIBE)?\b", up):
+                    dm2 = re.match(
+                        r"(?i)DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)",
+                        stmt.strip(),
+                    )
+                    if dm2:
+                        tname = dm2.group(1).split(".")[-1]
+                        cols_ch = ch_schemas.get(tname)
+                        if cols_ch is None:
+                            raise ChSqlError(f"DESCRIBE: unknown table {tname}")
+                        blocks.append(
+                            (_describe_lines(cols_ch, col_defaults.get(tname)), False)
+                        )
+                    continue
+                if up.startswith("ALTER TABLE"):
+                    _exec_alter(
+                        spark, stmt, mem_tables, ch_schemas, col_defaults,
+                    )
+                    continue
+                cvm = re.match(
+                    r"(?i)CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
+                    r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+AS\s+(.*)$",
+                    stmt.strip(), re.DOTALL,
+                )
+                if cvm:
+                    vname = cvm.group(1).split(".")[-1]
+                    # a SQL-text temp view stays live against later inserts
+                    # into its base tables (unlike a captured DataFrame)
+                    spark.sql(
+                        f"CREATE OR REPLACE TEMPORARY VIEW {vname} AS "
+                        + translate(cvm.group(2))
+                    )
+                    created.append(vname)
+                    continue
                 if up.startswith(("DROP TABLE", "DROP TEMPORARY TABLE")):
                     dm = _DROP_RE.match(stmt.strip())
                     if dm:
@@ -1409,6 +1947,40 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         mem_tables[name] = df
                         created.append(name)
                         continue
+                    clone = re.match(
+                        r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                        r"([A-Za-z_][\w.]*)\s+AS\s+([A-Za-z_][\w.]*)\s*"
+                        r"(?:ENGINE\s*=.*)?$",
+                        stmt.strip(), re.IGNORECASE | re.DOTALL,
+                    )
+                    if clone:  # CREATE TABLE a AS b: clone b's structure
+                        name = clone.group(1).split(".")[-1]
+                        src = clone.group(2).split(".")[-1]
+                        bm = re.search(
+                            r"(?i)ENGINE\s*=\s*Buffer\s*\(\s*[^,]+,\s*(\w+)",
+                            stmt,
+                        )
+                        if bm and bm.group(1).split(".")[-1] == src and src in mem_tables:
+                            # Buffer proxies its destination table: reads
+                            # see destination + buffered rows, inserts
+                            # flush through (StorageBuffer.cpp) — alias it
+                            spark.sql(
+                                f"CREATE OR REPLACE TEMPORARY VIEW {name} AS"
+                                f" SELECT * FROM {src}"
+                            )
+                            table_alias[name] = src
+                            created.append(name)
+                            continue
+                        if src in mem_tables:
+                            df = mem_tables[src].limit(0)
+                            df.createOrReplaceTempView(name)
+                            mem_tables[name] = df
+                            created.append(name)
+                            for store in (ch_schemas, col_defaults, table_meta,
+                                          nullable_cols, nested_cols, enum_cols):
+                                if src in store:
+                                    store[name] = store[src]
+                            continue
                     schema_ddl, name, nullset, nestset, enumset = _translate_create(stmt)
                     jm = _JOIN_ENGINE_RE.search(stmt)
                     if jm and jm.group(1).upper() == "LEFT":
@@ -1438,16 +2010,45 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     nullable_cols[name] = nullset
                     nested_cols[name] = nestset
                     created.append(name)
+                    meta = _parse_create_meta(stmt)
+                    if meta:
+                        ch_schemas[name] = meta[0]
+                        col_defaults[name] = meta[1]
+                        table_meta[name] = (meta[2], meta[3], meta[4])
                     continue
                 if up.startswith("INSERT INTO"):
+                    for buf, dst in table_alias.items():
+                        stmt = re.sub(
+                            rf"(?i)^(\s*INSERT\s+INTO\s+)(?:\w+\.)?{buf}\b",
+                            rf"\g<1>{dst}", stmt,
+                        )
                     _exec_insert(
-                        spark, stmt, mem_tables, nullable_cols, nested_cols, enum_cols
+                        spark, stmt, mem_tables, nullable_cols, nested_cols,
+                        enum_cols, col_defaults,
                     )
                     continue
                 from clickhouse_23_3_19_32_lts_spark.dialect import (
                     apply_fill,
                     parse_fill_query,
                 )
+
+                # MATERIALIZED/ALIAS columns are hidden from SELECT *
+                # (InterpreterSelectQuery asterisk expansion) but stay
+                # addressable by name — expand the leading star explicitly
+                frm2 = re.search(r"(?i)\bFROM\s+([A-Za-z_]\w*)", stmt)
+                if frm2 and re.match(r"(?is)\s*SELECT\s+\*", stmt):
+                    tbl2 = frm2.group(1)
+                    dmap2 = col_defaults.get(tbl2) or {}
+                    hid = {c for c, (k, _) in dmap2.items()
+                           if k in ("MATERIALIZED", "ALIAS")}
+                    if hid and tbl2 in ch_schemas:
+                        vis = [c for c, _ in ch_schemas[tbl2] if c not in hid]
+                        if vis:
+                            stmt = re.sub(
+                                r"(?is)^(\s*SELECT\s+)\*",
+                                lambda mm: mm.group(1) + ", ".join(vis),
+                                stmt, count=1,
+                            )
 
                 parsed = parse_fill_query(stmt)
 

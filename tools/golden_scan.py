@@ -23,9 +23,11 @@ BASE = "/root/reference/tests/queries/0_stateless"
 # CREATE TABLE / INSERT / DROP TABLE are handled by the runner's catalog
 # support; other CREATE kinds and server-state statements are not.
 _SKIP = re.compile(
-    r"\b(CREATE\s+(?:MATERIALIZED|LIVE|WINDOW)?\s*(?:DATABASE|VIEW|DICTIONARY|"
-    r"FUNCTION|USER|ROLE|QUOTA|POLICY)|ALTER|ATTACH|DETACH|OPTIMIZE|TRUNCATE|"
-    r"RENAME|SYSTEM\s|KILL|GRANT|REVOKE|SHOW|DESCRIBE|(?m:^\s*DESC\s)|USE\s|"
+    r"\b(CREATE\s+(?:DATABASE|DICTIONARY|"
+    r"FUNCTION|USER|ROLE|QUOTA|POLICY)"
+    r"|CREATE\s+(?:MATERIALIZED|LIVE|WINDOW)\s+VIEW"
+    r"|ATTACH|DETACH|"
+    r"RENAME|SYSTEM\s|KILL|GRANT|REVOKE|SHOW|USE\s|"
     r"WATCH|remote|cluster\(|file\(|url\(|"
     r"system\.(?!numbers\b|numbers_mt\b|one\b|zeros\b))",
     re.IGNORECASE,
