@@ -4225,35 +4225,65 @@ def _wrap_case_conditions(s: str) -> str:
             depth -= 1
         elif c.isalpha() or c == "_":
             m = word.match(blank, i)
+            if m is None:  # non-ASCII identifier characters
+                i += 1
+                continue
             w = m.group(0).lower()
             if w == "case":
-                nxt = word.search(blank, m.end())
-                stack.append((depth, bool(nxt and nxt.group(0).lower() == "when")))
+                # searched form iff WHEN is the very next token — a value
+                # operand may be a non-word literal (CASE 1.1 WHEN …)
+                searched = bool(re.match(r"\s*when\b", blank[m.end():], re.I))
+                stack.append((depth, searched))
             elif w == "end" and stack:
                 stack.pop()
             elif w == "when" and stack and stack[-1] == (depth, True):
-                # condition runs to the matching THEN at this depth
+                # condition runs to the matching THEN at this depth,
+                # skipping nested CASE…END blocks (parenless, same depth)
                 j = m.end()
                 d2 = depth
+                cd = 0
                 while j < n:
                     cj = blank[j]
                     if cj == "(":
                         d2 += 1
                     elif cj == ")":
                         d2 -= 1
-                    elif cj.isalpha() and d2 == depth:
+                    elif (cj.isalpha() or cj == "_") and d2 == depth:
                         m2 = word.match(blank, j)
-                        if m2 and m2.group(0).lower() == "then":
-                            edits.append((m.end(), j))
-                            break
-                        j = m2.end() - 1 if m2 else j
+                        if m2:
+                            w2 = m2.group(0).lower()
+                            if w2 == "case":
+                                cd += 1
+                            elif w2 == "end" and cd:
+                                cd -= 1
+                            elif w2 == "then" and cd == 0:
+                                edits.append((m.end(), j))
+                                break
+                            j = m2.end()
+                            continue
                     j += 1
             i = m.end()
             continue
         i += 1
-    for a, b in sorted(edits, reverse=True):
+    # keep only outermost edits (a condition containing a nested CASE
+    # already covers that CASE's own conditions), and skip conditions that
+    # are predicate-shaped — they are boolean already and wrapping nested
+    # spans with stale offsets would corrupt the string
+    edits.sort()
+    kept: list[tuple[int, int]] = []
+    for a, b in edits:
+        if kept and a < kept[-1][1]:
+            continue
+        kept.append((a, b))
+    for a, b in reversed(kept):
         cond = s[a:b].strip()
-        if cond:
+        if (
+            cond
+            and not _is_predicate_sql(cond)
+            and not re.fullmatch(
+                r"(?is)CAST\s*\(.*AS\s+BOOLEAN\s*\)", cond
+            )  # idempotency: already wrapped on a previous pass
+        ):
             s = s[:a] + f" CAST(({cond}) AS BOOLEAN) " + s[b:]
     return s
 

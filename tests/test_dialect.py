@@ -31,8 +31,10 @@ from clickhouse_23_3_19_32_lts_spark.dialect import ChSqlError, ch_sql, translat
             "SELECT sum(CASE WHEN c > 0 THEN v END) FROM t",
         ),
         (
+            # UInt8 truthiness: bare-column conditions get a boolean cast
             "SELECT multiIf(a, 1, b, 2, 3) FROM t",
-            "SELECT CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END FROM t",
+            "SELECT CASE WHEN CAST((a) AS BOOLEAN) THEN 1"
+            " WHEN CAST((b) AS BOOLEAN) THEN 2 ELSE 3 END FROM t",
         ),
         (
             "SELECT toStartOfMonth(nested(fn(x))) FROM t",
