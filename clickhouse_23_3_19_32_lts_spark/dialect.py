@@ -2219,27 +2219,89 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             )
             x = arg_sql[1]
             expr2 = None
+            if am and am.group(1).lower() == "simplelinearregression" and len(arg_sql) == 3:
+                # least-squares fit over zipped (x, y) arrays
+                # (AggregateFunctionSimpleLinearRegression.h): returns the
+                # (slope, intercept) tuple; zero denominator → NaN like the
+                # reference's double math (Spark's x/0 is NULL → coalesce)
+                pts = (
+                    f"zip_with({x}, {arg_sql[2]}, (__x, __y) -> named_struct("
+                    f"'x', CAST(__x AS DOUBLE), 'y', CAST(__y AS DOUBLE)))"
+                )
+                acc = (
+                    f"aggregate({pts}, named_struct("
+                    f"'n', CAST(0 AS DOUBLE), 'sx', CAST(0 AS DOUBLE),"
+                    f" 'sy', CAST(0 AS DOUBLE), 'sxy', CAST(0 AS DOUBLE),"
+                    f" 'sxx', CAST(0 AS DOUBLE)),"
+                    f" (__s, __p) -> named_struct('n', __s.n + 1,"
+                    f" 'sx', __s.sx + __p.x, 'sy', __s.sy + __p.y,"
+                    f" 'sxy', __s.sxy + __p.x * __p.y,"
+                    f" 'sxx', __s.sxx + __p.x * __p.x))"
+                )
+                k = (
+                    "coalesce((__t.n * __t.sxy - __t.sx * __t.sy)"
+                    " / (__t.n * __t.sxx - __t.sx * __t.sx), double('NaN'))"
+                )
+                out.append(
+                    f"element_at(transform(array({acc}), __t -> named_struct("
+                    f"'_1', {k},"
+                    f" '_2', coalesce((__t.sy - ({k}) * __t.sx) / __t.n,"
+                    f" double('NaN')))), 1)"
+                )
+                i = close + 1
+                continue
             if am:
                 base = am.group(1).lower()
                 suffix = am.group(2) or ""
                 params = am.group(3)
+                # multi-array uniq counts distinct TUPLES; an -If suffix
+                # filters by the LAST array's truthiness first
+                # (arrayReduce.cpp passes all arrays as agg arguments)
+                if base in ("uniqif", "uniqexactif") and len(arg_sql) >= 3:
+                    base = base[:-2]
+                    conds = arg_sql[-1]
+                    vals = arg_sql[1:-1]
+                    zipped = vals[0] if len(vals) == 1 else (
+                        f"zip_with({vals[0]}, {vals[1]}, (__a, __b) ->"
+                        f" named_struct('a', __a, 'b', __b))"
+                    )
+                    x = (
+                        f"transform(filter(zip_with({zipped}, {conds},"
+                        f" (__v, __c) -> named_struct('v', __v, 'c', __c)),"
+                        f" __p -> CAST(__p.c AS BOOLEAN)), __p -> __p.v)"
+                    )
+                elif base in ("uniq", "uniqexact", "uniqupto") and len(arg_sql) >= 3:
+                    x = (
+                        f"zip_with({arg_sql[1]}, {arg_sql[2]}, (__a, __b) ->"
+                        f" named_struct('a', __a, 'b', __b))"
+                    )
+                if base == "uniqupto":
+                    # exact count when ≤ K, else K+1 (AggregateFunctionUniqUpTo.h)
+                    base = "uniq"
+                    up = params or "5"
+                    out.append(
+                        f"least(size(array_distinct({x})), CAST({up} AS BIGINT) + 1)"
+                    )
+                    i = close + 1
+                    continue
                 n = f"size({x})"
                 srt = f"array_sort({x})"
 
                 def _quant_exact(p):
-                    # QuantileExact.h get(): nth = level*(s-1) floored
-                    return (
-                        f"element_at({srt}, CAST(floor(({p}) * ({n} - 1)) AS INT) + 1)"
-                    )
+                    # QuantileExact.h get(): nth = level*(s-1) floored;
+                    # empty set → NaN (index 0 would error in Spark)
+                    v = f"element_at({srt}, CAST(floor(({p}) * ({n} - 1)) AS INT) + 1)"
+                    return f"(CASE WHEN {n} = 0 THEN double('NaN') ELSE {v} END)"
 
                 def _quant_interp(p):
                     h = f"(({p}) * ({n} - 1))"
                     lo = f"element_at({srt}, CAST(floor({h}) AS INT) + 1)"
                     hi = f"element_at({srt}, CAST(ceiling({h}) AS INT) + 1)"
-                    return (
+                    v = (
                         f"(CAST({lo} AS DOUBLE) + ({h} - floor({h}))"
                         f" * (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)))"
                     )
+                    return f"(CASE WHEN {n} = 0 THEN double('NaN') ELSE {v} END)"
 
                 forms = {
                     "sum": f"aggregate({x}, CAST(0 AS DOUBLE),"
@@ -2267,6 +2329,12 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                     expr2 = _quant_interp(params or "0.5")
                 elif base == "quantileexact":
                     expr2 = _quant_exact(params or "0.5")
+                elif base in ("quantiles", "quantilesexact") and params:
+                    fn2 = _quant_interp if base == "quantiles" else _quant_exact
+                    per = ", ".join(
+                        fn2(p.strip()) for p in params.split(",") if p.strip()
+                    )
+                    expr2 = f"array({per})"
                 elif base in forms:
                     expr2 = forms[base]
                 if expr2 is not None and suffix:
