@@ -2447,6 +2447,66 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
+        if t in (
+            "runningDifference", "runningDifferenceStartingWithFirstValue",
+            "runningAccumulate", "neighbor", "rowNumberInBlock",
+            "rowNumberInAllBlocks",
+        ):
+            # block-order functions (FunctionsMiscellaneous): emulated over
+            # the statement's read order via a monotonic-id window. Golden
+            # scale only — a single-partition window does not distribute.
+            mono = "monotonically_increasing_id()"
+            if t == "runningDifference" and len(arg_sql) == 1:
+                e = arg_sql[0]
+                out.append(f"({e} - lag({e}, 1, {e}) OVER (ORDER BY {mono}))")
+                i = close + 1
+                continue
+            if t == "runningDifferenceStartingWithFirstValue" and len(arg_sql) == 1:
+                e = arg_sql[0]
+                out.append(f"({e} - lag({e}, 1, 0) OVER (ORDER BY {mono}))")
+                i = close + 1
+                continue
+            if t == "runningAccumulate" and len(arg_sql) in (1, 2):
+                # scalar partial states (sum/count) accumulate additively;
+                # optional second arg restarts accumulation per group
+                part = f"PARTITION BY {arg_sql[1]} " if len(arg_sql) == 2 else ""
+                out.append(
+                    f"sum({arg_sql[0]}) OVER ({part}ORDER BY {mono}"
+                    f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                )
+                i = close + 1
+                continue
+            if t in ("rowNumberInBlock", "rowNumberInAllBlocks") and not arg_sql:
+                out.append(f"(row_number() OVER (ORDER BY {mono}) - 1)")
+                i = close + 1
+                continue
+            if t == "neighbor":
+                if len(arg_sql) not in (2, 3):
+                    raise ChSqlError("neighbor needs 2 or 3 arguments")
+                e, o = arg_sql[0], arg_sql[1].strip()
+                d = arg_sql[2] if len(arg_sql) == 3 else "0"
+                om2 = re.fullmatch(r"-?\d+", o)
+                if om2:
+                    k2 = int(o)
+                    fn2 = "lead" if k2 >= 0 else "lag"
+                    out.append(
+                        f"{fn2}({e}, {abs(k2)}, {d}) OVER (ORDER BY {mono})"
+                    )
+                else:
+                    wall = (
+                        f"OVER (ORDER BY {mono} ROWS BETWEEN UNBOUNDED"
+                        f" PRECEDING AND UNBOUNDED FOLLOWING)"
+                    )
+                    rn = f"row_number() OVER (ORDER BY {mono})"
+                    idx = f"({rn} + ({o}))"
+                    out.append(
+                        f"(CASE WHEN {idx} BETWEEN 1 AND count(*) {wall}"
+                        f" THEN element_at(collect_list({e}) {wall},"
+                        f" CAST({idx} AS INT)) ELSE {d} END)"
+                    )
+                i = close + 1
+                continue
+
         if t in ("hasAll", "hasAny", "hasSubstr") and len(arg_sql) == 2:
             # ClickHouse raises NO_COMMON_TYPE for numeric-vs-string array
             # args (hasAllAny.h getReturnTypeImpl); Spark's <=> would
