@@ -228,6 +228,10 @@ TEMPLATES: dict[str, str] = {
     "notLike": "(NOT ({0} LIKE {1}))",
     "notILike": "(NOT ({0} ILIKE {1}))",
     "positionCaseInsensitive": "locate(lower({1}), lower({0}))",
+    # the UTF8 variants count characters (positionUTF8.cpp) — exactly
+    # Spark's locate; the plain variants count BYTES (see ARITY_TEMPLATES)
+    "positionUTF8": "locate({1}, {0})",
+    "positionCaseInsensitiveUTF8": "locate(lower({1}), lower({0}))",
     "toQuarter": "quarter({0})",
     "timeSlot": "date_trunc('hour', {0})",
     # identity / introspection shims
@@ -440,10 +444,22 @@ ARITY_TEMPLATES: dict[str, dict[int, str]] = {
     "minOrDefault": {1: "coalesce(min({0}), 0)"},
     "maxOrDefault": {1: "coalesce(max({0}), 0)"},
     "avgOrDefault": {1: "coalesce(avg({0}), 0)"},
-    # ClickHouse position/locate are haystack-first (FunctionsStringSearch.h:20);
-    # Spark locate is (substr, str[, pos]) — swap.
-    "position": {2: "locate({1}, {0})", 3: "locate({1}, {0}, {2})"},
-    "locate": {2: "locate({1}, {0})", 3: "locate({1}, {0}, {2})"},
+    # ClickHouse position/locate are haystack-first (FunctionsStringSearch.h:20)
+    # and count BYTES (PositionImpl, non-UTF8 variant: position('бв' in
+    # 'абв') = 3); Spark locate is (substr, str[, pos]) and counts chars —
+    # swap args and convert the char offset to a byte offset via the
+    # octet-length of the preceding prefix. 3-arg start_pos kept char-based
+    # (byte-offset starts are vanishingly rare in the corpus).
+    "position": {
+        2: "(CASE WHEN locate({1}, {0}) = 0 THEN 0 ELSE"
+           " octet_length(substring({0}, 1, locate({1}, {0}) - 1)) + 1 END)",
+        3: "locate({1}, {0}, {2})",
+    },
+    "locate": {
+        2: "(CASE WHEN locate({1}, {0}) = 0 THEN 0 ELSE"
+           " octet_length(substring({0}, 1, locate({1}, {0}) - 1)) + 1 END)",
+        3: "locate({1}, {0}, {2})",
+    },
     # splitByChar(sep, s[, max]): swap to Spark (str, regex[, limit]) and
     # regex-quote the separator (Spark split treats it as a regex; CH treats it
     # as a literal char — '\\Q…\\E' makes '|', '.' etc. safe).
@@ -519,6 +535,20 @@ _DATEDIFF_TEMPLATES = {
     "minute": "((unix_timestamp(date_trunc('minute', {2})) - unix_timestamp(date_trunc('minute', {1}))) div 60)",
     "second": "(unix_timestamp({2}) - unix_timestamp({1}))",
 }
+
+
+def _split_top_in(s: str) -> "tuple[str, str] | None":
+    """Split `needle IN haystack` at a depth-0 IN token; None if absent."""
+    toks = _tokenize(s)
+    depth = 0
+    for i, tk in enumerate(toks):
+        if tk == "(":
+            depth += 1
+        elif tk == ")":
+            depth -= 1
+        elif depth == 0 and tk.lower() == "in" and 0 < i < len(toks) - 1:
+            return "".join(toks[:i]).strip(), "".join(toks[i + 1:]).strip()
+    return None
 
 
 def _fill_template(tpl: str, arg_sql: list[str], t: str) -> str:
@@ -1700,6 +1730,65 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i += 1
             continue
         if (
+            t.lower() == "interval"
+            and i + 1 < len(tokens)
+            and tokens[i + 1] != "("
+            and (not out or (out[-1] != "." and out[-1].lower() != "as"))
+        ):
+            # INTERVAL <expr> <unit> (ParserIntervalOperatorExpression):
+            # ClickHouse allows arbitrary expressions and sub-second/quarter
+            # units; Spark's literal form only takes integer literals with
+            # standard units. Literal+standard stays verbatim; everything
+            # else becomes make_interval().
+            _units = {
+                "second": 6, "minute": 5, "hour": 4, "day": 3, "week": 2,
+                "month": 1, "year": 0,
+            }
+            _frac = {"millisecond": 1e3, "microsecond": 1e6, "nanosecond": 1e9}
+            d = 0
+            unit_idx = -1
+            k = i + 1
+            while k < len(tokens):
+                tk = tokens[k]
+                if tk in ("(", "["):
+                    d += 1
+                elif tk in (")", "]"):
+                    if d == 0:
+                        break
+                    d -= 1
+                elif d == 0 and tk == ",":
+                    break
+                elif d == 0:
+                    low = tk.lower().rstrip("s") if tk.lower().endswith("s") else tk.lower()
+                    if low in _units or low in _frac or low == "quarter":
+                        unit_idx = k
+                        break
+                k += 1
+            if unit_idx > i + 1:
+                unit = tokens[unit_idx].lower()
+                if unit.endswith("s"):
+                    unit = unit[:-1]
+                expr_toks = tokens[i + 1 : unit_idx]
+                is_lit = len(expr_toks) == 1 and re.fullmatch(r"\d+", expr_toks[0])
+                if is_lit and unit in _units:
+                    out.append(f"INTERVAL {expr_toks[0]} {unit.upper()}")
+                else:
+                    e = _rewrite(expr_toks, "val")
+                    args = ["0"] * 7
+                    if unit == "quarter":
+                        args[1] = f"CAST(3 * ({e}) AS INT)"
+                    elif unit in _frac:
+                        args[6] = f"CAST(({e}) / {_frac[unit]} AS DECIMAL(18, 6))"
+                    else:
+                        pos = _units[unit]
+                        args[pos] = (
+                            f"CAST({e} AS DECIMAL(18, 6))" if pos == 6
+                            else f"CAST({e} AS INT)"
+                        )
+                    out.append(f"make_interval({', '.join(args)})")
+                i = unit_idx + 1
+                continue
+        if (
             t.lower() == "system"
             and i + 2 < len(tokens)
             and tokens[i + 1] == "."
@@ -2788,6 +2877,16 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             out.append(f"coalesce({fn}({arg_sql[0]}), double('NaN'))")
             i = close + 1
             continue
+
+        # SQL-standard position(needle IN haystack): re-split and route
+        # through the byte-offset template (ClickHouse position counts bytes)
+        if t in ("position", "locate") and len(arg_sql) == 1:
+            parts = _split_top_in(arg_sql[0])
+            if parts is not None:
+                needle, hay = parts
+                out.append(_fill_template(ARITY_TEMPLATES["position"][2], [hay, needle], t))
+                i = close + 1
+                continue
 
         _has_lambda = bool(arg_sql) and _is_lambda_sql(arg_sql[0])
         if (
@@ -3990,6 +4089,80 @@ _FROMLESS_STOP_RE = re.compile(
 )
 
 
+def _rebind_union_tail_limit(s: str) -> str:
+    """ClickHouse parses `SELECT a UNION ALL SELECT b LIMIT n` with the
+    LIMIT (and any ORDER BY before it) belonging to the LAST branch — the
+    union has no global clauses without a wrapping subquery
+    (ParserUnionQueryElement: each element is a full SELECT). Spark applies
+    a trailing LIMIT to the whole union, silently changing row counts —
+    so parenthesize the last branch: `SELECT a UNION ALL (SELECT b LIMIT
+    n)`. Only fires when a LIMIT is present in the tail (a bare trailing
+    ORDER BY stays global: harmless for sorted-compare outputs and far
+    less likely to change results)."""
+    blank = _blank_strings(s)
+    depth = []
+    d = 0
+    for c in blank:
+        if c == "(":
+            d += 1
+            depth.append(d)
+        elif c == ")":
+            depth.append(d)
+            d -= 1
+        else:
+            depth.append(d)
+    inserts: list[tuple[int, str]] = []
+    seen_scopes: set[tuple[int, int]] = set()
+    for m in re.finditer(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b", blank):
+        p = m.start()
+        dk = depth[p]
+        # scope end: first `)` closing this depth, else end of string
+        q = len(s)
+        if dk > 0:
+            for k in range(m.end(), len(s)):
+                if blank[k] == ")" and depth[k] == dk:
+                    q = k
+                    break
+        # find the LAST set-op of the chain within this scope
+        last_start = p
+        for m2 in re.finditer(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b", blank[p:q]):
+            if depth[p + m2.start()] == dk:
+                last_start = p + m2.start()
+        if (last_start, q) in seen_scopes:
+            continue
+        seen_scopes.add((last_start, q))
+        # branch begins after the keyword and an optional ALL/DISTINCT
+        bm = re.match(
+            r"(?i)(UNION|INTERSECT|EXCEPT)(\s+(ALL|DISTINCT))?\s*",
+            blank[last_start:q],
+        )
+        if not bm:
+            continue
+        b0 = last_start + bm.end()
+        seg = blank[b0:q]
+        lim = None
+        for lm in re.finditer(r"(?i)\bLIMIT\b", seg):
+            if depth[b0 + lm.start()] == dk:
+                lim = lm
+        if lim is None:
+            continue
+        # LIMIT n BY cols is the LIMIT BY operator, not a row limit
+        tail_after = seg[lim.end():]
+        if re.match(r"(?i)\s*\d+\s*(,\s*\d+\s*)?BY\b", tail_after):
+            continue
+        # trailing SETTINGS/FORMAT/INTO OUTFILE stay outside the parens
+        stop = len(seg)
+        for sm in re.finditer(r"(?i)\b(SETTINGS|FORMAT|INTO\s+OUTFILE)\b", seg):
+            if depth[b0 + sm.start()] == dk and sm.start() > lim.start():
+                stop = sm.start()
+                break
+        inserts.append((b0, "("))
+        inserts.append((b0 + stop, ")"))
+    for pos, txt in sorted(inserts, reverse=True):
+        s = s[:pos] + txt + s[pos:]
+    return s
+
+
 def _rewrite_fromless_dummy(s: str) -> str:
     """Insert `FROM (SELECT CAST(0 AS INT) AS dummy)` into every SELECT
     scope (top level or subquery) that references dummy but has no FROM of
@@ -4483,6 +4656,10 @@ def _translate_impl(ch_sql: str) -> str:
     # included, so GROUP BY dummy / USING dummy resolve
     if re.search(r"(?i)\bdummy\b", s):
         s = _rewrite_fromless_dummy(s)
+    if re.search(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b", s) and re.search(
+        r"(?i)\bLIMIT\b", s
+    ):
+        s = _rebind_union_tail_limit(s)
     # 0xDEADBEEF integer literals (ParserNumber accepts hex; Spark doesn't).
     # Only outside string literals — match positions against the blanked copy
     blank = _blank_strings(s)

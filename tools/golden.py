@@ -1580,6 +1580,9 @@ def _render_output(ofmt: str, rows, schema, fmt_cell, settings=None):
             for r in rows
         ]
     if low == "jsoneachrow":
+        st = settings or {}
+        quote64 = str(st.get("output_format_json_quote_64bit_integers", "1")) != "0"
+        esc_slash = str(st.get("output_format_json_escape_forward_slashes", "1")) != "0"
         out = []
         for r in rows:
             obj = {}
@@ -1594,14 +1597,20 @@ def _render_output(ofmt: str, rows, schema, fmt_cell, settings=None):
                     from pyspark.sql import types as T
 
                     big = isinstance(schema.fields[j].dataType, (T.LongType, T.DecimalType))
-                    obj[names[j]] = str(v) if big else v
+                    obj[names[j]] = str(v) if big and quote64 else v
                 elif isinstance(v, float):
                     obj[names[j]] = v
                 elif isinstance(v, str):
                     obj[names[j]] = v
                 else:
                     obj[names[j]] = _json.loads(_json.dumps(v, default=lambda x: fmt_cell(j, x)))
-            out.append(_json.dumps(obj, ensure_ascii=False, separators=(",", ":")))
+            line = _json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+            if esc_slash:
+                # JSONRowOutputFormat escapes '/' by default
+                # (output_format_json_escape_forward_slashes = 1); '/' only
+                # occurs inside JSON strings, so a global replace is safe
+                line = line.replace("/", "\\/")
+            out.append(line)
         return out
     if low == "vertical":
         if not rows:
