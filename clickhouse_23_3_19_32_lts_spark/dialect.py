@@ -2055,6 +2055,36 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
         close = _find_call_end(tokens, i + 1)
         args = _split_args(tokens[i + 2 : close])
 
+        # generic -If combinator (AggregateFunctionIf.cpp): fooIf(args...,
+        # cond) aggregates only rows where cond — rewrite to the base
+        # aggregate over if(cond, arg, NULL) in CH space and reprocess, so
+        # the base function's own translation machinery applies. Explicitly
+        # mapped combinators (sumIf, countIf, …) keep their entries.
+        if (
+            t.endswith("If")
+            and len(t) > 2
+            and t not in ("multiIf", "nullIf")
+            and t not in NAME_MAP
+            and t not in TEMPLATES
+            and t not in ARITY_TEMPLATES
+            and len(args) >= 2
+            and (
+                t[:-2] in NAME_MAP
+                or t[:-2] in TEMPLATES
+                or (t[:-2] in ARITY_TEMPLATES and len(args) - 1 in ARITY_TEMPLATES[t[:-2]])
+            )
+        ):
+            base = t[:-2]
+            cond = list(args[-1])
+            new: list[str] = [base, "("]
+            for jj, a in enumerate(args[:-1]):
+                if jj:
+                    new.append(",")
+                new += ["if", "("] + cond + [","] + list(a) + [",", "null", ")"]
+            new.append(")")
+            tokens = tokens[:i] + new + tokens[close + 1 :]
+            continue
+
         # bit-exact hash families: flatten tuple args, type integer literals
         # at ClickHouse literal width, fold elem/comb UDF calls
         # (FunctionsHashing.h FunctionAnyHash — see functions/chhash.py)

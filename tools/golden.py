@@ -261,7 +261,7 @@ def _split_top_level_commas(s: str) -> list[str]:
 
 
 _CREATE_HEAD_RE = re.compile(
-    r"^CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"([A-Za-z_][A-Za-z0-9_.]*)\s*\(",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1921,16 +1921,30 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     continue
                 cvm = re.match(
                     r"(?i)CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
-                    r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+AS\s+(.*)$",
+                    r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*"
+                    r"(?:\(([^()]*)\)\s*)?AS\s+(.*)$",
                     stmt.strip(), re.DOTALL,
                 )
+                if cvm and cvm.group(2) is not None:
+                    # view with an explicit column list: rename positionally
+                    # (ParserCreateViewQuery columns clause)
+                    vname = cvm.group(1).split(".")[-1]
+                    vnames = [
+                        re.match(r"\s*(`[^`]+`|[A-Za-z_]\w*)", c).group(1).strip("`")
+                        for c in _split_top_level_commas(cvm.group(2))
+                    ]
+                    df = spark.sql(translate(cvm.group(3))).toDF(*vnames)
+                    df.createOrReplaceTempView(vname)
+                    mem_tables[vname] = df
+                    created.append(vname)
+                    continue
                 if cvm:
                     vname = cvm.group(1).split(".")[-1]
                     # a SQL-text temp view stays live against later inserts
                     # into its base tables (unlike a captured DataFrame)
                     spark.sql(
                         f"CREATE OR REPLACE TEMPORARY VIEW {vname} AS "
-                        + translate(cvm.group(2))
+                        + translate(cvm.group(3))
                     )
                     created.append(vname)
                     continue
@@ -1943,15 +1957,47 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     continue
                 if up.startswith("CREATE"):
                     cas = re.match(
-                        r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-                        r"([A-Za-z_][A-Za-z0-9_.]*)\s*(?:ENGINE\s*=\s*\w+\s*)?"
-                        r"AS\s+(SELECT|WITH)\b(.*)$",
+                        r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+"
+                        r"(?:IF\s+NOT\s+EXISTS\s+)?"
+                        r"([A-Za-z_][A-Za-z0-9_.]*)\s*"
+                        # engine/order/partition tail before AS (ParserCreateQuery
+                        # puts the storage clause first in CREATE … AS SELECT)
+                        r"((?:ENGINE|ORDER|PARTITION|PRIMARY|SAMPLE|TTL|SETTINGS)\b.*?)?"
+                        r"\bAS\s*(\(\s*)?(SELECT|WITH)\b(.*)$",
                         stmt.strip(),
                         re.IGNORECASE | re.DOTALL,
                     )
                     if cas:  # CREATE TABLE … AS SELECT …
                         name = cas.group(1).split(".")[-1]
-                        df = spark.sql(translate(cas.group(2) + cas.group(3)))
+                        body = cas.group(4) + cas.group(5)
+                        if cas.group(3):
+                            # parenthesized body: `AS (SELECT …)` — strip the
+                            # balanced outer close
+                            body = body.rstrip()
+                            if body.endswith(")"):
+                                body = body[:-1]
+                        df = spark.sql(translate(body))
+                        df.createOrReplaceTempView(name)
+                        mem_tables[name] = df
+                        created.append(name)
+                        continue
+                    clone_fn = re.match(
+                        r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+"
+                        r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+AS\s+"
+                        r"((?:[A-Za-z_][\w.]*\s*\([^()]*\))|system\.\w+)\s*"
+                        r"(ENGINE\b.*)?$",
+                        stmt.strip(), re.IGNORECASE | re.DOTALL,
+                    )
+                    if clone_fn:
+                        # CREATE TABLE t AS numbers(1000) — the table IS the
+                        # function's rowset; with an ENGINE clause it clones
+                        # structure only (empty table)
+                        name = clone_fn.group(1).split(".")[-1]
+                        df = spark.sql(
+                            translate(f"SELECT * FROM {clone_fn.group(2)}")
+                        )
+                        if clone_fn.group(3):
+                            df = df.limit(0)
                         df.createOrReplaceTempView(name)
                         mem_tables[name] = df
                         created.append(name)
