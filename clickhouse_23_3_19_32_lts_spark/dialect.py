@@ -4330,6 +4330,7 @@ def translate(
     inline_aliases: bool = False,
     nullable_cols: "set[str] | None" = None,
     length_as_size: bool = False,
+    bool_ops: bool = False,
 ) -> str:
     """ClickHouse SQL → Spark SQL. Raises ChSqlError on constructs that need
     the library operators instead (INTERPOLATE, multi-column WITH FILL,
@@ -4354,7 +4355,11 @@ def translate(
     _NULLABLE_COLS = frozenset(c.lower() for c in (nullable_cols or ()))
     _LENGTH_AS_SIZE = length_as_size
     try:
-        return _wrap_case_conditions(_translate_impl(ch_sql))
+        res = _translate_impl(ch_sql)
+        if bool_ops:
+            # retry mode: numeric-truthiness operands under infix AND/OR/NOT
+            res = _wrap_logical_operands(res)
+        return _wrap_case_conditions(res)
     finally:
         _SAFE_SUBSCRIPT = prev
         _INLINE_SELECT_ALIASES = prev2
@@ -4533,6 +4538,128 @@ def _rewrite_datetime_arith(s: str) -> str:
             break
         if not changed:
             return s
+    return s
+
+
+_LOGIC_BOUND = {
+    "then", "else", "when", "end", "from", "where", "prewhere", "group",
+    "order", "having", "limit", "union", "intersect", "except", "settings",
+    "select", "on", "asc", "desc", "by", "window", "as", "join", "inner",
+    "left", "right", "full", "cross", "using",
+}
+
+
+def _wrap_logical_operands(s: str) -> str:
+    """Retry mode: wrap every operand of infix AND/OR/NOT in
+    CAST(… AS BOOLEAN). ClickHouse logical operators take numeric
+    truthiness (FunctionsLogical.cpp: nonzero = true, NULL propagates);
+    Spark's demand genuine booleans and reject `flag_col AND 1`. Spark's
+    numeric→boolean CAST has exactly the nonzero-is-true rule, and the
+    cast is a no-op on already-boolean operands. BETWEEN-owned ANDs and
+    NOT IN/LIKE/BETWEEN/EXISTS forms are left alone."""
+    toks: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for tm in _TOKEN_RE.finditer(s):
+        if not tm.group(0).strip():
+            continue
+        toks.append(tm.group(0))
+        starts.append(tm.start())
+        ends.append(tm.end())
+    n = len(toks)
+    depth = [0] * n
+    d = 0
+    for k, t in enumerate(toks):
+        if t in ("(", "["):
+            d += 1
+            depth[k] = d
+        elif t in (")", "]"):
+            depth[k] = d
+            d -= 1
+        else:
+            depth[k] = d
+    # mark BETWEEN-owned ANDs (the closing AND sits at the BETWEEN's depth)
+    between_owned = set()
+    pending: dict[int, int] = {}
+    for k, t in enumerate(toks):
+        tl = t.lower()
+        if tl == "between":
+            pending[depth[k]] = pending.get(depth[k], 0) + 1
+        elif tl == "and" and pending.get(depth[k], 0):
+            between_owned.add(k)
+            pending[depth[k]] -= 1
+
+    def _operand_right(k: int) -> tuple[int, int]:
+        dk = depth[k]
+        j = k + 1
+        while j < n:
+            t = toks[j]
+            if t in ("(", "["):
+                j += 1
+                continue
+            if t in (")", "]"):
+                if depth[j] == dk:
+                    break
+                j += 1
+                continue
+            if depth[j] == dk:
+                tl = t.lower()
+                if (tl in ("and", "or") and j not in between_owned) or (
+                    tl in _LOGIC_BOUND or t == ","
+                ):
+                    break
+            j += 1
+        return k + 1, j
+
+    def _operand_left(k: int) -> tuple[int, int]:
+        dk = depth[k]
+        j = k - 1
+        while j >= 0:
+            t = toks[j]
+            if t in (")", "]"):
+                j -= 1
+                continue
+            if t in ("(", "["):
+                if depth[j] == dk:
+                    break
+                j -= 1
+                continue
+            if depth[j] == dk:
+                tl = t.lower()
+                if (tl in ("and", "or") and j not in between_owned) or (
+                    tl in _LOGIC_BOUND or t == ","
+                ):
+                    break
+            j -= 1
+        return j + 1, k
+
+    spans: set[tuple[int, int]] = set()
+    for k, t in enumerate(toks):
+        tl = t.lower()
+        if tl in ("and", "or") and k not in between_owned:
+            spans.add(_operand_left(k))
+            spans.add(_operand_right(k))
+        elif tl == "not":
+            # skip IS NOT NULL / NOT IN / NOT LIKE / NOT BETWEEN / NOT EXISTS
+            prev = next((p for p in range(k - 1, -1, -1) if toks[p].strip()), None)
+            if prev is not None and toks[prev].lower() == "is":
+                continue
+            nxt = next((p for p in range(k + 1, n) if toks[p].strip()), None)
+            if nxt is not None and toks[nxt].lower() in (
+                "in", "like", "ilike", "between", "exists", "rlike", "regexp",
+            ):
+                continue
+            spans.add(_operand_right(k))
+    inserts: list[tuple[int, int, str]] = []
+    for a, b in spans:
+        if a >= b:
+            continue
+        inserts.append((starts[a], 0, "CAST(("))
+        inserts.append((ends[b - 1], 1, ") AS BOOLEAN)"))
+    # descending position; at a shared offset the open is inserted first so
+    # the close of the preceding span ends up BEFORE the next span's open
+    for p, _prio, txt in sorted(inserts, key=lambda x: (-x[0], x[1])):
+        s = s[:p] + txt + s[p:]
     return s
 
 

@@ -2108,7 +2108,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 parsed = parse_fill_query(stmt)
 
                 def _build(safe: bool = False, inline: bool = False,
-                           length_size: bool = False):
+                           length_size: bool = False, boolw: bool = False):
                     if parsed is not None:
                         df = apply_fill(spark, parsed)
                     else:
@@ -2118,6 +2118,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                                 safe_subscript=safe,
                                 inline_aliases=inline,
                                 length_as_size=length_size,
+                                bool_ops=boolw,
                                 nullable_cols=set().union(
                                     *nullable_cols.values()
                                 )
@@ -2146,6 +2147,18 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         "`length`" in s or '"length(' in s
                     )
 
+                def _bool_err(ex) -> bool:
+                    # numeric truthiness under infix AND/OR/NOT — retry with
+                    # CAST(… AS BOOLEAN) operand wrapping
+                    s = str(ex)
+                    return (
+                        "BINARY_OP_DIFF_TYPES" in s
+                        or "BINARY_OP_WRONG_TYPE" in s
+                        or ('"BOOLEAN"' in s and "DATATYPE_MISMATCH" in s)
+                        or "INVALID_LAMBDA_FUNCTION_CALL" in s
+                        or "FILTER_EXPRESSION_NOT_BOOLEAN" in s
+                    ) and re.search(r"(?i)\b(AND|OR|NOT)\b", s) is not None
+
                 try:
                     res_df = _build()
                 except Exception as ex:  # noqa: BLE001
@@ -2161,6 +2174,8 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         res_df = _build(inline=True)
                     elif _length_err(ex):
                         res_df = _build(length_size=True)
+                    elif _bool_err(ex):
+                        res_df = _build(boolw=True)
                     else:
                         raise
                 if re.search(r"\bFORMAT\s+`?Null`?(\s|;|$)", stmt, re.IGNORECASE):
@@ -2183,6 +2198,8 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         res_df = _build(inline=True)
                     elif _length_err(ex):
                         res_df = _build(length_size=True)
+                    elif _bool_err(ex):
+                        res_df = _build(boolw=True)
                     else:
                         raise
                     rows = res_df.collect()
