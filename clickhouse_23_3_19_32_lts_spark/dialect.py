@@ -204,6 +204,7 @@ TEMPLATES: dict[str, str] = {
     "toYYYYMM": "(year({0}) * 100 + month({0}))",
     "toYYYYMMDD": "(year({0}) * 10000 + month({0}) * 100 + dayofmonth({0}))",
     "toDayOfWeek": "(((dayofweek({0}) + 5) % 7) + 1)",  # ISO: Mon=1..Sun=7
+    "DAYOFWEEK": "(((dayofweek({0}) + 5) % 7) + 1)",  # MySQL alias, same ISO rule
     "yesterday": "date_sub(current_date(), 1)",
     "plus": "({0} + {1})",
     "minus": "({0} - {1})",
@@ -460,6 +461,27 @@ ARITY_TEMPLATES: dict[str, dict[int, str]] = {
            " octet_length(substring({0}, 1, locate({1}, {0}) - 1)) + 1 END)",
         3: "locate({1}, {0}, {2})",
     },
+    # negative size = all but the last |size| characters
+    # (GatherUtils sliceDynamicOffsetBounded); negative offset counts from
+    # the end. Spark's substring returns '' for negative length.
+    "substring": {
+        3: "(CASE WHEN ({2}) >= 0 THEN substring({0}, {1}, {2})"
+           " ELSE substring({0}, {1}, greatest(0, length({0})"
+           " - (CASE WHEN ({1}) < 0 THEN length({0}) + ({1}) + 1 ELSE ({1}) END)"
+           " + 1 + ({2}))) END)",
+    },
+    "substr": {
+        3: "(CASE WHEN ({2}) >= 0 THEN substring({0}, {1}, {2})"
+           " ELSE substring({0}, {1}, greatest(0, length({0})"
+           " - (CASE WHEN ({1}) < 0 THEN length({0}) + ({1}) + 1 ELSE ({1}) END)"
+           " + 1 + ({2}))) END)",
+    },
+    "mid": {
+        3: "(CASE WHEN ({2}) >= 0 THEN substring({0}, {1}, {2})"
+           " ELSE substring({0}, {1}, greatest(0, length({0})"
+           " - (CASE WHEN ({1}) < 0 THEN length({0}) + ({1}) + 1 ELSE ({1}) END)"
+           " + 1 + ({2}))) END)",
+    },
     # splitByChar(sep, s[, max]): swap to Spark (str, regex[, limit]) and
     # regex-quote the separator (Spark split treats it as a regex; CH treats it
     # as a literal char — '\\Q…\\E' makes '|', '.' etc. safe).
@@ -535,6 +557,29 @@ _DATEDIFF_TEMPLATES = {
     "minute": "((unix_timestamp(date_trunc('minute', {2})) - unix_timestamp(date_trunc('minute', {1}))) div 60)",
     "second": "(unix_timestamp({2}) - unix_timestamp({1}))",
 }
+
+
+def _looks_predicate(s: str) -> bool:
+    """True when the expression's TOP level is a comparison/logical form —
+    i.e. it evaluates to a boolean in Spark but a UInt8 in ClickHouse."""
+    toks = _tokenize(s)
+    depth = 0
+    for k, t in enumerate(toks):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0:
+            if t in ("=", "==", "!=", "<>", "<", ">", "<=", ">="):
+                return True
+            tl = t.lower()
+            if tl in ("and", "or", "like", "ilike", "rlike", "between"):
+                return True
+            if tl == "is" and k + 1 < len(toks):
+                return True
+            if tl in ("in", "not") and k > 0:
+                return True
+    return False
 
 
 def _split_top_in(s: str) -> "tuple[str, str] | None":
@@ -649,6 +694,17 @@ def ch_type_to_spark(t: str) -> str:
     m = re.match(r"(Nullable|LowCardinality)\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
     if m:
         return ch_type_to_spark(m.group(2))
+    # SimpleAggregateFunction(fn, T) stores plain T values
+    # (DataTypeCustomSimpleAggregateFunction.cpp) — unwrap to T
+    m = re.match(r"SimpleAggregateFunction\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        parts = _split_type_commas(m.group(1))
+        if len(parts) >= 2:
+            return ch_type_to_spark(", ".join(parts[1:]) if len(parts) > 2 else parts[1])
+    # `T NULL` / `T NOT NULL` standard-SQL nullability suffixes
+    m = re.match(r"(.*?)\s+(?:NOT\s+)?NULL$", t, re.IGNORECASE | re.DOTALL)
+    if m and not re.search(r"[()]", t[m.end(1):]):
+        return ch_type_to_spark(m.group(1))
     m = re.match(r"Array\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
     if m:
         return f"ARRAY<{ch_type_to_spark(m.group(1))}>"
@@ -1729,6 +1785,42 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             out.append(f"CAST('{lit}' AS DOUBLE)")
             i += 1
             continue
+        if t == "{":
+            # Map literal {'k': v, ...} (ParserMapOfLiterals) → map(k, v, …)
+            d2 = 0
+            end_b = -1
+            for k in range(i + 1, len(tokens)):
+                if tokens[k] == "{":
+                    d2 += 1
+                elif tokens[k] == "}":
+                    if d2 == 0:
+                        end_b = k
+                        break
+                    d2 -= 1
+            if end_b > 0:
+                entries = _split_args(tokens[i + 1 : end_b])
+                pairs: list[str] = []
+                ok_map = True
+                for ent in entries:
+                    dd = 0
+                    cpos = -1
+                    for kk, tk in enumerate(ent):
+                        if tk in ("(", "[", "{"):
+                            dd += 1
+                        elif tk in (")", "]", "}"):
+                            dd -= 1
+                        elif tk == ":" and dd == 0:
+                            cpos = kk
+                            break
+                    if cpos < 0:
+                        ok_map = False
+                        break
+                    pairs.append(_rewrite(ent[:cpos], "val"))
+                    pairs.append(_rewrite(ent[cpos + 1:], "val"))
+                if ok_map:
+                    out.append(f"map({', '.join(pairs)})")
+                    i = end_b + 1
+                    continue
         if (
             t.lower() == "interval"
             and i + 1 < len(tokens)
@@ -2107,6 +2199,27 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             continue
 
         arg_sql = [_rewrite(a) for a in args]
+
+        if t == "if" and len(arg_sql) == 3 and arg_sql[0].strip().lower() in (
+            "0", "1", "true", "false",
+        ):
+            # literal-condition fold BEFORE resolution, like the reference's
+            # constant folding (`0 ? not_existing_column : 1` is legal —
+            # if.cpp executeForConstantCondition)
+            cond_true = arg_sql[0].strip().lower() in ("1", "true")
+            out.append(f"({arg_sql[1] if cond_true else arg_sql[2]})")
+            i = close + 1
+            continue
+
+        if (
+            t in ("sum", "avg", "sumCount", "min", "max")
+            and len(arg_sql) == 1
+            and _looks_predicate(arg_sql[0])
+        ):
+            # ClickHouse aggregates UInt8 predicates (`sum(x = 1)` counts
+            # matches); Spark rejects boolean aggregation args
+            arg_sql = [f"CAST(({arg_sql[0]}) AS INT)"]
+            args = [_tokenize(arg_sql[0])]
 
         if t == "uniqUpTo" and arg_sql:
             # AggregateFunctionUniqUpTo.h: threshold must fit in [0, 100]

@@ -30,6 +30,13 @@ def _fmt_float(f: float) -> str:
     if f == int(f) and abs(f) < 1e16:
         return str(int(f))
     s = repr(f)
+    # ClickHouse (double-conversion ToShortest, decimal_in_shortest_low=-6)
+    # prints fixed notation down to 1e-6; Python repr flips to exponential
+    # below 1e-4 — expand exponents -5/-6 back to fixed digits
+    em = re.match(r"(-?)(\d)(?:\.(\d+))?e-0?([56])$", s)
+    if em:
+        sign, lead, frac, exp = em.group(1), em.group(2), em.group(3) or "", int(em.group(4))
+        return f"{sign}0.{'0' * (exp - 1)}{lead}{frac}"
     s = s.replace("e+", "e")
     s = re.sub(r"e(-?)0(\d)", r"e\1\2", s)
     return s
@@ -323,7 +330,7 @@ def _translate_create(stmt: str) -> tuple[str, str]:
             # skip-index / projection / constraint declarations are storage
             # hints (MergeTreeIndices.h) — no bearing on query results here
             continue
-        dm = re.match(r"(?i)(?:DEFAULT|MATERIALIZED|ALIAS)\s+(.+)$", ctype.strip(), re.DOTALL)
+        dm = re.match(r"(?i)(?:DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL)\s+(.+)$", ctype.strip(), re.DOTALL)
         if dm:
             # typeless `x DEFAULT expr` (ParserCreateQuery: type optional when
             # a default exists) — infer the storage type from the literal
@@ -343,7 +350,7 @@ def _translate_create(stmt: str) -> tuple[str, str]:
         else:
             # drop column attributes after the type
             ctype = re.split(
-                r"\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\b", ctype, flags=re.IGNORECASE
+                r"\s+(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC|TTL|COMMENT)\b", ctype, flags=re.IGNORECASE
             )[0]
         if re.match(r"Nullable\s*\(", ctype.strip(), re.IGNORECASE):
             nullable.add(cname.strip("`").lower())
@@ -391,14 +398,14 @@ def _parse_create_meta(stmt: str):
             continue
         rest = cm.group(2).strip()
         dm = re.search(
-            r"(?i)\b(DEFAULT|MATERIALIZED|ALIAS)\s+(.+?)"
+            r"(?i)\b(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL)\s+(.+?)"
             r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
             rest, re.DOTALL,
         )
         if dm:
             defaults[cname] = (dm.group(1).upper(), dm.group(2).strip())
         ctype = re.split(
-            r"(?:^|\s+)(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\b",
+            r"(?:^|\s+)(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC|TTL|COMMENT)\b",
             rest, flags=re.IGNORECASE,
         )[0].strip()
         if not ctype and dm:
@@ -444,6 +451,13 @@ def _parse_create_meta(stmt: str):
             named = [a for a in args if not re.fullmatch(r"\d+", a)]
             if engine and engine.startswith(("Summing", "Replacing")) and len(named) > 1:
                 keys = [named[1]]  # (date, key, granularity) short form
+    part_expr = None
+    pm = re.search(
+        r"(?i)\bPARTITION\s+BY\s+(\(((?:[^()]|\([^()]*\))*)\)|[A-Za-z_]\w*(?:\(((?:[^()]|\([^()]*\))*)\))?)",
+        stmt,
+    )
+    if pm:
+        part_expr = pm.group(1).strip()
     version = None
     if engine and engine.startswith("Replacing") and eargs.strip():
         args = [a.strip() for a in _split_top_level_commas(eargs)]
@@ -451,7 +465,7 @@ def _parse_create_meta(stmt: str):
         # index granularity number — a trailing bare identifier is the ver
         if args and re.fullmatch(r"[A-Za-z_]\w*", args[-1]):
             version = args[-1]
-    return cols, defaults, engine, keys, version
+    return cols, defaults, engine, keys, version, part_expr
 
 
 def _describe_lines(
@@ -635,7 +649,7 @@ def _alter_nested(spark, df, schema_list, dotted, rest, after, drop):
     return df
 
 
-def _exec_alter(spark, stmt, mem_tables, ch_schemas, col_defaults) -> None:
+def _exec_alter(spark, stmt, mem_tables, ch_schemas, col_defaults, table_meta=None) -> None:
     """ALTER TABLE column DDL + mutations on the in-memory tables:
     ADD/DROP/MODIFY/RENAME/CLEAR/COMMENT COLUMN, UPDATE … WHERE, DELETE
     WHERE (InterpreterAlterQuery / MutationsInterpreter). Unsupported
@@ -686,11 +700,11 @@ def _exec_alter(spark, stmt, mem_tables, ch_schemas, col_defaults) -> None:
             if any(c == cname for c, _ in schema_list) or cname in df.columns:
                 continue  # IF NOT EXISTS semantics; CH errors without it
             dm = re.search(
-                r"(?i)\b(DEFAULT|MATERIALIZED|ALIAS)\s+(.+?)"
+                r"(?i)\b(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL)\s+(.+?)"
                 r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
                 rest, re.DOTALL,
             )
-            ctype = re.split(r"(?i)\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\b",
+            ctype = re.split(r"(?i)\s+(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC|TTL|COMMENT)\b",
                              rest)[0].strip()
             dflt = dm.group(2).strip() if dm else None
             if dflt is not None:
@@ -804,6 +818,70 @@ def _exec_alter(spark, stmt, mem_tables, ch_schemas, col_defaults) -> None:
         elif au.startswith("DELETE WHERE"):
             cond = _expr_sql(a[len("DELETE WHERE"):].strip())
             df = df.where(f"NOT coalesce(CAST(({cond}) AS BOOLEAN), false)")
+        elif re.match(
+            r"(?i)(ADD|DROP|CLEAR|MATERIALIZE)\s+(INDEX|PROJECTION)\b", a
+        ) or au.startswith((
+            "FREEZE", "UNFREEZE", "MODIFY SETTING", "RESET SETTING",
+            "MATERIALIZE COLUMN", "MODIFY TTL", "MATERIALIZE TTL",
+            "REMOVE TTL", "MODIFY ORDER BY", "MODIFY SAMPLE BY",
+        )):
+            # storage-layer hints (skip indexes, projections, TTL schedules,
+            # merge settings — InterpreterAlterQuery): no row-visible effect
+            # in this engine, where every read scans current rows
+            continue
+        elif au.startswith("MOVE PARTITION") and " TO TABLE " in au:
+            mm2 = re.match(
+                r"(?i)MOVE\s+PARTITION\s+(?:ID\s+)?(.+?)\s+TO\s+TABLE\s+"
+                r"([A-Za-z_][\w.]*)\s*$", a, re.DOTALL,
+            )
+            if not mm2:
+                raise ChSqlError(f"unparsed MOVE PARTITION: {a[:60]}")
+            dest = mm2.group(2).split(".")[-1]
+            lit = mm2.group(1).strip()
+            part_expr = (table_meta or {}).get(tname, (None, [], None, None))
+            part_expr = part_expr[3] if len(part_expr) > 3 else None
+            if part_expr is None:
+                cond = "true"
+            else:
+                pe = part_expr.strip()
+                if pe.startswith("(") and pe.endswith(")") and "," not in pe:
+                    pe = pe[1:-1]
+                pes = _expr_sql(pe)
+                cond = (
+                    f"CAST(({pes}) AS STRING) = CAST(({_expr_sql(lit)}) AS STRING)"
+                )
+            moved = df.where(f"coalesce(CAST(({cond}) AS BOOLEAN), false)")
+            dd = mem_tables.get(dest)
+            if dd is None:
+                raise ChSqlError(f"MOVE PARTITION: unknown table {dest}")
+            dd = dd.unionByName(moved.select(*dd.columns))
+            dd.createOrReplaceTempView(dest)
+            mem_tables[dest] = dd
+            df = df.where(f"NOT coalesce(CAST(({cond}) AS BOOLEAN), false)")
+        elif au.startswith(("DROP PARTITION", "DROP PART ")):
+            # delete rows whose partition key equals the literal
+            # (MergeTreeData::dropPartition); partition ids for simple keys
+            # are the key value itself
+            pm2 = re.match(r"(?i)DROP\s+(?:PARTITION|PART)\s+(?:ID\s+)?(.+)$", a, re.DOTALL)
+            part_expr = (table_meta or {}).get(tname, (None, [], None, None))
+            part_expr = part_expr[3] if len(part_expr) > 3 else None
+            lit = pm2.group(1).strip()
+            if part_expr is None or lit.lower() in ("tuple()", "()", "'all'"):
+                df = df.limit(0)
+            else:
+                pe = part_expr.strip()
+                if pe.startswith("(") and pe.endswith(")") and "," not in pe:
+                    pe = pe[1:-1]
+                # Date partition columns get YYYYMMDD partition ids
+                # (MergeTreePartition::getID) — match either rendering
+                pes = _expr_sql(pe)
+                cond = (
+                    f"CAST(({pes}) AS STRING) = CAST(({_expr_sql(lit)}) AS STRING)"
+                    f" OR (CAST(({pes}) AS DATE) IS NOT NULL AND"
+                    f" date_format(CAST(({pes}) AS DATE), 'yyyyMMdd')"
+                    f" = CAST(({_expr_sql(lit)}) AS STRING))"
+                )
+                df = df.where(f"NOT coalesce(CAST(({cond}) AS BOOLEAN), false)")
         else:
             raise ChSqlError(f"unsupported ALTER action: {a[:60]}")
     df.createOrReplaceTempView(tname)
@@ -1877,7 +1955,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         tname = om.group(1).split(".")[-1]
                         tail = om.group(2) or ""
                         df0 = mem_tables.get(tname)
-                        engine, keys, ver = table_meta.get(tname, (None, [], None))
+                        engine, keys, ver = table_meta.get(tname, (None, [], None, None))[:3]
                         if df0 is not None:
                             df1 = _optimize_final(
                                 spark, df0, engine, keys, ver,
@@ -1917,6 +1995,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 if up.startswith("ALTER TABLE"):
                     _exec_alter(
                         spark, stmt, mem_tables, ch_schemas, col_defaults,
+                        table_meta,
                     )
                     continue
                 cvm = re.match(
@@ -2069,7 +2148,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     if meta:
                         ch_schemas[name] = meta[0]
                         col_defaults[name] = meta[1]
-                        table_meta[name] = (meta[2], meta[3], meta[4])
+                        table_meta[name] = (meta[2], meta[3], meta[4], meta[5])
                     continue
                 if up.startswith("INSERT INTO"):
                     for buf, dst in table_alias.items():
@@ -2104,6 +2183,37 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                                 lambda mm: mm.group(1) + ", ".join(vis),
                                 stmt, count=1,
                             )
+
+                # merge('db', 'regex') table function (StorageMerge /
+                # TableFunctionMerge.cpp): union of the created tables whose
+                # name matches; the _table virtual column is added only when
+                # the statement references it (SELECT * must not show it)
+                if re.search(r"(?i)\bFROM\s+merge\s*\(", stmt):
+                    want_vt = re.search(r"\b_table\b", stmt) is not None
+
+                    def _merge_rep(mm):
+                        parts = [
+                            a.strip().strip("'").replace("\\\\", "\\")
+                            for a in _split_top_level_commas(mm.group(2))
+                        ]
+                        rx = re.compile(parts[-1])
+                        names = sorted(t for t in mem_tables if rx.search(t))
+                        if not names:
+                            raise ChSqlError("merge(): no matching tables")
+                        sel = " UNION ALL ".join(
+                            f"SELECT * FROM {t}"
+                            # a real column named _table shadows the virtual
+                            # one (StorageMerge virtual-column resolution)
+                            if not want_vt or "_table" in mem_tables[t].columns
+                            else f"SELECT *, '{t}' AS _table FROM {t}"
+                            for t in names
+                        )
+                        return f"{mm.group(1)}({sel}) __merged"
+
+                    stmt = re.sub(
+                        r"(?is)\b(FROM\s+)merge\s*\(((?:[^()]|\([^()]*\))*)\)",
+                        _merge_rep, stmt,
+                    )
 
                 parsed = parse_fill_query(stmt)
 
@@ -2157,7 +2267,8 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         or ('"BOOLEAN"' in s and "DATATYPE_MISMATCH" in s)
                         or "INVALID_LAMBDA_FUNCTION_CALL" in s
                         or "FILTER_EXPRESSION_NOT_BOOLEAN" in s
-                    ) and re.search(r"(?i)\b(AND|OR|NOT)\b", s) is not None
+                        or ("UNEXPECTED_INPUT_TYPE" in s and '"(NOT ' in s)
+                    ) and re.search(r"\b(AND|OR|NOT)\b", s) is not None
 
                 try:
                     res_df = _build()
