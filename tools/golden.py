@@ -17,6 +17,7 @@ import re
 
 from clickhouse_23_3_19_32_lts_spark.dialect import (
     ChSqlError,
+    _blank_strings as _blank,
     ch_type_to_spark,
     translate,
 )
@@ -889,8 +890,11 @@ def _exec_alter(spark, stmt, mem_tables, ch_schemas, col_defaults, table_meta=No
 
 
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?:[A-Za-z_][A-Za-z0-9_]*\.)?([A-Za-z_][A-Za-z0-9_]*)"
-    r"\s*(\((?:[^()]|\([^()]*\))*\))?\s*(?:FORMAT\s+Values\s*)?(VALUES|SELECT|WITH)\b(.*)$",
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+(?!FUNCTION))?"
+    r"(?:[A-Za-z_][A-Za-z0-9_]*\.)?`?([A-Za-z_][A-Za-z0-9_]*)`?"
+    r"\s*(\((?:[^()]|\([^()]*\))*\))?\s*"
+    r"(?:SETTINGS\s+(?:[^'\s,]+\s*=\s*(?:'[^']*'|\S+)\s*,?\s*)+)?"
+    r"(?:FORMAT\s+Values\s*)?(VALUES|SELECT|WITH)\b(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -2270,6 +2274,50 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         or ("UNEXPECTED_INPUT_TYPE" in s and '"(NOT ' in s)
                     ) and re.search(r"\b(AND|OR|NOT)\b", s) is not None
 
+                def _ambig_fix(src: str, ex) -> str | None:
+                    # ClickHouse binds an ambiguous unqualified column to
+                    # the first (left) table (IdentifierSemantic); qualify
+                    # it with Spark's first candidate and retry
+                    am = re.search(
+                        r"Reference `([^`]+)` is ambiguous, could be: "
+                        r"\[`([^`]+)`\.`([^`]+)`", str(ex),
+                    )
+                    if not am or am.group(1) != am.group(3):
+                        return None
+                    name, qual = am.group(1), am.group(2)
+                    if qual.startswith("__"):
+                        return None
+                    blank0 = _blank(src)
+                    out_s = []
+                    last = 0
+                    for om in re.finditer(
+                        rf"(?<![\w.`])({re.escape(name)})(?![\w(`])", blank0
+                    ):
+                        head = blank0[:om.start()].rstrip()
+                        if re.search(r"(?i)\bAS$", head):
+                            continue  # alias definition, not a reference
+                        out_s.append(src[last:om.start()])
+                        out_s.append(f"{qual}.{name}")
+                        last = om.end()
+                    out_s.append(src[last:])
+                    fixed0 = "".join(out_s)
+                    return fixed0 if fixed0 != src else None
+
+                def _build_ambig(ex):
+                    cur = stmt
+                    for _ in range(4):
+                        cur2 = _ambig_fix(cur, ex)
+                        if cur2 is None:
+                            raise ex
+                        cur = cur2
+                        try:
+                            return spark.sql(translate(cur))
+                        except Exception as ex2:  # noqa: BLE001
+                            if "AMBIGUOUS_REFERENCE" not in str(ex2):
+                                raise
+                            ex = ex2
+                    raise ex
+
                 try:
                     res_df = _build()
                 except Exception as ex:  # noqa: BLE001
@@ -2287,6 +2335,8 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         res_df = _build(length_size=True)
                     elif _bool_err(ex):
                         res_df = _build(boolw=True)
+                    elif "AMBIGUOUS_REFERENCE" in str(ex):
+                        res_df = _build_ambig(ex)
                     else:
                         raise
                 if re.search(r"\bFORMAT\s+`?Null`?(\s|;|$)", stmt, re.IGNORECASE):
