@@ -564,15 +564,24 @@ def _looks_predicate(s: str) -> bool:
     i.e. it evaluates to a boolean in Spark but a UInt8 in ClickHouse."""
     toks = _tokenize(s)
     depth = 0
+    case_d = 0
     for k, t in enumerate(toks):
         if t in ("(", "["):
             depth += 1
         elif t in (")", "]"):
             depth -= 1
         elif depth == 0:
+            tl = t.lower()
+            if tl == "case":
+                case_d += 1
+                continue
+            if tl == "end" and case_d:
+                case_d -= 1
+                continue
+            if case_d:
+                continue  # comparisons inside CASE…END belong to WHEN
             if t in ("=", "==", "!=", "<>", "<", ">", "<=", ">="):
                 return True
-            tl = t.lower()
             if tl in ("and", "or", "like", "ilike", "rlike", "between"):
                 return True
             if tl == "is" and k + 1 < len(toks):
@@ -3398,6 +3407,50 @@ _TOTALS_RE = re.compile(r"\bGROUP\s+BY\s+(.+?)\s+WITH\s+TOTALS\b", re.IGNORECASE
 
 
 def _rewrite_totals_clause(s: str) -> str:
+    if _TOTALS_MARKER:
+        m = _TOTALS_RE.search(s)
+        if m is not None:
+            blank = _blank_strings(s)
+            d = blank[:m.start()].count("(") - blank[:m.start()].count(")")
+            if d == 0:
+                # tag the totals row so the runner can split it out and
+                # render it after the blank separator line
+                fpos = None
+                for fm in re.finditer(r"(?i)\bFROM\b", blank[:m.start()]):
+                    dd = blank[:fm.start()].count("(") - blank[:fm.start()].count(")")
+                    if dd == 0:
+                        fpos = fm.start()
+                if fpos is not None:
+                    s = (
+                        s[:fpos]
+                        + ", grouping_id() AS __ch_totals "
+                        + s[fpos:]
+                    )
+                    # default totals_mode = before_having (Settings.h):
+                    # HAVING must not filter the totals row
+                    blank = _blank_strings(s)
+                    hm = re.search(r"(?i)\bHAVING\b", blank)
+                    if hm is not None and (
+                        blank[:hm.start()].count("(")
+                        == blank[:hm.start()].count(")")
+                    ):
+                        hend = len(s)
+                        for em in re.finditer(
+                            r"(?i)\b(ORDER\s+BY|LIMIT|SETTINGS|FORMAT|UNION|WINDOW)\b",
+                            blank[hm.end():],
+                        ):
+                            if (
+                                blank[:hm.end() + em.start()].count("(")
+                                == blank[:hm.end() + em.start()].count(")")
+                            ):
+                                hend = hm.end() + em.start()
+                                break
+                        cond = s[hm.end():hend].strip()
+                        s = (
+                            s[:hm.start()]
+                            + f"HAVING (({cond}) OR grouping_id() <> 0) "
+                            + s[hend:]
+                        )
     return _TOTALS_RE.sub(lambda m: f"GROUP BY GROUPING SETS (({m.group(1)}), ())", s)
 
 
@@ -4435,6 +4488,10 @@ _NULLABLE_COLS: frozenset = frozenset()
 # retry mode: render 1-arg length()/empty()/notEmpty() with size() — CH
 # length() is polymorphic over arrays; Spark's is string/binary-only
 _LENGTH_AS_SIZE = False
+# runner mode: tag the WITH TOTALS row with a grouping_id() marker column
+# so output formatting can split it out (TotalsHavingTransform renders the
+# totals row after a blank separator)
+_TOTALS_MARKER = False
 
 
 def translate(
@@ -4444,6 +4501,7 @@ def translate(
     nullable_cols: "set[str] | None" = None,
     length_as_size: bool = False,
     bool_ops: bool = False,
+    totals_marker: bool = False,
 ) -> str:
     """ClickHouse SQL → Spark SQL. Raises ChSqlError on constructs that need
     the library operators instead (INTERPOLATE, multi-column WITH FILL,
@@ -4460,13 +4518,15 @@ def translate(
     (avg/median NaN) are skipped when the argument references one, since
     ClickHouse returns NULL, not NaN, for Nullable empty sets."""
     global _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
-    global _LENGTH_AS_SIZE
+    global _LENGTH_AS_SIZE, _TOTALS_MARKER
     prev, prev2, prev3 = _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
     prev4 = _LENGTH_AS_SIZE
+    prev5 = _TOTALS_MARKER
     _SAFE_SUBSCRIPT = safe_subscript
     _INLINE_SELECT_ALIASES = inline_aliases
     _NULLABLE_COLS = frozenset(c.lower() for c in (nullable_cols or ()))
     _LENGTH_AS_SIZE = length_as_size
+    _TOTALS_MARKER = totals_marker
     try:
         res = _translate_impl(ch_sql)
         if bool_ops:
@@ -4478,6 +4538,7 @@ def translate(
         _INLINE_SELECT_ALIASES = prev2
         _NULLABLE_COLS = prev3
         _LENGTH_AS_SIZE = prev4
+        _TOTALS_MARKER = prev5
 
 
 def _check_alias_expansion_budget(s: str) -> None:

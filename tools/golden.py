@@ -43,6 +43,30 @@ def _fmt_float(f: float) -> str:
     return s
 
 
+def _spark_type_default(dt):
+    """Type-default value for a totals-row key column (ClickHouse renders
+    the totals keys as defaults, not NULL — TotalsHavingTransform)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return 0
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return 0.0
+    if isinstance(dt, T.BooleanType):
+        return False
+    if isinstance(dt, T.StringType):
+        return ""
+    if isinstance(dt, T.DateType):
+        return _dt.date(1970, 1, 1)
+    if isinstance(dt, T.TimestampType):
+        return _dt.datetime(1970, 1, 1)
+    if isinstance(dt, T.ArrayType):
+        return []
+    if isinstance(dt, T.MapType):
+        return {}
+    return ""
+
+
 def _fmt_nested(v) -> str:
     import decimal
 
@@ -2221,6 +2245,17 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
 
                 parsed = parse_fill_query(stmt)
 
+                # WITH TOTALS (TotalsHavingTransform): tag the totals row in
+                # the same aggregation pass and split it out at render time
+                # (data rows, blank separator, totals row with type-default
+                # keys). Only for the default TSV output path.
+                fmt0 = re.search(r"\bFORMAT\s+([A-Za-z]+)\s*$", stmt, re.IGNORECASE)
+                want_totals = bool(
+                    re.search(r"(?i)\bWITH\s+TOTALS\b", stmt)
+                    and parsed is None
+                    and (fmt0 is None or fmt0.group(1).lower() in ("tabseparated", "tsv"))
+                )
+
                 def _build(safe: bool = False, inline: bool = False,
                            length_size: bool = False, boolw: bool = False):
                     if parsed is not None:
@@ -2233,6 +2268,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                                 inline_aliases=inline,
                                 length_as_size=length_size,
                                 bool_ops=boolw,
+                                totals_marker=want_totals,
                                 nullable_cols=set().union(
                                     *nullable_cols.values()
                                 )
@@ -2417,15 +2453,56 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 # multi-line / headered formats compare strictly in order
                 blocks.append((lines, False))
             else:
-                blocks.append(
-                    (
-                        [
-                            "\t".join(_fmt_cell(j, v) for j, v in enumerate(r))
-                            for r in rows
-                        ],
-                        "ORDER BY" not in up,
-                    )
+                flds = res_df.schema.fields
+                tot_idx = (
+                    len(flds) - 1
+                    if flds and flds[-1].name == "__ch_totals"
+                    else None
                 )
+                if tot_idx is not None:
+                    data_rows = [r for r in rows if not r[tot_idx]]
+                    tot_rows = [r for r in rows if r[tot_idx]]
+
+                    def _fmt_tot(j, v):
+                        if v is None:
+                            v = _spark_type_default(flds[j].dataType)
+                        return _fmt_cell(j, v)
+
+                    blocks.append(
+                        (
+                            [
+                                "\t".join(
+                                    _fmt_cell(j, v)
+                                    for j, v in enumerate(r[:tot_idx])
+                                )
+                                for r in data_rows
+                            ],
+                            "ORDER BY" not in up,
+                        )
+                    )
+                    blocks.append(
+                        (
+                            [""]
+                            + [
+                                "\t".join(
+                                    _fmt_tot(j, v)
+                                    for j, v in enumerate(r[:tot_idx])
+                                )
+                                for r in tot_rows
+                            ],
+                            False,
+                        )
+                    )
+                else:
+                    blocks.append(
+                        (
+                            [
+                                "\t".join(_fmt_cell(j, v) for j, v in enumerate(r))
+                                for r in rows
+                            ],
+                            "ORDER BY" not in up,
+                        )
+                    )
     finally:
         spark.conf.set("spark.sql.storeAssignmentPolicy", prev_policy)
         for name in created:
