@@ -3451,7 +3451,19 @@ def _rewrite_totals_clause(s: str) -> str:
                             + f"HAVING (({cond}) OR grouping_id() <> 0) "
                             + s[hend:]
                         )
-    return _TOTALS_RE.sub(lambda m: f"GROUP BY GROUPING SETS (({m.group(1)}), ())", s)
+    # a subquery's totals row never reaches the outer query's data stream
+    # (TotalsHavingTransform emits it as a separate block): WITH TOTALS at
+    # depth > 0 degrades to a plain GROUP BY; only the outermost one grows
+    # the GROUPING SETS () row
+    blank = _blank_strings(s)
+
+    def _sub(m: re.Match) -> str:
+        d = blank[:m.start()].count("(") - blank[:m.start()].count(")")
+        if d > 0:
+            return f"GROUP BY {m.group(1)}"
+        return f"GROUP BY GROUPING SETS (({m.group(1)}), ())"
+
+    return _TOTALS_RE.sub(_sub, s)
 
 
 # --- LIMIT [off,] n BY keys → row_number window ------------------------------

@@ -360,7 +360,7 @@ def studentTTest(value, group) -> Column:
     s1 = F.sum(F.when(g == 1, v * v)) / n1 - m1 * m1
     sp2 = (n0 * s0 + n1 * s1) / (n0 + n1 - 2)
     t = (m0 - m1) / F.sqrt(sp2 * (1.0 / n0 + 1.0 / n1))
-    return F.struct(t.alias("t_stat"), _normal_sf(t).alias("p_value"))
+    return F.struct(t.alias("_1"), _normal_sf(t).alias("_2"))
 
 
 @chfn("meanZTest")
@@ -372,7 +372,7 @@ def meanZTest(value, group, var0: float = 1.0, var1: float = 1.0) -> Column:
     m0 = F.sum(F.when(g == 0, v)) / n0
     m1 = F.sum(F.when(g == 1, v)) / n1
     z = (m0 - m1) / F.sqrt(F.lit(var0) / n0 + F.lit(var1) / n1)
-    return F.struct(z.alias("z_stat"), _normal_sf(z).alias("p_value"))
+    return F.struct(z.alias("_1"), _normal_sf(z).alias("_2"))
 
 
 # --- rendering / scoring aggregates -----------------------------------------

@@ -367,7 +367,7 @@ def welchTTest(value, group) -> Column:
     s0 = (F.sum(F.when(g == 0, v * v)) / n0 - m0 * m0) * n0 / (n0 - 1)
     s1 = (F.sum(F.when(g == 1, v * v)) / n1 - m1 * m1) * n1 / (n1 - 1)
     t = (m0 - m1) / F.sqrt(s0 / n0 + s1 / n1)
-    return F.struct(t.alias("t_stat"), _normal_sf2(t).alias("p_value"))
+    return F.struct(t.alias("_1"), _normal_sf2(t).alias("_2"))
 
 
 @chfn("mannWhitneyUTest")
@@ -396,7 +396,7 @@ def mannWhitneyUTest(value, group) -> Column:
     mu = n0 * n1 / 2
     sigma = F.sqrt(n0 * n1 * (n + 1) / 12)
     z = (u1 - mu) / sigma
-    return F.struct(u1.alias("u_stat"), _normal_sf2(z).alias("p_value"))
+    return F.struct(u1.alias("_1"), _normal_sf2(z).alias("_2"))
 
 
 @chfn("simpleLinearRegression")
@@ -536,7 +536,7 @@ def proportionsZTest(s1, s2, n1, n2) -> Column:
     p1, p2 = x1 / m1, x2 / m2
     pp = (x1 + x2) / (m1 + m2)
     z = (p1 - p2) / F.sqrt(pp * (1 - pp) * (1 / m1 + 1 / m2))
-    return F.struct(z.alias("z_stat"), _normal_sf2(z).alias("p_value"))
+    return F.struct(z.alias("_1"), _normal_sf2(z).alias("_2"))
 
 
 @chfn("entropy")

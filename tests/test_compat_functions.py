@@ -99,8 +99,8 @@ def test_student_t_and_z(spark):
     df = spark.createDataFrame(rows, "v double, tag int")
     t = df.agg(CH.studentTTest("v", "tag").alias("t")).first()["t"]
     z = df.agg(CH.meanZTest("v", "tag").alias("z")).first()["z"]
-    assert t["t_stat"] < -5 and t["p_value"] < 1e-6  # clearly separated means
-    assert z["z_stat"] < -5 and z["p_value"] < 1e-6
+    assert t["_1"] < -5 and t["_2"] < 1e-6  # clearly separated means
+    assert z["_1"] < -5 and z["_2"] < 1e-6
 
 
 def test_sparkbar(spark):

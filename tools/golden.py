@@ -43,6 +43,292 @@ def _fmt_float(f: float) -> str:
     return s
 
 
+_CH_INT_TYPES = {
+    "Int8", "Int16", "Int32", "Int64", "Int128", "Int256",
+    "UInt8", "UInt16", "UInt32", "UInt64", "UInt128", "UInt256",
+    "Float32", "Float64", "String", "Date", "Date32", "DateTime",
+    "UUID", "IPv4", "IPv6", "Bool",
+}
+
+
+def _spark_to_ch_type(dt) -> str:
+    """Best-effort Spark type → ClickHouse type name (meta fallback)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "Int64"
+    if isinstance(dt, T.IntegerType):
+        return "Int32"
+    if isinstance(dt, T.ShortType):
+        return "Int16"
+    if isinstance(dt, T.ByteType):
+        return "Int8"
+    if isinstance(dt, T.DoubleType):
+        return "Float64"
+    if isinstance(dt, T.FloatType):
+        return "Float32"
+    if isinstance(dt, T.BooleanType):
+        return "UInt8"
+    if isinstance(dt, T.DateType):
+        return "Date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "DateTime"
+    if isinstance(dt, T.DecimalType):
+        return f"Decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"Array({_spark_to_ch_type(dt.elementType)})"
+    if isinstance(dt, T.MapType):
+        return (
+            f"Map({_spark_to_ch_type(dt.keyType)},"
+            f" {_spark_to_ch_type(dt.valueType)})"
+        )
+    if isinstance(dt, T.StructType):
+        return "Tuple(" + ", ".join(
+            _spark_to_ch_type(f.dataType) for f in dt.fields
+        ) + ")"
+    return "String"
+
+
+def _ch_int_literal_type(n: int) -> str:
+    if n >= 0:
+        for t, lim in (("UInt8", 1 << 8), ("UInt16", 1 << 16), ("UInt32", 1 << 32)):
+            if n < lim:
+                return t
+        return "UInt64"
+    for t, lim in (("Int8", 1 << 7), ("Int16", 1 << 15), ("Int32", 1 << 31)):
+        if -n <= lim:
+            return t
+    return "Int64"
+
+
+def _ch_expr_type(e: str, cols: dict | None) -> "str | None":
+    """Heuristic ClickHouse type of a SELECT item (for FORMAT JSON meta).
+    Mirrors the reference's common-literal and to<T>() typing rules; None
+    when unknown (caller falls back to the Spark schema)."""
+    e = e.strip()
+    am = re.match(r"(?is)(.+?)\s+AS\s+`?[A-Za-z_]\w*`?\s*$", e)
+    if am:
+        e = am.group(1).strip()
+    while True:
+        mm = re.match(r"(?is)^materialize\s*\((.*)\)\s*$", e)
+        if not mm:
+            break
+        e = mm.group(1).strip()
+    tm = re.match(r"(?i)^to([A-Za-z]\w*?)(?:OrZero|OrNull)?\s*\(", e)
+    if tm and tm.group(1) in _CH_INT_TYPES:
+        return tm.group(1)
+    if re.match(r"(?i)^toDateTime64\s*\(", e):
+        sm = re.search(r",\s*(\d)\s*\)$", e)
+        return f"DateTime64({sm.group(1)})" if sm else "DateTime64(3)"
+    if re.match(r"(?i)^(count|uniq\w*|length|char_length|octet_length|rand64)\s*\(", e):
+        return "UInt64"
+    if re.match(r"(?i)^rand\s*\(", e):
+        return "UInt32"
+    if re.match(r"^-?\d+$", e):
+        return _ch_int_literal_type(int(e))
+    if re.match(r"^-?(\d+\.\d*|\.\d+|\d+[eE]-?\d+)", e):
+        return "Float64"
+    if re.match(r"^'(?:[^'\\]|\\.)*'$", e):
+        return "String"
+    cm = re.match(r"(?is)^CAST\s*\(.*,\s*'([^']+)'\s*\)$", e)
+    if cm:
+        return cm.group(1)
+    jm = re.match(r"(?is)^arrayJoin\s*\(\s*\[(.*)\]\s*\)$", e)
+    if jm:
+        elems = [x.strip() for x in jm.group(1).split(",") if x.strip()]
+        ets = [_ch_expr_type(x, cols) for x in elems]
+        if ets and all(t == ets[0] for t in ets) and ets[0]:
+            return ets[0]
+        if ets and all(t and t.startswith("UInt") for t in ets):
+            return max(ets, key=lambda t: int(t[4:]))
+        return None
+    lm = re.match(r"(?s)^\[(.*)\]$", e)
+    if lm:
+        elems = [x.strip() for x in _split_top_level_commas(lm.group(1)) if x.strip()]
+        ets = [_ch_expr_type(x, cols) for x in elems]
+        if ets and all(t for t in ets):
+            if all(t == ets[0] for t in ets):
+                return f"Array({ets[0]})"
+            if all(t.startswith("UInt") for t in ets):
+                return f"Array({max(ets, key=lambda t: int(t[4:]))})"
+        return None
+    pm = re.match(r"(?s)^\((.*)\)$", e)
+    if pm and "," in pm.group(1):
+        elems = [x.strip() for x in _split_top_level_commas(pm.group(1))]
+        ets = [_ch_expr_type(x, cols) for x in elems]
+        if all(t for t in ets):
+            return "Tuple(" + ", ".join(ets) + ")"
+        return None
+    if cols and re.match(r"^`?[A-Za-z_]\w*`?$", e):
+        return cols.get(e.strip("`"))
+    return None
+
+
+def _select_item_meta(stmt: str, fields, cols: dict | None):
+    """[(name, ch_type)] for FORMAT JSON meta: item alias (or raw item
+    text) + heuristic CH type, Spark-schema fallback."""
+    items: list[str] = []
+    sm = re.search(r"(?is)\bSELECT\s+(?:DISTINCT\s+)?(.*)$", stmt)
+    if sm:
+        body = sm.group(1)
+        blank = _blank(body)
+        end = len(body)
+        for fm in re.finditer(r"(?i)\bFROM\b|\bFORMAT\b|\bLIMIT\b|\bGROUP\b|\bORDER\b|\bSETTINGS\b|\bWHERE\b", blank):
+            d = blank[:fm.start()].count("(") - blank[:fm.start()].count(")")
+            if d == 0:
+                end = fm.start()
+                break
+        items = [x.strip() for x in _split_top_level_commas(body[:end]) if x.strip()]
+    meta = []
+    for j, f in enumerate(fields):
+        name = f.name
+        cht = None
+        if j < len(items) and len(items) == len(fields):
+            it = items[j]
+            am = re.search(r"(?is)\s+AS\s+`?([A-Za-z_]\w*)`?\s*$", it)
+            name = am.group(1) if am else re.sub(r"\s+", " ", it.strip())
+            cht = _ch_expr_type(it, cols)
+        meta.append((name, cht or _spark_to_ch_type(f.dataType)))
+    return meta
+
+
+def _json_scalar(v, dt, quote64: bool, esc: bool) -> str:
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    if v is None:
+        return "null"
+    if isinstance(dt, T.ArrayType) or isinstance(v, list):
+        et = dt.elementType if isinstance(dt, T.ArrayType) else None
+        return "[" + ",".join(_json_scalar(x, et, quote64, esc) for x in v) + "]"
+    if isinstance(dt, T.StructType) or hasattr(v, "__fields__") or isinstance(v, tuple):
+        ets = [f.dataType for f in dt.fields] if isinstance(dt, T.StructType) else [None] * len(v)
+        return "[" + ",".join(
+            _json_scalar(x, ets[j] if j < len(ets) else None, quote64, esc)
+            for j, x in enumerate(v)
+        ) + "]"
+    if isinstance(dt, T.MapType) or isinstance(v, dict):
+        vt = dt.valueType if isinstance(dt, T.MapType) else None
+        return "{" + ",".join(
+            f"{_json_scalar(str(k), None, False, esc)}:{_json_scalar(x, vt, quote64, esc)}"
+            for k, x in v.items()
+        ) + "}"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, int):
+        big = isinstance(dt, (T.LongType, T.DecimalType)) if dt is not None else (
+            abs(v) > (1 << 31)
+        )
+        return f'"{v}"' if big and quote64 else str(v)
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return "null"
+        return _fmt_float(v)
+    import decimal as _dec
+
+    if isinstance(v, _dec.Decimal):
+        s = str(int(v)) if v == v.to_integral_value() else _fmt_float(float(v))
+        return f'"{s}"' if quote64 else s
+    if isinstance(v, _dt.datetime):
+        return '"' + v.strftime("%Y-%m-%d %H:%M:%S") + '"'
+    if isinstance(v, _dt.date):
+        return '"' + v.isoformat() + '"'
+    s = _json.dumps(str(v), ensure_ascii=False)
+    if esc:
+        s = s.replace("/", "\\/")
+    return s
+
+
+def _render_json_doc(
+    kind, data_rows, totals_rows, schema, settings, ch_meta,
+    rows_before_limit=None, extremes=False,
+):
+    """FORMAT JSON / JSONCompact document (JSONRowOutputFormat.cpp /
+    JSONCompactRowOutputFormat.cpp), tab-indented like the reference."""
+    st = settings or {}
+    quote64 = str(st.get("output_format_json_quote_64bit_integers", "1")) != "0"
+    esc = str(st.get("output_format_json_escape_forward_slashes", "1")) != "0"
+    compact = kind == "jsoncompact"
+    flds = schema.fields
+    out = ["{", '\t"meta":', "\t["]
+    for j, (nm, tp) in enumerate(ch_meta):
+        out += ["\t\t{", f'\t\t\t"name": "{nm}",', f'\t\t\t"type": "{tp}"',
+                "\t\t}" + ("," if j < len(ch_meta) - 1 else "")]
+    out += ["\t],", "", '\t"data":', "\t["]
+
+    def _row_obj(r, indent):
+        t = "\t" * indent
+        lines = [t + "{"]
+        for j, v in enumerate(r):
+            sep = "," if j < len(r) - 1 else ""
+            lines.append(
+                f'{t}\t"{ch_meta[j][0]}": '
+                f"{_json_scalar(v, flds[j].dataType, quote64, esc)}{sep}"
+            )
+        lines.append(t + "}")
+        return lines
+
+    def _row_arr(r):
+        return "[" + ", ".join(
+            _json_scalar(v, flds[j].dataType, quote64, esc)
+            for j, v in enumerate(r)
+        ) + "]"
+
+    for i, r in enumerate(data_rows):
+        if compact:
+            out.append("\t\t" + _row_arr(r) + ("," if i < len(data_rows) - 1 else ""))
+        else:
+            rl = _row_obj(r, 2)
+            if i < len(data_rows) - 1:
+                rl[-1] += ","
+            out += rl
+    out.append("\t],")
+    if totals_rows:
+        tr = totals_rows[0]
+        out.append("")
+        if compact:
+            out.append(f'\t"totals": {_row_arr(tr)},')
+        else:
+            out.append('\t"totals":')
+            tl = _row_obj(tr, 1)
+            tl[0] = "\t{"
+            tl[-1] = "\t},"
+            out += tl
+    if extremes and data_rows:
+        mn, mx = [], []
+        for j in range(len(flds)):
+            vals = [r[j] for r in data_rows if r[j] is not None]
+            try:
+                mn.append(min(vals) if vals else None)
+                mx.append(max(vals) if vals else None)
+            except TypeError:
+                mn.append(vals[0] if vals else None)
+                mx.append(vals[-1] if vals else None)
+        out.append("")
+        out.append('\t"extremes":')
+        out.append("\t{")
+        if compact:
+            out.append(f'\t\t"min": {_row_arr(mn)},')
+            out.append(f'\t\t"max": {_row_arr(mx)}')
+        else:
+            out.append('\t\t"min":')
+            ml = _row_obj(mn, 2)
+            ml[-1] += ","
+            out += ml
+            out.append('\t\t"max":')
+            out += _row_obj(mx, 2)
+        out.append("\t},")
+    out.append("")
+    tail_comma = "," if rows_before_limit is not None else ""
+    out.append(f'\t"rows": {len(data_rows)}{tail_comma}')
+    if rows_before_limit is not None:
+        out.append("")
+        out.append(f'\t"rows_before_limit_at_least": {rows_before_limit}')
+    out.append("}")
+    return out
+
+
 def _spark_type_default(dt):
     """Type-default value for a totals-row key column (ClickHouse renders
     the totals keys as defaults, not NULL — TotalsHavingTransform)."""
@@ -1388,6 +1674,21 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
             ):
                 # flexible date parse ('2017/1/2' — readDateTextFallback)
                 c = F.expr(_DATE_NORM.format(f"`{src_cols[i]}`"))
+            elif isinstance(f.dataType, T.DateType) and isinstance(
+                src.schema[src_cols[i]].dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+            ):
+                # integer into Date = days since epoch (DataTypeDate is a
+                # UInt16 day number)
+                c = F.date_add(F.lit("1970-01-01").cast("date"), c.cast("int"))
+            elif isinstance(
+                f.dataType, (T.TimestampType, T.TimestampNTZType)
+            ) and isinstance(
+                src.schema[src_cols[i]].dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+            ):
+                # integer into DateTime = unix seconds
+                c = F.timestamp_seconds(c)
             emap = (enum_cols or {}).get(name, {}).get(f.name.lower())
             if emap:
                 # numeric values resolve to enum names (DataTypeEnum.cpp)
@@ -2253,7 +2554,11 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 want_totals = bool(
                     re.search(r"(?i)\bWITH\s+TOTALS\b", stmt)
                     and parsed is None
-                    and (fmt0 is None or fmt0.group(1).lower() in ("tabseparated", "tsv"))
+                    and (
+                        fmt0 is None
+                        or fmt0.group(1).lower()
+                        in ("tabseparated", "tsv", "json", "jsoncompact")
+                    )
                 )
 
                 def _build(safe: bool = False, inline: bool = False,
@@ -2445,10 +2750,82 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                             os.path.join(os.path.dirname(sql_path), tf)
                         ):
                             raise FileNotFoundError(f"{k}: {tf}")
-                lines = _render_output(
-                    fmt_m.group(1), rows, res_df.schema, _fmt_cell,
-                    stmt_settings,
-                )
+                if fmt_m.group(1).lower() in ("json", "jsoncompact"):
+                    from pyspark.sql import types as _T
+
+                    flds0 = res_df.schema.fields
+                    if flds0 and flds0[-1].name == "__ch_totals":
+                        tidx = len(flds0) - 1
+                        d_rows = [tuple(r)[:tidx] for r in rows if not r[tidx]]
+                        t_rows = [
+                            tuple(
+                                v if v is not None
+                                else _spark_type_default(flds0[j].dataType)
+                                for j, v in enumerate(tuple(r)[:tidx])
+                            )
+                            for r in rows if r[tidx]
+                        ]
+                        schema_j = _T.StructType(flds0[:tidx])
+                    else:
+                        d_rows = [tuple(r) for r in rows]
+                        t_rows = []
+                        schema_j = res_df.schema
+                    all_cols: dict = {}
+                    for _cols in ch_schemas.values():
+                        all_cols.update(dict(_cols))
+                    ch_meta = _select_item_meta(stmt, schema_j.fields, all_cols)
+                    rbl = None
+                    blank_s = _blank(stmt)
+                    top_lim = any(
+                        blank_s[:lm2.start()].count("(")
+                        == blank_s[:lm2.start()].count(")")
+                        for lm2 in re.finditer(r"(?i)\bLIMIT\s+\d+", blank_s)
+                    )
+                    if top_lim:
+                        try:
+                            stmt2 = re.sub(
+                                r"(?is)\bLIMIT\s+\d+(\s*,\s*\d+)?"
+                                r"(\s+OFFSET\s+\d+)?", " ", stmt,
+                            )
+                            rows2 = spark.sql(
+                                translate(stmt2, totals_marker=want_totals)
+                            ).collect()
+                            if want_totals and rows2 and len(rows2[0]) > len(schema_j.fields):
+                                rbl = sum(1 for r in rows2 if not r[-1])
+                            else:
+                                rbl = len(rows2)
+                        except Exception:  # noqa: BLE001 — omit the field
+                            rbl = None
+                    elif re.search(r"(?i)\bLIMIT\s+\d+", blank_s):
+                        # LIMIT only in a subquery: rows_before_limit counts
+                        # the rows reaching the outer pipeline — the
+                        # aggregation input (IProcessor rows_before_limit)
+                        try:
+                            fm2 = next(
+                                fm for fm in re.finditer(r"(?i)\bFROM\b", blank_s)
+                                if blank_s[:fm.start()].count("(")
+                                == blank_s[:fm.start()].count(")")
+                            )
+                            tail2 = stmt[fm2.start():]
+                            tail2 = re.sub(
+                                r"(?is)\b(GROUP\s+BY|ORDER\s+BY|SETTINGS|FORMAT)\b.*$",
+                                "", tail2,
+                            )
+                            rbl = spark.sql(
+                                translate(f"SELECT count(*) AS c {tail2}")
+                            ).collect()[0][0]
+                        except Exception:  # noqa: BLE001
+                            rbl = None
+                    lines = _render_json_doc(
+                        fmt_m.group(1).lower(), d_rows, t_rows, schema_j,
+                        stmt_settings, ch_meta, rbl,
+                        str(stmt_settings.get("extremes", "0")) == "1",
+                    )
+                else:
+                    lines = _render_output(
+                        fmt_m.group(1), rows, res_df.schema, _fmt_cell,
+                        stmt_settings,
+                    )
             if lines is not None:
                 # multi-line / headered formats compare strictly in order
                 blocks.append((lines, False))
