@@ -179,6 +179,11 @@ TEMPLATES: dict[str, str] = {
         " '^([0-9][0-9][0-9][0-9])-([0-9])-', '$1-0$2-'),"
         " '-([0-9])$', '-0$1')) END)"
     ),
+    "toDate32": (
+        "(CASE WHEN CAST({0} AS STRING) RLIKE '^-?[0-9]+$' THEN"
+        " date_add(DATE '1970-01-01', CAST(CAST({0} AS STRING) AS INT))"
+        " ELSE to_date(CAST({0} AS STRING)) END)"
+    ),
     "toDateTime": (
         "(CASE WHEN CAST({0} AS STRING) RLIKE '^[0-9]+$'"
         " THEN timestamp_seconds(CAST(CAST({0} AS STRING) AS BIGINT))"
@@ -189,7 +194,30 @@ TEMPLATES: dict[str, str] = {
         " THEN timestamp_seconds(CAST(CAST({0} AS STRING) AS DECIMAL(20,6)))"
         " ELSE to_timestamp(CAST({0} AS STRING)) END)"
     ),
+    # untuple(t) expands the tuple into one column per element
+    # (FunctionUntuple) — Spark's inline generator over a 1-element array
+    "untuple": "inline(array({0}))",
     "parseDateTimeBestEffort": "to_timestamp({0})",
+    "parseDateTimeBestEffortOrNull": "to_timestamp({0})",
+    "parseDateTimeBestEffortOrZero": (
+        "coalesce(to_timestamp({0}), timestamp_seconds(0))"
+    ),
+    "parseDateTime64BestEffort": "to_timestamp({0})",
+    "parseDateTime64BestEffortOrNull": "to_timestamp({0})",
+    "parseDateTime64BestEffortOrZero": (
+        "coalesce(to_timestamp({0}), timestamp_seconds(0))"
+    ),
+    # 64-bit sub-second unix conversions (FunctionsConversion.h
+    # fromUnixTimestamp64* / toUnixTimestamp64*)
+    "fromUnixTimestamp64Milli": "timestamp_millis(CAST({0} AS BIGINT))",
+    "fromUnixTimestamp64Micro": "timestamp_micros(CAST({0} AS BIGINT))",
+    "fromUnixTimestamp64Nano": "timestamp_micros(CAST(({0}) DIV 1000 AS BIGINT))",
+    "toUnixTimestamp64Milli": "(unix_micros({0}) DIV 1000)",
+    "toUnixTimestamp64Micro": "unix_micros({0})",
+    "toUnixTimestamp64Nano": "(unix_micros({0}) * 1000)",
+    # toTime: same time-of-day on the fixed date 1970-01-02
+    # (DateTimeTransforms.h ToTimeImpl)
+    "toTime": "timestamp_seconds(86400 + (unix_timestamp({0}) % 86400))",
     "toDecimal64": "CAST({0} AS DECIMAL(18, {1}))",
     "toDecimal128": "CAST({0} AS DECIMAL(38, {1}))",
     # toStartOfYear/Quarter/Month return Date whatever the input
@@ -303,7 +331,9 @@ TEMPLATES: dict[str, str] = {
     # all array elements of all rows
     "sumArray": "sum(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x))",
     "sumArrayIf": "sum(CASE WHEN {1} THEN aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) ELSE 0 END)",
-    "countArray": "sum(size({0}))",
+    # countArray counts NON-NULL elements (AggregateFunctionCount over
+    # exploded values); empty input sums to 0, not NULL
+    "countArray": "coalesce(sum(size(filter({0}, __x -> __x IS NOT NULL))), 0)",
     "minArray": "min(array_min({0}))",
     "maxArray": "max(array_max({0}))",
     "avgArray": "(sum(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)) / sum(size({0})))",
@@ -326,7 +356,6 @@ TEMPLATES: dict[str, str] = {
     "uniqExact": "count(DISTINCT {0})",
     "avgWeighted": "(sum({0} * {1}) / sum({1}))",
     # countIf counts non-zero (AggregateFunctionIf); CAST covers numeric args
-    "countIf": "count_if(CAST(({0}) AS BOOLEAN))",
     "sumIf": "sum(CASE WHEN {1} THEN {0} END)",
     "avgIf": "avg(CASE WHEN {1} THEN {0} END)",
     "minIf": "min(CASE WHEN {1} THEN {0} END)",
@@ -362,6 +391,13 @@ ARITY_TEMPLATES: dict[str, dict[int, str]] = {
     # zero-arg forms (count() short form extends to its -State alias;
     # ignore() with no args is legal and returns 0)
     "countState": {0: "count(*)", 1: "count({0})"},
+    # countIf counts rows where the condition holds; a NULL condition never
+    # holds, and counting a NULL value contributes 0 (AggregateFunctionIf +
+    # Count) — both forms return 0, never NULL
+    "countIf": {
+        1: "count_if(CAST(({0}) AS BOOLEAN))",
+        2: "count(CASE WHEN {1} THEN {0} END)",
+    },
     "ignore": {0: "0", 1: "(length(CAST({0} AS STRING)) * 0)"},
     # 2-arg arraySlice runs to the end; 1-arg arrayStringConcat joins with ''
     "arraySlice": {2: "slice({0}, {1}, size({0}))"},
@@ -490,7 +526,12 @@ ARITY_TEMPLATES: dict[str, dict[int, str]] = {
         3: "split({1}, concat('\\\\Q', {0}, '\\\\E'), {2})",
     },
     "splitByString": {
-        2: "split({1}, concat('\\\\Q', {0}, '\\\\E'))",
+        # empty separator = split into characters, no trailing empty
+        # (FunctionsStringArray.h SplitByStringImpl)
+        2: "(CASE WHEN ({0}) = '' THEN"
+           " (CASE WHEN ({1}) = '' THEN array() ELSE"
+           " transform(sequence(1, length({1})), __i -> substring({1}, __i, 1)) END)"
+           " ELSE split({1}, concat('\\\\Q', {0}, '\\\\E')) END)",
         3: "split({1}, concat('\\\\Q', {0}, '\\\\E'), {2})",
     },
     # CH 23.3 default week mode 0 starts weeks on SUNDAY (DateLUTImpl.h
@@ -557,6 +598,48 @@ _DATEDIFF_TEMPLATES = {
     "minute": "((unix_timestamp(date_trunc('minute', {2})) - unix_timestamp(date_trunc('minute', {1}))) div 60)",
     "second": "(unix_timestamp({2}) - unix_timestamp({1}))",
 }
+
+
+# formatDateTime MySQL-style codes (formatDateTime.cpp, 23.3 semantics:
+# %M is MINUTE) → Java DateTimeFormatter patterns for date_format()
+_CH_DT_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "MM", "d": "dd", "e": "d",
+    "F": "yyyy-MM-dd", "D": "MM/dd/yy", "T": "HH:mm:ss", "R": "HH:mm",
+    "H": "HH", "k": "H", "I": "hh", "h": "hh", "l": "h",
+    "M": "mm", "i": "mm", "S": "ss", "s": "ss", "p": "a",
+    "j": "DDD", "a": "EEE", "b": "MMM", "W": "MMMM", "w": "e",
+    "u": "u", "V": "ww", "G": "YYYY", "g": "YY", "Q": "q",
+    "n": "'\n'", "t": "'\t'", "%": "%",
+}
+
+
+def _ch_dtfmt_to_java(fmt: str) -> str:
+    out: list[str] = []
+    lit: list[str] = []
+
+    def _flush():
+        if lit:
+            seg = "".join(lit)
+            if re.search(r"[A-Za-z']", seg):
+                out.append("'" + seg.replace("'", "''") + "'")
+            else:
+                out.append(seg)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            code = fmt[i + 1]
+            if code in _CH_DT_FMT:
+                _flush()
+                out.append(_CH_DT_FMT[code])
+                i += 2
+                continue
+        lit.append(c)
+        i += 1
+    _flush()
+    return "".join(out)
 
 
 def _looks_predicate(s: str) -> bool:
@@ -1505,7 +1588,10 @@ def _hoist_nested_array_join(s: str, _guard: int = 0) -> str:
             is not None
         )
 
-    if all(_is_bare(a, b) for a, b in occ):
+    occ_texts = [s[a:b] for a, b in occ]
+    if all(_is_bare(a, b) for a, b in occ) and len(set(occ_texts)) == len(occ_texts):
+        # all bare AND all distinct: plain explodes; duplicates fall through
+        # so identical texts share ONE expansion (CH common-subexpression)
         return s
     # hoist the first span's text (all identical occurrences share one alias)
     span_text = s[occ[0][0] : occ[0][1]]
@@ -2186,6 +2272,17 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             tokens = tokens[:i] + new + tokens[close + 1 :]
             continue
 
+        # initializeAggregation('agg', v…) = the aggregate applied to one
+        # row (initializeAggregation.cpp) — exactly arrayReduce over
+        # single-element arrays; rewrite and reprocess
+        if t == "initializeAggregation" and len(args) >= 2:
+            new = ["arrayReduce", "("] + list(args[0])
+            for a in args[1:]:
+                new += [",", "["] + list(a) + ["]"]
+            new.append(")")
+            tokens = tokens[:i] + new + tokens[close + 1 :]
+            continue
+
         # bit-exact hash families: flatten tuple args, type integer literals
         # at ClickHouse literal width, fold elem/comb UDF calls
         # (FunctionsHashing.h FunctionAnyHash — see functions/chhash.py)
@@ -2229,6 +2326,38 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             # matches); Spark rejects boolean aggregation args
             arg_sql = [f"CAST(({arg_sql[0]}) AS INT)"]
             args = [_tokenize(arg_sql[0])]
+
+        if (
+            t in ("formatDateTime", "formatDateTimeInJodaSyntax")
+            and len(arg_sql) >= 2
+            and re.fullmatch(r"'(?:[^'\\]|\\.)*'", arg_sql[1].strip())
+        ):
+            # literal format string: convert MySQL-style codes to Java
+            # patterns at translate time (extra timezone arg dropped — the
+            # session is pinned UTC)
+            raw = arg_sql[1].strip()[1:-1]
+            jfmt = raw if t.endswith("JodaSyntax") else _ch_dtfmt_to_java(raw)
+            out.append(f"date_format({arg_sql[0]}, '{jfmt}')")
+            i = close + 1
+            continue
+
+        if (
+            t == "sumIf"
+            and len(arg_sql) == 2
+            and not re.search(r"(?i)null", arg_sql[0])
+            and not any(
+                re.search(rf"(?i)\b{re.escape(c)}\b", arg_sql[0])
+                for c in _NULLABLE_COLS
+            )
+        ):
+            # sum over a never-true condition is 0 for non-Nullable values
+            # (AggregateFunctionSum empty state), not NULL
+            out.append(
+                f"coalesce(sum(CASE WHEN {arg_sql[1]} THEN"
+                f" {arg_sql[0]} END), 0)"
+            )
+            i = close + 1
+            continue
 
         if t == "uniqUpTo" and arg_sql:
             # AggregateFunctionUniqUpTo.h: threshold must fit in [0, 100]
@@ -2726,9 +2855,13 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                     raise ChSqlError("neighbor needs 2 or 3 arguments")
                 e, o = arg_sql[0], arg_sql[1].strip()
                 d = arg_sql[2] if len(arg_sql) == 3 else "0"
-                om2 = re.fullmatch(r"-?\d+", o)
+                om2 = re.fullmatch(r"-?\s*\d+", o)
                 if om2:
-                    k2 = int(o)
+                    k2 = int(o.replace(" ", ""))
+                    if abs(k2) > (1 << 31):
+                        # the reference rejects block-sized offsets
+                        # (neighbor.cpp ARGUMENT_OUT_OF_BOUND)
+                        raise ChSqlError(f"neighbor offset out of bound: {k2}")
                     fn2 = "lead" if k2 >= 0 else "lag"
                     out.append(
                         f"{fn2}({e}, {abs(k2)}, {d}) OVER (ORDER BY {mono})"
@@ -4700,8 +4833,9 @@ def _rewrite_datetime_arith(s: str) -> str:
             j2 = j + 1
             while j2 < len(s) and s[j2] == " ":
                 j2 += 1
-            # interval forms are already legal; leave them
-            if re.match(r"(?i)interval\b", blank[j2:]):
+            # interval forms are already legal; leave them (toInterval*
+            # builders render make_*_interval, natively addable)
+            if re.match(r"(?i)(interval\b|tointerval\w+\s*\()", blank[j2:]):
                 continue
             term_end = _scan_term(blank, s, j2)
             term = s[j2:term_end].strip()
@@ -4999,6 +5133,21 @@ def _translate_impl(ch_sql: str) -> str:
     # included, so GROUP BY dummy / USING dummy resolve
     if re.search(r"(?i)\bdummy\b", s):
         s = _rewrite_fromless_dummy(s)
+    # bare INTERSECT/EXCEPT are ALL in ClickHouse (Settings.h
+    # intersect_default_mode = ALL); Spark's default is DISTINCT.
+    # `EXCEPT(` stays — that's the column-exclusion matcher.
+    if re.search(r"(?i)\b(INTERSECT|EXCEPT)\b", s):
+        blank_ie = _blank_strings(s)
+        outp = []
+        last = 0
+        for m_ie in re.finditer(
+            r"(?i)\b(INTERSECT|EXCEPT)\b(?!\s*(\(|ALL\b|DISTINCT\b))", blank_ie
+        ):
+            outp.append(s[last:m_ie.end(1)])
+            outp.append(" ALL")
+            last = m_ie.end(1)
+        outp.append(s[last:])
+        s = "".join(outp)
     if re.search(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b", s) and re.search(
         r"(?i)\bLIMIT\b", s
     ):

@@ -105,7 +105,8 @@ def formatReadableDecimalSize(x) -> Column:
 def formatReadableQuantity(x) -> Column:
     c = col(x).cast("double")
     return (
-        F.when(F.abs(c) >= 1e12, F.format_string("%.2f trillion", c / 1e12))
+        F.when(F.abs(c) >= 1e15, F.format_string("%.2f quadrillion", c / 1e15))
+        .when(F.abs(c) >= 1e12, F.format_string("%.2f trillion", c / 1e12))
         .when(F.abs(c) >= 1e9, F.format_string("%.2f billion", c / 1e9))
         .when(F.abs(c) >= 1e6, F.format_string("%.2f million", c / 1e6))
         .when(F.abs(c) >= 1e3, F.format_string("%.2f thousand", c / 1e3))
@@ -119,12 +120,17 @@ def formatReadableTimeDelta(x) -> Column:
     days, rem = (c / 86400).cast("long"), c % 86400
     hours, rem2 = (rem / 3600).cast("long"), rem % 3600
     mins, secs = (rem2 / 60).cast("long"), rem2 % 60
-    return F.concat_ws(
-        ", ",
-        F.when(days > 0, F.format_string("%d days", days)),
-        F.when(hours > 0, F.format_string("%d hours", hours)),
-        F.when(mins > 0, F.format_string("%d minutes", mins)),
-        F.when((secs > 0) | (c == 0), F.format_string("%d seconds", secs)),
+    d = col(x).cast("double")
+    return F.when(F.isnan(d), F.lit("nan")).when(
+        d == float("inf"), F.lit("inf")
+    ).when(d == float("-inf"), F.lit("-inf")).otherwise(
+        F.concat_ws(
+            ", ",
+            F.when(days > 0, F.format_string("%d days", days)),
+            F.when(hours > 0, F.format_string("%d hours", hours)),
+            F.when(mins > 0, F.format_string("%d minutes", mins)),
+            F.when((secs > 0) | (c == 0), F.format_string("%d seconds", secs)),
+        )
     )
 
 

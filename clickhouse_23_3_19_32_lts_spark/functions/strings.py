@@ -441,7 +441,9 @@ def splitByRegexp(pattern: str, s) -> Column:
 
 @chfn("splitByWhitespace")
 def splitByWhitespace(s) -> Column:
-    return F.split(F.trim(col(s)), r"\s+", -1)
+    # splits ONLY on whitespace; punctuation stays inside tokens
+    # (FunctionsStringArray.h SplitByWhitespaceImpl)
+    return F.filter(F.split(col(s), r"\s+"), lambda t: t != "")
 
 
 @chfn("alphaTokens")

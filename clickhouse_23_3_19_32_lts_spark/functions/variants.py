@@ -603,7 +603,7 @@ def regexpQuoteMeta(s) -> Column:
     return F.regexp_replace(col(s), r"([\\.^$|()\[\]{}*+?])", r"\\$1")
 
 
-@chfn("splitByNonAlpha", "splitByWhitespace")
+@chfn("splitByNonAlpha")
 def splitByNonAlpha(s) -> Column:
     return F.filter(F.split(col(s), r"[^\p{L}\p{N}]+"), lambda t: t != "")
 

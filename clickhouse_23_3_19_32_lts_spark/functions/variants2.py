@@ -1077,7 +1077,16 @@ def countDigits(x) -> Column:
 
 @chfn("moduloLegacy")
 def moduloLegacy(a, b) -> Column:
-    return col(a) % col(b)
+    # legacy rule (moduloLegacy.cpp): the dividend is first converted to the
+    # divisor's UNSIGNED width, so moduloLegacy(-199, 200) = UInt8(-199) %
+    # 200 = 57. Width picked from the divisor's magnitude.
+    ca, cb = col(a), col(b)
+    width = (
+        F.when(F.abs(cb) < 256, F.lit(256))
+        .when(F.abs(cb) < 65536, F.lit(65536))
+        .otherwise(F.lit(4294967296))
+    )
+    return F.when(ca >= 0, ca % cb).otherwise(F.pmod(ca, width) % cb)
 
 
 @chfn("multiplyDecimal")

@@ -28,7 +28,7 @@ from clickhouse_23_3_19_32_lts_spark.dialect import ChSqlError, ch_sql, translat
         ),
         (
             "SELECT sumIf(v, c > 0) FROM t",
-            "SELECT sum(CASE WHEN c > 0 THEN v END) FROM t",
+            "SELECT coalesce(sum(CASE WHEN c > 0 THEN v END), 0) FROM t",
         ),
         (
             # UInt8 truthiness: bare-column conditions get a boolean cast

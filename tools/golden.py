@@ -399,6 +399,10 @@ def _fmt_top(v) -> str:
         return _fmt_float(float(v))
     if isinstance(v, str):
         return v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+    if isinstance(v, (bytes, bytearray)):
+        # FixedString/unhex results are raw bytes; ClickHouse prints them
+        # as their (escaped) byte string
+        return _fmt_top(v.decode("utf-8", "replace"))
     if isinstance(v, list):
         return "[" + ",".join(_fmt_nested(x) for x in v) + "]"
     if isinstance(v, dict):  # Map type → {'k':v,...}
@@ -1456,8 +1460,6 @@ def _null_producer_free(stmt: str, nullable_cols: dict) -> bool:
     arr[i], and empty-set aggregates with TYPE DEFAULTS where Spark yields
     NULL; when this predicate holds, every NULL in the Spark result is such
     a site and must render as the default, not \\N."""
-    if any(nullable_cols.values()):
-        return False
     if re.search(r"null", stmt, re.IGNORECASE):
         return False
     # CASE without ELSE yields NULL for unmatched rows in ClickHouse too
@@ -1465,23 +1467,38 @@ def _null_producer_free(stmt: str, nullable_cols: dict) -> bool:
         r"\bELSE\b", stmt, re.IGNORECASE
     ):
         return False
+    if any(nullable_cols.values()):
+        # declared-Nullable columns legitimately carry NULL; the caller
+        # fills only the other output columns (matched by name)
+        return True
     return True
 
 
-def _fill_null_defaults(df):
+def _fill_null_defaults(df, skip: "set[str] | None" = None):
     """coalesce() every nullable output column with its ClickHouse type
-    default (see _null_producer_free). Columns are addressed by ordinal so
+    default (see _null_producer_free), except names in `skip` (declared
+    Nullable — their NULLs are real). Columns are addressed by ordinal so
     duplicate output names are safe."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    skip_l = {s.lower() for s in (skip or ())}
     fields = df.schema.fields
     tmp = df.toDF(*[f"__c{i}" for i in range(len(fields))])  # positional —
     # uniquified names sidestep duplicate/ambiguous output columns
     cols = []
     for i, f in enumerate(fields):
         c = tmp[f"__c{i}"]
-        if f.nullable and not isinstance(f.dataType, (T.NullType, T.BinaryType)):
+        fill = (
+            f.nullable
+            and f.name.lower() not in skip_l
+            and not isinstance(f.dataType, (T.NullType, T.BinaryType))
+        )
+        if fill and skip_l and not re.match(r"^[A-Za-z_]\w*$", f.name):
+            # Nullable sources exist and this output is an expression
+            # column: its NULL may come from the Nullable input — keep it
+            fill = False
+        if fill:
             c = F.coalesce(c, _type_default(f.dataType))
         cols.append(c.alias(f.name))
     wrapped = tmp.select(*cols)
@@ -2241,6 +2258,17 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         parse_fill_query,
                     )
 
+                    if (
+                        str(session_settings.get("cross_to_inner_join_rewrite", "")) == "2"
+                        and re.search(r"(?i)\bFROM\s+[\w.]+(\s+AS\s+\w+)?\s*,\s*[\w.]+", stmt)
+                    ):
+                        wm0 = re.search(
+                            r"(?is)\bWHERE\b(.*?)(\bGROUP\b|\bORDER\b|\bLIMIT\b|\bSETTINGS\b|$)",
+                            stmt,
+                        )
+                        if wm0 and "=" not in wm0.group(1):
+                            # CrossToInnerJoinPass INCORRECT_QUERY
+                            raise ChSqlError("comma join without equality")
                     parsed = parse_fill_query(stmt)
                     if parsed is not None:
                         got_rows = apply_fill(spark, parsed).collect()
@@ -2423,6 +2451,22 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                             r"(?i)ENGINE\s*=\s*Buffer\s*\(\s*[^,]+,\s*(\w+)",
                             stmt,
                         )
+                        dm3 = re.search(
+                            r"(?i)ENGINE\s*=\s*Distributed\s*\(\s*[^,]+,"
+                            r"\s*[^,]+,\s*['\"`]?(\w+)['\"`]?", stmt,
+                        )
+                        if dm3 and dm3.group(1).split(".")[-1] in mem_tables:
+                            # Distributed proxies its target table
+                            # (StorageDistributed: reads fan out to the
+                            # local shard here — same rows, single node)
+                            tgt = dm3.group(1).split(".")[-1]
+                            spark.sql(
+                                f"CREATE OR REPLACE TEMPORARY VIEW {name} AS"
+                                f" SELECT * FROM {tgt}"
+                            )
+                            table_alias[name] = tgt
+                            created.append(name)
+                            continue
                         if bm and bm.group(1).split(".")[-1] == src and src in mem_tables:
                             # Buffer proxies its destination table: reads
                             # see destination + buffered rows, inserts
@@ -2544,6 +2588,64 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         _merge_rep, stmt,
                     )
 
+                # cross_to_inner_join_rewrite = 2: a comma join whose WHERE
+                # carries no equality cannot rewrite to INNER and errors
+                # (CrossToInnerJoinPass INCORRECT_QUERY)
+                if (
+                    str(session_settings.get("cross_to_inner_join_rewrite", "")) == "2"
+                    and re.search(r"(?i)\bFROM\s+[\w.]+(\s+AS\s+\w+)?\s*,\s*[\w.]+", stmt)
+                ):
+                    wm2 = re.search(r"(?is)\bWHERE\b(.*?)(\bGROUP\b|\bORDER\b|\bLIMIT\b|\bSETTINGS\b|$)", stmt)
+                    if wm2 and "=" not in wm2.group(1):
+                        raise ChSqlError(
+                            "comma join without equality under "
+                            "cross_to_inner_join_rewrite=2"
+                        )
+
+                # format(Fmt, 'payload') table function
+                # (TableFunctionFormat.cpp): parse the inline payload with
+                # Spark's schema inference and substitute a temp view
+                if re.search(r"(?i)\bFROM\s+format\s*\(", stmt):
+
+                    def _format_rep(mm):
+                        inner = mm.group(2)
+                        am2 = re.match(
+                            r"(?is)\s*([A-Za-z]+)\s*,\s*'((?:[^'\\]|\\.)*)'\s*$",
+                            inner,
+                        )
+                        if not am2:
+                            raise ChSqlError(f"format() TF: {inner[:50]}")
+                        fmt_name = am2.group(1).lower()
+                        payload = (
+                            am2.group(2)
+                            .replace("\\n", "\n").replace("\\t", "\t")
+                            .replace("\\'", "'").replace("\\\\", "\\")
+                        )
+                        lines2 = [
+                            ln for ln in payload.split("\n") if ln.strip()
+                        ]
+                        sc2 = spark.sparkContext
+                        if fmt_name in ("jsoneachrow", "ndjson", "jsonlines"):
+                            dfx = spark.read.json(sc2.parallelize(lines2))
+                        elif fmt_name in ("csv", "tsv", "tabseparated"):
+                            sep = "," if fmt_name == "csv" else "\t"
+                            dfx = spark.read.csv(
+                                sc2.parallelize(lines2), sep=sep,
+                                inferSchema=True,
+                            )
+                            dfx = dfx.toDF(*[f"c{j+1}" for j in range(len(dfx.columns))])
+                        else:
+                            raise ChSqlError(f"format() TF: {fmt_name}")
+                        vname2 = f"__fmt_tf_{abs(hash(payload)) % 10**8}"
+                        dfx.createOrReplaceTempView(vname2)
+                        created.append(vname2)
+                        return f"{mm.group(1)}{vname2}"
+
+                    stmt = re.sub(
+                        r"(?is)\b(FROM\s+)format\s*\(((?:[^()']|'(?:[^'\\]|\\.)*'|\([^()]*\))*)\)",
+                        _format_rep, stmt,
+                    )
+
                 parsed = parse_fill_query(stmt)
 
                 # WITH TOTALS (TotalsHavingTransform): tag the totals row in
@@ -2583,7 +2685,11 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         )
                     if _null_producer_free(stmt, nullable_cols):
                         try:
-                            df = _fill_null_defaults(df)
+                            df = _fill_null_defaults(
+                                df,
+                                set().union(*nullable_cols.values())
+                                if nullable_cols else None,
+                            )
                         except Exception:  # noqa: BLE001 — keep unwrapped
                             pass
                     return df
@@ -2889,7 +2995,9 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 pass
     out_lines = [line for lines, _ in blocks for line in lines]
     got = "\n".join(out_lines)
-    if got == want:
+    # `want` is rstripped of trailing newlines at load; mirror that so
+    # all-empty-line outputs (7 rows of '') still compare equal
+    if got.rstrip("\n") == want:
         return True, "ok"
     # second chance: segment the reference by per-statement line counts and
     # sort both sides of any block whose statement had no ORDER BY
