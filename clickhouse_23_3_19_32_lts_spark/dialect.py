@@ -194,6 +194,12 @@ TEMPLATES: dict[str, str] = {
         " THEN timestamp_seconds(CAST(CAST({0} AS STRING) AS DECIMAL(20,6)))"
         " ELSE to_timestamp(CAST({0} AS STRING)) END)"
     ),
+    # ClickHouse hex() of an integer prints whole BYTES — pad odd-length
+    # output to even with a leading zero (FunctionsCodingIP hexImpl)
+    "hex": (
+        "(CASE WHEN length(hex({0})) % 2 = 1 THEN concat('0', hex({0}))"
+        " ELSE hex({0}) END)"
+    ),
     # untuple(t) expands the tuple into one column per element
     # (FunctionUntuple) — Spark's inline generator over a 1-element array
     "untuple": "inline(array({0}))",
@@ -4430,6 +4436,88 @@ _FROMLESS_STOP_RE = re.compile(
 )
 
 
+_OB_END_RE = re.compile(
+    r"(?i)\b(LIMIT|SETTINGS|FORMAT|UNION|INTERSECT|EXCEPT|INTO|WINDOW)\b"
+)
+
+
+def _order_by_nulls(s: str) -> str:
+    """ClickHouse sorts NULL (and NaN) LAST under ASC and FIRST under DESC
+    (sortBlock.cpp default nulls_direction follows the sort direction);
+    Spark defaults to the opposite. Append explicit NULLS LAST/FIRST to
+    every statement-level ORDER BY item that doesn't already carry a NULLS
+    or WITH FILL modifier. Window OVER(ORDER BY …) clauses are left alone
+    (frame semantics, narrower blast radius)."""
+    blank = _blank_strings(s)
+    edits: list[tuple[int, str]] = []
+    for m in re.finditer(r"(?i)\bORDER\s+BY\b", blank):
+        # inside an OVER(...) window spec? check the innermost open paren
+        stack = []
+        for i in range(m.start()):
+            c = blank[i]
+            if c == "(":
+                stack.append(i)
+            elif c == ")" and stack:
+                stack.pop()
+        if stack:
+            before = blank[:stack[-1]].rstrip()
+            if re.search(r"(?i)\bover$", before):
+                continue
+        d0 = len(stack)
+        # clause end: keyword at same depth, or the paren closing d0
+        end = len(s)
+        k = m.end()
+        depth = d0
+        while k < len(s):
+            c = blank[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < d0:
+                    end = k
+                    break
+            elif depth == d0 and c.isalpha():
+                em = _OB_END_RE.match(blank, k)
+                if em:
+                    end = k
+                    break
+                while k < len(s) and (blank[k].isalnum() or blank[k] == "_"):
+                    k += 1
+                continue
+            k += 1
+        seg = s[m.end():end]
+        segb = blank[m.end():end]
+        if re.search(r"(?i)\bWITH\s+FILL\b|\bINTERPOLATE\b|\bCOLLATE\b", segb):
+            continue
+        # split items at depth-0 commas
+        items = []
+        last = 0
+        depth = 0
+        for j, c in enumerate(segb):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0:
+                items.append((last, j))
+                last = j + 1
+        items.append((last, len(seg)))
+        for a, b in items:
+            body = segb[a:b]
+            if re.search(r"(?i)\bNULLS\b", body):
+                continue
+            if not body.strip():
+                continue
+            tm = re.search(r"(?is)\b(DESC|DESCENDING)\s*$", body)
+            suffix = " NULLS FIRST" if tm else " NULLS LAST"
+            ins = m.end() + a + len(body.rstrip())
+            edits.append((ins, suffix))
+    for pos, txt in sorted(edits, reverse=True):
+        s = s[:pos] + txt + s[pos:]
+    return s
+
+
 def _rebind_union_tail_limit(s: str) -> str:
     """ClickHouse parses `SELECT a UNION ALL SELECT b LIMIT n` with the
     LIMIT (and any ORDER BY before it) belonging to the LAST branch — the
@@ -4677,7 +4765,10 @@ def translate(
         if bool_ops:
             # retry mode: numeric-truthiness operands under infix AND/OR/NOT
             res = _wrap_logical_operands(res)
-        return _wrap_case_conditions(res)
+        res = _wrap_case_conditions(res)
+        if re.search(r"(?i)\bORDER\s+BY\b", res):
+            res = _order_by_nulls(res)
+        return res
     finally:
         _SAFE_SUBSCRIPT = prev
         _INLINE_SELECT_ALIASES = prev2
