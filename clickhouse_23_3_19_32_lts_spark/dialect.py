@@ -80,7 +80,6 @@ NAME_MAP: dict[str, str] = {
     "arraysOverlap": "arrays_overlap",
     "arraySort": "array_sort",
     "arrayReverse": "reverse",
-    "arrayDistinct": "array_distinct",
     "arrayFlatten": "flatten",
     "arrayZip": "arrays_zip",
     "arrayIntersect": "array_intersect",
@@ -200,6 +199,9 @@ TEMPLATES: dict[str, str] = {
         "(CASE WHEN length(hex({0})) % 2 = 1 THEN concat('0', hex({0}))"
         " ELSE hex({0}) END)"
     ),
+    # arrayDistinct drops NULL elements (arrayDistinct.cpp: only
+    # non-default, non-NULL values are kept distinct)
+    "arrayDistinct": "array_distinct(filter({0}, __x -> __x IS NOT NULL))",
     # untuple(t) expands the tuple into one column per element
     # (FunctionUntuple) — Spark's inline generator over a 1-element array
     "untuple": "inline(array({0}))",
@@ -311,11 +313,22 @@ TEMPLATES: dict[str, str] = {
         " AS INT))"
     ),
     "tuple": None,  # variadic — handled specially (struct)
+    # scheme-less URLs still parse (a missing protocol just reads empty —
+    # protocol.cpp/path.cpp), so prepend one before java's URI parser
     "extractURLParameter": "parse_url({0}, 'QUERY', {1})",
-    "domain": "parse_url({0}, 'HOST')",
-    "path": "parse_url({0}, 'PATH')",
-    "queryString": "parse_url({0}, 'QUERY')",
-    "protocol": "parse_url({0}, 'PROTOCOL')",
+    "domain": (
+        "coalesce(parse_url(CASE WHEN ({0}) RLIKE '^[a-zA-Z][a-zA-Z0-9+.-]*://'"
+        " THEN {0} ELSE concat('http://', {0}) END, 'HOST'), '')"
+    ),
+    "path": (
+        "coalesce(parse_url(CASE WHEN ({0}) RLIKE '^[a-zA-Z][a-zA-Z0-9+.-]*://'"
+        " THEN {0} ELSE concat('http://', {0}) END, 'PATH'), '')"
+    ),
+    "queryString": (
+        "coalesce(parse_url(CASE WHEN ({0}) RLIKE '^[a-zA-Z][a-zA-Z0-9+.-]*://'"
+        " THEN {0} ELSE concat('http://', {0}) END, 'QUERY'), '')"
+    ),
+    "protocol": "coalesce(parse_url({0}, 'PROTOCOL'), '')",
     # string semantics; for arrays use size()/cardinality (Spark type-checks
     # every branch, so a both-types coalesce can't analyze)
     "empty": "(coalesce(length({0}), 0) = 0)",

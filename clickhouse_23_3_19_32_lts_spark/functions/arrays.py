@@ -192,7 +192,8 @@ def arrayUniq(arr) -> Column:
 
 @chfn("arrayDistinct")
 def arrayDistinct(arr) -> Column:
-    return F.array_distinct(col(arr))
+    # NULL elements are dropped (arrayDistinct.cpp)
+    return F.array_distinct(F.filter(col(arr), lambda x: x.isNotNull()))
 
 
 @chfn("arrayDifference")

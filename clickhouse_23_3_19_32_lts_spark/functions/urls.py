@@ -53,16 +53,24 @@ def port(u) -> Column:
     )
 
 
+def _with_scheme(u) -> Column:
+    # scheme-less URLs still parse in ClickHouse (protocol() just empty)
+    c = col(u)
+    return F.when(
+        c.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), c
+    ).otherwise(F.concat(F.lit("http://"), c))
+
+
 @chfn("path")
 def path(u) -> Column:
-    return F.coalesce(F.parse_url(col(u), F.lit("PATH")), F.lit(""))
+    return F.coalesce(F.parse_url(_with_scheme(u), F.lit("PATH")), F.lit(""))
 
 
 @chfn("pathFull")
 def pathFull(u) -> Column:
-    p = F.parse_url(col(u), F.lit("PATH"))
-    q = F.parse_url(col(u), F.lit("QUERY"))
-    f_ = F.parse_url(col(u), F.lit("REF"))
+    p = F.parse_url(_with_scheme(u), F.lit("PATH"))
+    q = F.parse_url(_with_scheme(u), F.lit("QUERY"))
+    f_ = F.parse_url(_with_scheme(u), F.lit("REF"))
     return F.concat(
         F.coalesce(p, F.lit("")),
         F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
@@ -72,7 +80,7 @@ def pathFull(u) -> Column:
 
 @chfn("queryString")
 def queryString(u) -> Column:
-    return F.coalesce(F.parse_url(col(u), F.lit("QUERY")), F.lit(""))
+    return F.coalesce(F.parse_url(_with_scheme(u), F.lit("QUERY")), F.lit(""))
 
 
 @chfn("fragment")
@@ -129,7 +137,9 @@ def cutQueryStringAndFragment(u) -> Column:
 
 @chfn("decodeURLComponent")
 def decodeURLComponent(u) -> Column:
-    return F.url_decode(col(u))
+    # only %XX sequences decode — a literal '+' stays '+'
+    # (decodeURLComponent.cpp), unlike java.net.URLDecoder
+    return F.url_decode(F.regexp_replace(col(u), r"\+", "%2B"))
 
 
 @chfn("encodeURLComponent")

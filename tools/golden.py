@@ -124,6 +124,10 @@ def _ch_expr_type(e: str, cols: dict | None) -> "str | None":
         return "UInt64"
     if re.match(r"(?i)^rand\s*\(", e):
         return "UInt32"
+    if e.upper() == "NULL":
+        return "Nullable(Nothing)"
+    if e.lower() in ("nan", "inf", "-inf", "infinity"):
+        return "Float64"
     if re.match(r"^-?\d+$", e):
         return _ch_int_literal_type(int(e))
     if re.match(r"^-?(\d+\.\d*|\.\d+|\d+[eE]-?\d+)", e):
@@ -187,6 +191,8 @@ def _select_item_meta(stmt: str, fields, cols: dict | None):
             it = items[j]
             am = re.search(r"(?is)\s+AS\s+`?([A-Za-z_]\w*)`?\s*$", it)
             name = am.group(1) if am else re.sub(r"\s+", " ", it.strip())
+            if name.lower() == "null":
+                name = "NULL"  # the AST formatter prints the keyword upper
             cht = _ch_expr_type(it, cols)
         meta.append((name, cht or _spark_to_ch_type(f.dataType)))
     return meta
@@ -246,11 +252,26 @@ def _render_json_doc(
 ):
     """FORMAT JSON / JSONCompact document (JSONRowOutputFormat.cpp /
     JSONCompactRowOutputFormat.cpp), tab-indented like the reference."""
+    import json as _json
+
     st = settings or {}
     quote64 = str(st.get("output_format_json_quote_64bit_integers", "1")) != "0"
     esc = str(st.get("output_format_json_escape_forward_slashes", "1")) != "0"
-    compact = kind == "jsoncompact"
+    compact = kind in ("jsoncompact", "jsoncompactstrings")
+    stringify = kind in ("jsonstrings", "jsoncompactstrings")
     flds = schema.fields
+    if stringify:
+        # JSONStrings: every value renders as its TEXT form in a JSON
+        # string; NULL prints the unicode marker (JSONStringsRowOutputFormat)
+        def _json_scalar(v, dt, q64, e2):  # noqa: F811 — local shadow
+            if v is None:
+                return '"ᴺᵁᴸᴸ"'
+            s2 = _json.dumps(_fmt_top(v), ensure_ascii=False)
+            if e2:
+                s2 = s2.replace("/", "\\/")
+            return s2
+    else:
+        _json_scalar = globals()["_json_scalar"]
     out = ["{", '\t"meta":', "\t["]
     for j, (nm, tp) in enumerate(ch_meta):
         out += ["\t\t{", f'\t\t\t"name": "{nm}",', f'\t\t\t"type": "{tp}"',
@@ -567,10 +588,10 @@ def _split_top_level_commas(s: str) -> list[str]:
         elif c == "'":
             in_str = True
             cur.append(c)
-        elif c == "(":
+        elif c in "([{":
             depth += 1
             cur.append(c)
-        elif c == ")":
+        elif c in ")]}":
             depth -= 1
             cur.append(c)
         elif c == "," and depth == 0:
@@ -665,7 +686,7 @@ def _translate_create(stmt: str) -> tuple[str, str]:
         else:
             # drop column attributes after the type
             ctype = re.split(
-                r"\s+(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC|TTL|COMMENT)\b", ctype, flags=re.IGNORECASE
+                r"\s+(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC\s*\(|TTL|COMMENT)\b", ctype, flags=re.IGNORECASE
             )[0]
         if re.match(r"Nullable\s*\(", ctype.strip(), re.IGNORECASE):
             nullable.add(cname.strip("`").lower())
@@ -714,13 +735,13 @@ def _parse_create_meta(stmt: str):
         rest = cm.group(2).strip()
         dm = re.search(
             r"(?i)\b(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL)\s+(.+?)"
-            r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
+            r"(?:\s+(?:CODEC\s*\(|TTL|COMMENT)\b.*)?$",
             rest, re.DOTALL,
         )
         if dm:
             defaults[cname] = (dm.group(1).upper(), dm.group(2).strip())
         ctype = re.split(
-            r"(?:^|\s+)(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC|TTL|COMMENT)\b",
+            r"(?:^|\s+)(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC\s*\(|TTL|COMMENT)\b",
             rest, flags=re.IGNORECASE,
         )[0].strip()
         if not ctype and dm:
@@ -902,7 +923,7 @@ def _alter_nested(spark, df, schema_list, dotted, rest, after, drop):
     from pyspark.sql import types as T
 
     base, sub = dotted.split(".", 1)
-    ctype = re.split(r"(?i)\s+(DEFAULT|CODEC|TTL|COMMENT)\b", rest)[0].strip()
+    ctype = re.split(r"(?i)\s+(DEFAULT|CODEC\s*\(|TTL|COMMENT)\b", rest)[0].strip()
     im = re.match(r"(?i)Array\s*\((.*)\)\s*$", ctype, re.DOTALL)
     inner_ch = im.group(1).strip() if im else ctype
     existing = next((f for f in df.schema.fields if f.name == base), None)
@@ -1016,10 +1037,10 @@ def _exec_alter(spark, stmt, mem_tables, ch_schemas, col_defaults, table_meta=No
                 continue  # IF NOT EXISTS semantics; CH errors without it
             dm = re.search(
                 r"(?i)\b(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL)\s+(.+?)"
-                r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
+                r"(?:\s+(?:CODEC\s*\(|TTL|COMMENT)\b.*)?$",
                 rest, re.DOTALL,
             )
-            ctype = re.split(r"(?i)\s+(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC|TTL|COMMENT)\b",
+            ctype = re.split(r"(?i)\s+(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC\s*\(|TTL|COMMENT)\b",
                              rest)[0].strip()
             dflt = dm.group(2).strip() if dm else None
             if dflt is not None:
@@ -1082,12 +1103,12 @@ def _exec_alter(spark, stmt, mem_tables, ch_schemas, col_defaults, table_meta=No
                 continue
             dm4 = re.search(
                 r"(?i)\b(DEFAULT|MATERIALIZED)\s+(.+?)"
-                r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
+                r"(?:\s+(?:CODEC\s*\(|TTL|COMMENT)\b.*)?$",
                 rest, re.DOTALL,
             )
             if dm4:
                 defaults[cname] = (dm4.group(1).upper(), dm4.group(2).strip())
-            ctype = re.split(r"(?i)\s+(DEFAULT|MATERIALIZED|CODEC|TTL|COMMENT)\b",
+            ctype = re.split(r"(?i)\s+(DEFAULT|MATERIALIZED|CODEC\s*\(|TTL|COMMENT)\b",
                              rest)[0].strip()
             df = df.withColumn(
                 cname, F.col(cname).cast(_ch_type_to_spark(ctype))
@@ -2457,12 +2478,16 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         )
                         if dm3 and dm3.group(1).split(".")[-1] in mem_tables:
                             # Distributed proxies its target table
-                            # (StorageDistributed: reads fan out to the
-                            # local shard here — same rows, single node)
+                            # (StorageDistributed: reads fan out to every
+                            # shard; test_cluster_two_shards* points both
+                            # shards at the same local table → rows double)
                             tgt = dm3.group(1).split(".")[-1]
+                            body = f"SELECT * FROM {tgt}"
+                            if re.search(r"(?i)two_shards", stmt):
+                                body = f"{body} UNION ALL {body}"
                             spark.sql(
                                 f"CREATE OR REPLACE TEMPORARY VIEW {name} AS"
-                                f" SELECT * FROM {tgt}"
+                                f" {body}"
                             )
                             table_alias[name] = tgt
                             created.append(name)
@@ -2659,7 +2684,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     and (
                         fmt0 is None
                         or fmt0.group(1).lower()
-                        in ("tabseparated", "tsv", "json", "jsoncompact")
+                        in ("tabseparated", "tsv", "json", "jsoncompact", "jsonstrings", "jsoncompactstrings")
                     )
                 )
 
@@ -2856,7 +2881,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                             os.path.join(os.path.dirname(sql_path), tf)
                         ):
                             raise FileNotFoundError(f"{k}: {tf}")
-                if fmt_m.group(1).lower() in ("json", "jsoncompact"):
+                if fmt_m.group(1).lower() in ("json", "jsoncompact", "jsonstrings", "jsoncompactstrings"):
                     from pyspark.sql import types as _T
 
                     flds0 = res_df.schema.fields
