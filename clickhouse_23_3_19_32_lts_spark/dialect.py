@@ -4450,7 +4450,7 @@ _FROMLESS_STOP_RE = re.compile(
 
 
 _OB_END_RE = re.compile(
-    r"(?i)\b(LIMIT|SETTINGS|FORMAT|UNION|INTERSECT|EXCEPT|INTO|WINDOW)\b"
+    r"(?i)\b(LIMIT|OFFSET|SETTINGS|FORMAT|UNION|INTERSECT|EXCEPT|INTO|WINDOW)\b"
 )
 
 
@@ -4474,7 +4474,9 @@ def _order_by_nulls(s: str) -> str:
                 stack.pop()
         if stack:
             before = blank[:stack[-1]].rstrip()
-            if re.search(r"(?i)\bover$", before):
+            # skip OVER(...) specs and WINDOW w AS (...) definitions —
+            # frame semantics; the statement-level sort is what renders
+            if re.search(r"(?i)\b(over|as)$", before):
                 continue
         d0 = len(stack)
         # clause end: keyword at same depth, or the paren closing d0
@@ -4516,11 +4518,21 @@ def _order_by_nulls(s: str) -> str:
                 items.append((last, j))
                 last = j + 1
         items.append((last, len(seg)))
+        has_join = re.search(r"(?i)\bJOIN\b", blank) is not None
         for a, b in items:
             body = segb[a:b]
             if re.search(r"(?i)\bNULLS\b", body):
                 continue
             if not body.strip():
+                continue
+            if has_join and not any(
+                re.search(rf"(?i)\b{re.escape(c)}\b", body)
+                for c in _NULLABLE_COLS
+            ):
+                # join queries fill non-joined columns with type DEFAULTS
+                # before sorting (join_use_nulls=0), which matches Spark's
+                # native NULLS FIRST for ascending keys — only declared-
+                # Nullable sort keys keep real NULLs that must go last
                 continue
             tm = re.search(r"(?is)\b(DESC|DESCENDING)\s*$", body)
             suffix = " NULLS FIRST" if tm else " NULLS LAST"
@@ -4529,6 +4541,85 @@ def _order_by_nulls(s: str) -> str:
     for pos, txt in sorted(edits, reverse=True):
         s = s[:pos] + txt + s[pos:]
     return s
+
+
+def _rewrite_values_tf(s: str) -> str:
+    """`FROM VALUES(...)` table function (TableFunctionValues.cpp) → Spark
+    VALUES rows. CH forms: values((r1), (r2), …), values(v1, v2, …)
+    single-column, and values('a T, b U', (r1), …) with a schema string."""
+    blank = _blank_strings(s)
+    out = []
+    last = 0
+    for m in re.finditer(r"(?i)\b(FROM\s+)VALUES\s*\(", blank):
+        start = m.end() - 1
+        depth = 0
+        k = start
+        while k < len(s):
+            if blank[k] == "(":
+                depth += 1
+            elif blank[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = s[start + 1 : k]
+        parts = _split_top_level_commas_str(inner)
+        names = None
+        if parts and re.fullmatch(r"\s*'[^']*'\s*", parts[0]):
+            decl = parts[0].strip().strip("'")
+            names = [
+                re.match(r"\s*(`[^`]+`|\w+)", p).group(1).strip("`")
+                for p in decl.split(",")
+            ]
+            parts = parts[1:]
+        # emit as a UNION ALL of SELECTs — a parenthesized row after a comma
+        # would otherwise be struct-ified by the tuple rewriting
+        row_bodies = []
+        for p in parts:
+            p = p.strip()
+            if p.startswith("(") and p.endswith(")"):
+                p = p[1:-1]
+            row_bodies.append(p)
+        selects = []
+        for ri, rb in enumerate(row_bodies):
+            if ri == 0 and names:
+                items = _split_top_level_commas_str(rb)
+                if len(items) == len(names):
+                    rb = ", ".join(
+                        f"{it.strip()} AS {nm}"
+                        for it, nm in zip(items, names)
+                    )
+            selects.append("SELECT " + rb)
+        out.append(s[last:m.start()])
+        out.append(f"{m.group(1)}({' UNION ALL '.join(selects)}) __vals")
+        last = k + 1
+    out.append(s[last:])
+    return "".join(out)
+
+
+def _split_top_level_commas_str(s: str) -> list[str]:
+    parts, depth, cur, in_str = [], 0, [], False
+    for c in s:
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c in "([":
+            depth += 1
+            cur.append(c)
+        elif c in ")]":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    parts.append("".join(cur))
+    return [p for p in parts if p.strip()]
 
 
 def _rebind_union_tail_limit(s: str) -> str:
@@ -5237,6 +5328,8 @@ def _translate_impl(ch_sql: str) -> str:
     # included, so GROUP BY dummy / USING dummy resolve
     if re.search(r"(?i)\bdummy\b", s):
         s = _rewrite_fromless_dummy(s)
+    if re.search(r"(?i)\bFROM\s+VALUES\s*\(", s):
+        s = _rewrite_values_tf(s)
     # bare INTERSECT/EXCEPT are ALL in ClickHouse (Settings.h
     # intersect_default_mode = ALL); Spark's default is DISTINCT.
     # `EXCEPT(` stays — that's the column-exclusion matcher.

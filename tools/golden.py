@@ -2417,6 +2417,9 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+"
                         r"(?:IF\s+NOT\s+EXISTS\s+)?"
                         r"([A-Za-z_][A-Za-z0-9_.]*)\s*"
+                        # optional explicit column list (names rename the
+                        # SELECT output positionally)
+                        r"(?:\(((?:[^()']|'[^']*'|\([^()]*\))*)\)\s*)?"
                         # engine/order/partition tail before AS (ParserCreateQuery
                         # puts the storage clause first in CREATE … AS SELECT)
                         r"((?:ENGINE|ORDER|PARTITION|PRIMARY|SAMPLE|TTL|SETTINGS)\b.*?)?"
@@ -2426,14 +2429,23 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     )
                     if cas:  # CREATE TABLE … AS SELECT …
                         name = cas.group(1).split(".")[-1]
-                        body = cas.group(4) + cas.group(5)
-                        if cas.group(3):
+                        collist_cas = cas.group(2)
+                        body = cas.group(5) + cas.group(6)
+                        if cas.group(4):
                             # parenthesized body: `AS (SELECT …)` — strip the
                             # balanced outer close
                             body = body.rstrip()
                             if body.endswith(")"):
                                 body = body[:-1]
                         df = spark.sql(translate(body))
+                        if collist_cas:
+                            cnames = [
+                                re.match(r"\s*(`[^`]+`|[A-Za-z_]\w*)", c)
+                                .group(1).strip("`")
+                                for c in _split_top_level_commas(collist_cas)
+                            ]
+                            if len(cnames) == len(df.columns):
+                                df = df.toDF(*cnames)
                         df.createOrReplaceTempView(name)
                         mem_tables[name] = df
                         created.append(name)
@@ -2441,7 +2453,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     clone_fn = re.match(
                         r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+"
                         r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+AS\s+"
-                        r"((?:[A-Za-z_][\w.]*\s*\([^()]*\))|system\.\w+)\s*"
+                        r"((?:[A-Za-z_][\w.]*\s*\((?:[^()']|'[^']*'|\([^()]*\))*\))|system\.\w+)\s*"
                         r"(ENGINE\b.*)?$",
                         stmt.strip(), re.IGNORECASE | re.DOTALL,
                     )
@@ -3009,6 +3021,39 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                                 for r in rows
                             ],
                             "ORDER BY" not in up,
+                        )
+                    )
+                if (
+                    str(session_settings.get("extremes", "0")) == "1"
+                    and rows
+                    and (tot_idx is None or tot_idx == len(flds) - 1)
+                ):
+                    # extremes = 1: blank line, then min and max rows
+                    # (IOutputFormat::setExtremes protocol)
+                    ncols = tot_idx if tot_idx is not None else len(flds)
+                    base = (
+                        [r for r in rows if not r[tot_idx]]
+                        if tot_idx is not None else rows
+                    )
+                    mn, mx = [], []
+                    for j in range(ncols):
+                        vals = [r[j] for r in base if r[j] is not None]
+                        try:
+                            mn.append(min(vals) if vals else None)
+                            mx.append(max(vals) if vals else None)
+                        except TypeError:
+                            mn.append(vals[0] if vals else None)
+                            mx.append(vals[-1] if vals else None)
+                    blocks.append(
+                        (
+                            [""]
+                            + [
+                                "\t".join(
+                                    _fmt_cell(j, v) for j, v in enumerate(r2)
+                                )
+                                for r2 in (mn, mx)
+                            ],
+                            False,
                         )
                     )
     finally:
