@@ -1998,7 +1998,7 @@ def _render_pretty(ofmt_low: str, rows, schema, fmt_cell, settings):
     return out
 
 
-def _render_output(ofmt: str, rows, schema, fmt_cell, settings=None):
+def _render_output(ofmt: str, rows, schema, fmt_cell, settings=None, ch_meta=None):
     """Render collected rows in a ClickHouse output format. Returns a list
     of lines, or None if the format isn't supported (caller falls back to
     TSV). Reference: src/Processors/Formats/Impl/*RowOutputFormat.cpp."""
@@ -2014,6 +2014,14 @@ def _render_output(ofmt: str, rows, schema, fmt_cell, settings=None):
         return ["\t".join(names)] + [
             "\t".join(fmt_cell(j, v) for j, v in enumerate(r)) for r in rows
         ]
+    if low in ("tabseparatedwithnamesandtypes", "tsvwithnamesandtypes"):
+        meta = ch_meta or [
+            (f.name, _spark_to_ch_type(f.dataType)) for f in schema.fields
+        ]
+        return (
+            ["\t".join(n for n, _ in meta), "\t".join(t for _, t in meta)]
+            + ["\t".join(fmt_cell(j, v) for j, v in enumerate(r)) for r in rows]
+        )
     if low == "csv":
         return [
             ",".join(_csv_cell(j, v, fmt_cell) for j, v in enumerate(r))
@@ -2526,6 +2534,26 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                                     store[name] = store[src]
                             continue
                     schema_ddl, name, nullset, nestset, enumset = _translate_create(stmt)
+                    mgm = re.search(
+                        r"(?i)\bENGINE\s*=\s*Merge\s*\(\s*[^,]+,\s*"
+                        r"'((?:[^'\\]|\\.)*)'\s*\)", stmt,
+                    )
+                    if mgm:
+                        # Merge ENGINE table (StorageMerge): a live union of
+                        # the tables whose name matches the regex
+                        rx2 = re.compile(mgm.group(1).replace("\\\\", "\\"))
+                        pool2 = set(mem_tables) | set(created)
+                        names2 = sorted(t for t in pool2 if rx2.search(t))
+                        if names2:
+                            spark.sql(
+                                f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
+                                + " UNION ALL ".join(
+                                    f"SELECT * FROM {t}" for t in names2
+                                )
+                            )
+                            mem_tables[name] = spark.table(name)
+                            created.append(name)
+                            continue
                     jm = _JOIN_ENGINE_RE.search(stmt)
                     if jm and jm.group(1).upper() == "LEFT":
                         # joinGet only works on LEFT-kind Join tables
@@ -2965,9 +2993,17 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         str(stmt_settings.get("extremes", "0")) == "1",
                     )
                 else:
+                    all_cols2: dict = {}
+                    for _cols in ch_schemas.values():
+                        all_cols2.update(dict(_cols))
                     lines = _render_output(
                         fmt_m.group(1), rows, res_df.schema, _fmt_cell,
                         stmt_settings,
+                        ch_meta=_select_item_meta(
+                            stmt, res_df.schema.fields, all_cols2
+                        )
+                        if fmt_m.group(1).lower().endswith("withnamesandtypes")
+                        else None,
                     )
             if lines is not None:
                 # multi-line / headered formats compare strictly in order
