@@ -59,8 +59,14 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
+    # Materialize through the noop sink: unlike .count(), the final
+    # projection's columns cannot be pruned away, so expression cost is
+    # fully measured (round-5 verdict's bench-fidelity ask).
+    def _run(df):
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm-up: trigger session init + parquet footer reads once.
-    queries[names[0]](spark, sf_dir).count()
+    _run(queries[names[0]](spark, sf_dir))
 
     # Machine-speed calibration: a fixed CPU-bound Spark job with no IO.
     # Its time scales with current machine load/speed, so the regression
@@ -76,7 +82,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
+        _run(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
 
     out = {
@@ -86,6 +92,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calib_sec": calib,
+        # round 6: queries materialize via the noop sink instead of
+        # .count() — absolute timings include full projection cost now
+        # (one-time ≈ +5-10% step vs rounds ≤5; same action every round
+        # hereafter, so round-over-round comparisons stay valid)
+        "action": "noop-sink",
     }
 
     # Per-query regression diff vs the previous round's recorded bench

@@ -626,10 +626,31 @@ _CH_DT_FMT = {
     "F": "yyyy-MM-dd", "D": "MM/dd/yy", "T": "HH:mm:ss", "R": "HH:mm",
     "H": "HH", "k": "H", "I": "hh", "h": "hh", "l": "h",
     "M": "mm", "i": "mm", "S": "ss", "s": "ss", "p": "a",
-    "j": "DDD", "a": "EEE", "b": "MMM", "W": "MMMM", "w": "e",
+    "j": "DDD", "a": "EEE", "b": "MMM", "W": "EEEE",
     "u": "u", "V": "ww", "G": "YYYY", "g": "YY", "Q": "q",
     "n": "'\n'", "t": "'\t'", "%": "%",
 }
+
+
+def _split_dtfmt_on_w(fmt: str) -> list[str]:
+    """Split a MySQL-style format on %w codes (respecting %% escapes)."""
+    parts: list[str] = []
+    cur: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            if fmt[i + 1] == "w":
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(fmt[i])
+                cur.append(fmt[i + 1])
+            i += 2
+            continue
+        cur.append(fmt[i])
+        i += 1
+    parts.append("".join(cur))
+    return parts
 
 
 def _ch_dtfmt_to_java(fmt: str) -> str:
@@ -2355,8 +2376,34 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             # patterns at translate time (extra timezone arg dropped — the
             # session is pinned UTC)
             raw = arg_sql[1].strip()[1:-1]
-            jfmt = raw if t.endswith("JodaSyntax") else _ch_dtfmt_to_java(raw)
-            out.append(f"date_format({arg_sql[0]}, '{jfmt}')")
+
+            def _df_lit(jpat: str) -> str:
+                # Java-quoted literals ('T', …) must be SQL-escaped when
+                # spliced back into a single-quoted Spark literal
+                esc = jpat.replace("\\", "\\\\").replace("'", "\\'")
+                return f"date_format({arg_sql[0]}, '{esc}')"
+
+            if t.endswith("JodaSyntax"):
+                out.append(_df_lit(raw))
+            else:
+                # %w is Sunday-based 0-6 (mysqlDayOfWeek0To6) — no Java
+                # pattern letter yields it; splice dayofweek(x)-1 between
+                # the surrounding date_format segments
+                segs = _split_dtfmt_on_w(raw)
+                pieces: list[str] = []
+                for si, seg in enumerate(segs):
+                    if si:
+                        pieces.append(
+                            f"CAST(dayofweek({arg_sql[0]}) - 1 AS STRING)"
+                        )
+                    if seg:
+                        pieces.append(_df_lit(_ch_dtfmt_to_java(seg)))
+                if len(pieces) == 1:
+                    out.append(pieces[0])
+                elif pieces:
+                    out.append("concat(" + ", ".join(pieces) + ")")
+                else:
+                    out.append("''")
             i = close + 1
             continue
 
@@ -4565,13 +4612,28 @@ def _rewrite_values_tf(s: str) -> str:
         inner = s[start + 1 : k]
         parts = _split_top_level_commas_str(inner)
         names = None
+        types: list[str | None] = []
         if parts and re.fullmatch(r"\s*'[^']*'\s*", parts[0]):
             decl = parts[0].strip().strip("'")
-            names = [
-                re.match(r"\s*(`[^`]+`|\w+)", p).group(1).strip("`")
-                for p in decl.split(",")
-            ]
+            names, types = [], []
+            for p in _split_top_level_commas_str(decl):
+                cm = re.match(r"\s*(`[^`]+`|\w+)\s*(.*)$", p)
+                names.append(cm.group(1).strip("`"))
+                tdecl = cm.group(2).strip()
+                if tdecl:
+                    try:
+                        types.append(ch_type_to_spark(tdecl))
+                    except ChSqlError:
+                        types.append(None)
+                else:
+                    types.append(None)
             parts = parts[1:]
+            # multi-column structure with bare scalar args: all args form ONE
+            # row (TableFunctionValues.cpp: non-tuple args are row elements)
+            if len(names) > 1 and parts and not any(
+                p.strip().startswith("(") for p in parts
+            ):
+                parts = [", ".join(parts)]
         # emit as a UNION ALL of SELECTs — a parenthesized row after a comma
         # would otherwise be struct-ified by the tuple rewriting
         row_bodies = []
@@ -4581,14 +4643,26 @@ def _rewrite_values_tf(s: str) -> str:
                 p = p[1:-1]
             row_bodies.append(p)
         selects = []
-        for ri, rb in enumerate(row_bodies):
-            if ri == 0 and names:
+        for rb in row_bodies:
+            if names:
                 items = _split_top_level_commas_str(rb)
                 if len(items) == len(names):
-                    rb = ", ".join(
-                        f"{it.strip()} AS {nm}"
-                        for it, nm in zip(items, names)
-                    )
+                    cols = []
+                    for it, nm, ty in zip(items, names, types):
+                        it = it.strip()
+                        if ty is not None:
+                            # strict cast per declared type
+                            # (TableFunctionValues casts each literal; a
+                            # failed parse throws serverError 36)
+                            cols.append(
+                                f"CASE WHEN ({it}) IS NOT NULL AND "
+                                f"try_cast({it} AS {ty}) IS NULL THEN "
+                                f"CAST(raise_error('Cannot parse value as {ty}') AS {ty}) "
+                                f"ELSE CAST({it} AS {ty}) END AS {nm}"
+                            )
+                        else:
+                            cols.append(f"{it} AS {nm}")
+                    rb = ", ".join(cols)
             selects.append("SELECT " + rb)
         out.append(s[last:m.start()])
         out.append(f"{m.group(1)}({' UNION ALL '.join(selects)}) __vals")
@@ -5330,15 +5404,26 @@ def _translate_impl(ch_sql: str) -> str:
         s = _rewrite_fromless_dummy(s)
     if re.search(r"(?i)\bFROM\s+VALUES\s*\(", s):
         s = _rewrite_values_tf(s)
+    # paren-less column exclusion (ParserColumnsTransformers accepts
+    # `SELECT * EXCEPT id`) → Spark needs the parenthesized form
+    s = re.sub(
+        r"(?i)(\*\s+EXCEPT)\s+(?!(?:ALL|DISTINCT|SELECT|WITH|STRICT)\b)"
+        r"(`[^`]+`|[A-Za-z_]\w*)\b(?!\s*\()",
+        r"\1 (\2)",
+        s,
+    )
     # bare INTERSECT/EXCEPT are ALL in ClickHouse (Settings.h
     # intersect_default_mode = ALL); Spark's default is DISTINCT.
-    # `EXCEPT(` stays — that's the column-exclusion matcher.
+    # Only rewrite when the keyword starts a set-operation branch (next
+    # token SELECT/WITH, possibly parenthesized) — `EXCEPT(cols)` and
+    # `EXCEPT ident` are the column-exclusion transformer and must stay.
     if re.search(r"(?i)\b(INTERSECT|EXCEPT)\b", s):
         blank_ie = _blank_strings(s)
         outp = []
         last = 0
         for m_ie in re.finditer(
-            r"(?i)\b(INTERSECT|EXCEPT)\b(?!\s*(\(|ALL\b|DISTINCT\b))", blank_ie
+            r"(?i)\b(INTERSECT|EXCEPT)\b(?=(\s*\()*\s*(SELECT|WITH)\b)",
+            blank_ie,
         ):
             outp.append(s[last:m_ie.end(1)])
             outp.append(" ALL")

@@ -1077,16 +1077,19 @@ def countDigits(x) -> Column:
 
 @chfn("moduloLegacy")
 def moduloLegacy(a, b) -> Column:
-    # legacy rule (moduloLegacy.cpp): the dividend is first converted to the
-    # divisor's UNSIGNED width, so moduloLegacy(-199, 200) = UInt8(-199) %
-    # 200 = 57. Width picked from the divisor's magnitude.
+    # legacy rule (moduloLegacy.cpp + NumberTraits ResultOfModuloLegacy):
+    # r = a % b, then r is wrapped into a SIGNED integer of the divisor's
+    # byte width — moduloLegacy(-199, 200) = Int8(-199 % 200) = Int8(-199)
+    # = 57, while moduloLegacy(-100, 200) = Int8(-100) = -100.
     ca, cb = col(a), col(b)
+    r = ca % cb
     width = (
-        F.when(F.abs(cb) < 256, F.lit(256))
-        .when(F.abs(cb) < 65536, F.lit(65536))
-        .otherwise(F.lit(4294967296))
-    )
-    return F.when(ca >= 0, ca % cb).otherwise(F.pmod(ca, width) % cb)
+        F.when(F.abs(cb) < 256, F.lit(256.0))
+        .when(F.abs(cb) < 65536, F.lit(65536.0))
+        .when(F.abs(cb) < 4294967296, F.lit(4294967296.0))
+    )  # divisors ≥ 2^32 → 8-byte result: pass r through unchanged
+    wrapped = (F.pmod(r + width / 2, width) - width / 2).cast("long")
+    return F.when(width.isNull(), r).otherwise(wrapped)
 
 
 @chfn("multiplyDecimal")

@@ -548,3 +548,146 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    SELECT l_partkey, CAST(sum(l_extendedprice * l_quantity) AS DOUBLE) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * l_quantity) > (
+        SELECT sum(l_extendedprice * l_quantity) * 0.001
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1')
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: scalar subquery in HAVING (global-total threshold).
+
+    No partsupp in the fixture — lineitem value per part plays ps_supplycost
+    * ps_availqty. The scalar subquery is an uncorrelated single-row
+    aggregate: Spark plans it as a broadcast-able subquery reused against
+    the grouped result (reference: q11 in the TPC-H suite; CH 23.3 runs it
+    via two passes, Catalyst folds it into one plan with a ReusedSubquery).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    filtered = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
+    )
+    per_part = filtered.groupBy("l_partkey").agg(F.sum("v").alias("part_value"))
+    total = filtered.agg((F.sum("v") * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem l1
+        WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+          AND l1.l_quantity > (SELECT 1.5 * avg(l2.l_quantity) FROM lineitem l2
+                               WHERE l2.l_partkey = l1.l_partkey))
+    ORDER BY s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN subquery containing BOTH a nested IN and a
+    correlated scalar subquery — two-level decorrelation.
+
+    Catalyst rewrites the correlated `avg per l_partkey` into an aggregate
+    joined back on the correlation key, and both IN levels into left-semi
+    joins (the reference 23.3 rejects the correlated form outright). The
+    DataFrame build mirrors that target plan: per-part avg (shuffle on
+    l_partkey), semi-join against the size-filtered part dim (broadcast),
+    then semi-join supplier.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part_small = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier")
+    per_part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * F.lit(1.5)).alias("qty_thresh")
+    )
+    big_shippers = (
+        li.join(F.broadcast(part_small), li.l_partkey == part_small.p_partkey, "left_semi")
+        .join(per_part_avg, "l_partkey")
+        .filter(F.col("l_quantity") > F.col("qty_thresh"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(big_shippers, supp.s_suppkey == big_shippers.l_suppkey, "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS, both correlated on the outer
+    row's order AND carrying a non-equi (<>) conjunct — the hardest
+    decorrelation in the suite.
+
+    No l_receiptdate/l_commitdate in the fixture, so l_returnflag='R'
+    stands in for "late". Expressed through spark.sql so Catalyst's
+    RewritePredicateSubquery turns the EXISTS into a left-semi and the
+    NOT EXISTS into a left-anti join, each shuffled on l_orderkey only
+    (the <> rides along as a join condition, no cartesian).
+    """
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q21_supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q21_lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q21_orders")
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM __q21_supplier
+        JOIN __q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN __q21_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM __q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM __q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        """
+    )

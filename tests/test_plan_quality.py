@@ -135,6 +135,26 @@ def test_prefix_sum_no_global_window(spark, name):
         assert "pid#" in spec, f"{name}: unpartitioned window: {l.strip()}"
 
 
+def test_no_block_order_default_window_on_data_path(spark):
+    """Policy (SCALING.md §Block-order compat functions): the deprecated
+    block-order functions (runningDifference/neighbor/runningAccumulate/
+    rowNumberInAllBlocks) fall back to an UNPARTITIONED window ordered by
+    monotonically_increasing_id() when no window is supplied — a
+    single-reducer sort at scale. They are dialect-compat only; no gated
+    registry query may carry that default in its plan."""
+    for name, fn in sorted(all_queries().items()):
+        df = fn(spark, SF)
+        p = df._jdf.queryExecution().analyzed().toString()
+        for line in p.splitlines():
+            if "windowspecdefinition(" in line and (
+                "monotonically_increasing_id()" in line
+            ):
+                raise AssertionError(
+                    f"{name}: block-order default window on a data path: "
+                    f"{line.strip()}"
+                )
+
+
 def test_no_chhash_udfs_on_data_path(spark):
     """Policy (SCALING.md, chhash.py docstring): the ClickHouse-bit-exact
     hash family (ch_*_fold / ch_*_elems pandas UDFs) is a dialect compat

@@ -2210,6 +2210,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     col_defaults: dict[str, dict] = {}  # table → col → DEFAULT expr (CH SQL)
     table_meta: dict[str, tuple] = {}  # table → (engine, sort keys, version)
     table_alias: dict[str, str] = {}  # Buffer table → destination table
+    dist_meta: dict[str, tuple] = {}  # Distributed table → (target, shard key)
     # ClickHouse coerces INSERT literals to column types ('2016-01-01' →
     # Date); Spark's default store-assignment policy rejects string→date
     prev_policy = spark.conf.get("spark.sql.storeAssignmentPolicy", "ANSI")
@@ -2494,7 +2495,8 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         )
                         dm3 = re.search(
                             r"(?i)ENGINE\s*=\s*Distributed\s*\(\s*[^,]+,"
-                            r"\s*[^,]+,\s*['\"`]?(\w+)['\"`]?", stmt,
+                            r"\s*[^,]+,\s*['\"`]?(\w+)['\"`]?"
+                            r"(?:\s*,\s*([A-Za-z_]\w*))?", stmt,
                         )
                         if dm3 and dm3.group(1).split(".")[-1] in mem_tables:
                             # Distributed proxies its target table
@@ -2505,6 +2507,8 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                             body = f"SELECT * FROM {tgt}"
                             if re.search(r"(?i)two_shards", stmt):
                                 body = f"{body} UNION ALL {body}"
+                                if dm3.group(2):
+                                    dist_meta[name] = (tgt, dm3.group(2))
                             spark.sql(
                                 f"CREATE OR REPLACE TEMPORARY VIEW {name} AS"
                                 f" {body}"
@@ -2599,6 +2603,37 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         enum_cols, col_defaults,
                     )
                     continue
+                # optimize_skip_unused_shards: a literal equality/IN on the
+                # sharding key prunes the fan-out to the matching shards
+                # (StorageDistributed skipUnusedShards); two equal-weight
+                # shards route by key % 2 — a single-shard literal set reads
+                # exactly one copy of the (shared) local table
+                if dist_meta and session_settings.get(
+                    "optimize_skip_unused_shards", "0"
+                ) not in ("0", "false", ""):
+                    for dname, (tgt2, skey) in dist_meta.items():
+                        if not re.search(
+                            rf"(?i)\bFROM\s+(?:\w+\.)?{dname}\b", stmt
+                        ):
+                            continue
+                        pm = re.search(
+                            rf"(?i)\b{skey}\s+IN\s*\(([^()]*)\)"
+                            rf"|\b{skey}\s*=\s*(-?\d+)",
+                            stmt,
+                        )
+                        vals = None
+                        if pm:
+                            vals = (
+                                [pm.group(2)] if pm.group(2) is not None
+                                else [v.strip() for v in pm.group(1).split(",")]
+                            )
+                        if vals and all(
+                            re.fullmatch(r"-?\d+", v) for v in vals
+                        ) and len({int(v) % 2 for v in vals}) == 1:
+                            stmt = re.sub(
+                                rf"(?i)\b(FROM\s+)(?:\w+\.)?{dname}\b",
+                                rf"\g<1>{tgt2}", stmt,
+                            )
                 from clickhouse_23_3_19_32_lts_spark.dialect import (
                     apply_fill,
                     parse_fill_query,
