@@ -4654,9 +4654,12 @@ def _rewrite_values_tf(s: str) -> str:
                             # strict cast per declared type
                             # (TableFunctionValues casts each literal; a
                             # failed parse throws serverError 36)
+                            # NB: plain CAST, not try_cast — the generic
+                            # function translator strips ` AS T` from
+                            # unknown functions' args
                             cols.append(
                                 f"CASE WHEN ({it}) IS NOT NULL AND "
-                                f"try_cast({it} AS {ty}) IS NULL THEN "
+                                f"CAST({it} AS {ty}) IS NULL THEN "
                                 f"CAST(raise_error('Cannot parse value as {ty}') AS {ty}) "
                                 f"ELSE CAST({it} AS {ty}) END AS {nm}"
                             )

@@ -2008,6 +2008,29 @@ def _render_output(ofmt: str, rows, schema, fmt_cell, settings=None, ch_meta=Non
 
     names = [f.name for f in schema.fields]
     low = ofmt.lower()
+    if low == "bsoneachrow":
+        from clickhouse_23_3_19_32_lts_spark.sources.msgpack_bson import (
+            encode_bson_each_row,
+        )
+
+        meta = ch_meta or [
+            (f.name, _spark_to_ch_type(f.dataType)) for f in schema.fields
+        ]
+        st = settings or {}
+        as_str = str(st.get("output_format_bson_string_as_string", "0")) != "0"
+        blob = encode_bson_each_row(
+            [list(r) for r in rows], meta, as_string=as_str
+        )
+        # the reference file is read as UTF-8 with errors=replace; apply
+        # the identical transform so byte-exact payloads compare equal
+        return [blob.decode("utf-8", errors="replace")]
+    if low == "msgpack":
+        from clickhouse_23_3_19_32_lts_spark.sources.msgpack_bson import (
+            encode_msgpack,
+        )
+
+        blob = encode_msgpack([list(r) for r in rows])
+        return [blob.decode("utf-8", errors="replace")]
     if low in ("tabseparated", "tsv"):
         return ["\t".join(fmt_cell(j, v) for j, v in enumerate(r)) for r in rows]
     if low in ("tabseparatedwithnames", "tsvwithnames"):
@@ -2702,47 +2725,126 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                             "cross_to_inner_join_rewrite=2"
                         )
 
-                # format(Fmt, 'payload') table function
-                # (TableFunctionFormat.cpp): parse the inline payload with
-                # Spark's schema inference and substitute a temp view
+                # format(Fmt[, 'structure'], payload) table function
+                # (TableFunctionFormat.cpp): parse the inline payload —
+                # text formats through the INSERT inline parser, binary
+                # (BSONEachRow/MsgPack/Native) through the spec codecs —
+                # and substitute a typed temp view
                 if re.search(r"(?i)\bFROM\s+format\s*\(", stmt):
 
                     def _format_rep(mm):
                         inner = mm.group(2)
-                        am2 = re.match(
-                            r"(?is)\s*([A-Za-z]+)\s*,\s*'((?:[^'\\]|\\.)*)'\s*$",
-                            inner,
-                        )
-                        if not am2:
+                        args3 = _split_top_level_commas(inner)
+                        if len(args3) < 2:
                             raise ChSqlError(f"format() TF: {inner[:50]}")
-                        fmt_name = am2.group(1).lower()
-                        payload = (
-                            am2.group(2)
-                            .replace("\\n", "\n").replace("\\t", "\t")
-                            .replace("\\'", "'").replace("\\\\", "\\")
+                        fmt_name = args3[0].strip().strip("'\"").lower()
+                        structure = None
+                        if len(args3) >= 3:
+                            structure = args3[1].strip().strip("'")
+                        pay_raw = args3[-1].strip()
+                        hexm = re.fullmatch(
+                            r"(?is)x'([0-9a-f]*)'", pay_raw
                         )
-                        lines2 = [
-                            ln for ln in payload.split("\n") if ln.strip()
-                        ]
-                        sc2 = spark.sparkContext
-                        if fmt_name in ("jsoneachrow", "ndjson", "jsonlines"):
-                            dfx = spark.read.json(sc2.parallelize(lines2))
-                        elif fmt_name in ("csv", "tsv", "tabseparated"):
-                            sep = "," if fmt_name == "csv" else "\t"
-                            dfx = spark.read.csv(
-                                sc2.parallelize(lines2), sep=sep,
-                                inferSchema=True,
+                        if hexm:
+                            data3 = bytes.fromhex(hexm.group(1))
+                            payload = None
+                        elif pay_raw.startswith("'"):
+                            payload = (
+                                pay_raw[1:-1]
+                                .replace("\\n", "\n").replace("\\t", "\t")
+                                .replace("\\'", "'").replace("\\\\", "\\")
                             )
-                            dfx = dfx.toDF(*[f"c{j+1}" for j in range(len(dfx.columns))])
+                            data3 = payload.encode("utf-8", "surrogateescape")
                         else:
-                            raise ChSqlError(f"format() TF: {fmt_name}")
-                        vname2 = f"__fmt_tf_{abs(hash(payload)) % 10**8}"
+                            raise ChSqlError(f"format() TF payload: {pay_raw[:40]}")
+                        pairs3 = None
+                        if structure:
+                            pairs3 = []
+                            for p3 in _split_top_level_commas(structure):
+                                nm3, _, ty3 = p3.strip().partition(" ")
+                                pairs3.append((nm3.strip("`"), ty3.strip()))
+                        from pyspark.sql import functions as F
+                        from clickhouse_23_3_19_32_lts_spark.sources import (
+                            msgpack_bson as _mb,
+                        )
+                        from clickhouse_23_3_19_32_lts_spark.sources.binary_formats import (
+                            schema_from_ch as _sch,
+                        )
+
+                        sc2 = spark.sparkContext
+                        dfx = None
+                        try:
+                            if fmt_name == "bsoneachrow":
+                                if not pairs3:
+                                    raise ChSqlError("BSONEachRow needs a structure")
+                                rows3 = _mb.decode_bson_each_row(data3)
+                                pdf3 = _mb.bson_rows_to_pandas(
+                                    rows3, [n for n, _ in pairs3]
+                                )
+                                dfx = spark.createDataFrame(
+                                    pdf3.astype(object).where(pdf3.notna(), None)
+                                    if len(pdf3) else pdf3,
+                                    schema=_sch(pairs3),
+                                )
+                            elif fmt_name == "msgpack":
+                                if not pairs3:
+                                    raise ChSqlError("MsgPack needs a structure")
+                                rows3 = _mb.decode_msgpack(data3, len(pairs3))
+                                dfx = spark.createDataFrame(
+                                    rows3, schema=_sch(pairs3)
+                                )
+                            elif fmt_name == "native":
+                                from clickhouse_23_3_19_32_lts_spark.sources.binary_formats import (
+                                    decode_native as _dn,
+                                )
+                                pdf3 = _dn(data3)
+                                dfx = spark.createDataFrame(pdf3)
+                        except (ChSqlError,):
+                            raise
+                        except Exception as ex3:  # noqa: BLE001 — malformed
+                            raise ChSqlError(f"format() parse: {ex3}") from ex3
+                        if dfx is None:
+                            if payload is None:
+                                payload = data3.decode("utf-8", "replace")
+                            lines2 = [
+                                ln for ln in payload.split("\n") if ln.strip()
+                            ]
+                            if fmt_name in (
+                                "jsoneachrow", "ndjson", "jsonlines",
+                            ):
+                                dfx = spark.read.json(sc2.parallelize(lines2))
+                                if pairs3:
+                                    want3 = _sch(pairs3)
+                                    dfx = dfx.select(*[
+                                        F.col(f3.name).cast(f3.dataType).alias(f3.name)
+                                        for f3 in want3.fields
+                                    ])
+                            elif fmt_name in (
+                                "csv", "tsv", "tabseparated",
+                                "csvwithnames", "tsvwithnames",
+                                "tabseparatedwithnames",
+                            ):
+                                sep = "," if fmt_name.startswith("csv") else "\t"
+                                header = fmt_name.endswith("withnames")
+                                dfx = spark.read.csv(
+                                    sc2.parallelize(lines2), sep=sep,
+                                    header=header,
+                                    inferSchema=pairs3 is None,
+                                    schema=_sch(pairs3) if pairs3 else None,
+                                )
+                                if not pairs3 and not header:
+                                    dfx = dfx.toDF(*[
+                                        f"c{j+1}" for j in range(len(dfx.columns))
+                                    ])
+                            else:
+                                raise ChSqlError(f"format() TF: {fmt_name}")
+                        vname2 = f"__fmt_tf_{abs(hash(inner)) % 10**8}"
                         dfx.createOrReplaceTempView(vname2)
                         created.append(vname2)
                         return f"{mm.group(1)}{vname2}"
 
                     stmt = re.sub(
-                        r"(?is)\b(FROM\s+)format\s*\(((?:[^()']|'(?:[^'\\]|\\.)*'|\([^()]*\))*)\)",
+                        r"(?is)\b(FROM\s+)format\s*\(((?:[^()']|[xX]?'(?:[^'\\]|\\.)*'|\([^()]*\))*)\)",
                         _format_rep, stmt,
                     )
 
