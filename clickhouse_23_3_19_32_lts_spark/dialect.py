@@ -258,7 +258,7 @@ TEMPLATES: dict[str, str] = {
     "bitTest": "((shiftright({0}, CAST({1} AS INT)) & 1) = 1)",
     "bitCount": "bit_count({0})",
     "bitHammingDistance": "bit_count({0} ^ {1})",
-    "roundBankers": "bround({0})",
+    "roundBankers": None,  # arity-dispatched: see ARITY_TEMPLATES
     "exp2": "power(2, {0})",
     "exp10": "power(10, {0})",
     "e": "exp(1)",
@@ -418,6 +418,8 @@ ARITY_TEMPLATES: dict[str, dict[int, str]] = {
         2: "count(CASE WHEN {1} THEN {0} END)",
     },
     "ignore": {0: "0", 1: "(length(CAST({0} AS STRING)) * 0)"},
+    # roundBankers scale argument (FunctionsRound.h: optional, default 0)
+    "roundBankers": {1: "bround({0})", 2: "bround({0}, {1})"},
     # 2-arg arraySlice runs to the end; 1-arg arrayStringConcat joins with ''
     "arraySlice": {2: "slice({0}, {1}, size({0}))"},
     "arrayStringConcat": {1: "array_join({0}, '')"},
@@ -3246,6 +3248,25 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             and not _has_lambda
         ):
             out.append(_fill_template(ARITY_TEMPLATES[t][len(arg_sql)], arg_sql, t))
+            i = close + 1
+            continue
+
+        if (
+            t in ("toUInt8", "toUInt16", "toUInt32", "toUInt64")
+            and len(arg_sql) == 1
+            and re.fullmatch(r"-\s*\d+", arg_sql[0].strip())
+        ):
+            # unsigned wrap of a negative literal (CH casts reinterpret the
+            # two's-complement bits: toUInt64(-1) = 18446744073709551615).
+            # UInt64 exceeds BIGINT, so surface it as DECIMAL(20,0) — the
+            # same carrier the ch-hash family uses for unsigned 64-bit
+            neg = int(arg_sql[0].replace(" ", ""))
+            width = {"toUInt8": 8, "toUInt16": 16, "toUInt32": 32, "toUInt64": 64}[t]
+            wrapped = neg % (1 << width)
+            if width == 64:
+                out.append(f"CAST({wrapped} AS DECIMAL(20,0))")
+            else:
+                out.append(f"CAST({wrapped} AS BIGINT)")
             i = close + 1
             continue
 

@@ -576,3 +576,54 @@ def regionHierarchy(x) -> Column:
 def regionIn(child, ancestor) -> Column:
     """regionIn(a, b): is b in a's ancestor chain (including a == b)."""
     return F.array_contains(regionHierarchy(child), col(ancestor).cast("long")).cast("boolean")
+
+
+# -- S2 cell-id subset: DataFrame-level builders delegating to the pandas
+# UDF kernels registered by s2_udfs.register_s2_udfs (geometry re-derived
+# from the public s2geometry spec in s2_core.py; reference parity:
+# src/Functions/geoToS2.cpp, s2ToGeo.cpp, s2GetNeighbors.cpp,
+# s2CellsIntersect.cpp, s2Cap*.cpp, s2Rect*.cpp).
+
+@chfn("geoToS2")
+def geoToS2(lon, lat) -> Column:
+    return _h3_call("geoToS2", lon, lat)
+
+
+@chfn("s2ToGeo")
+def s2ToGeo(cell) -> Column:
+    return _h3_call("s2ToGeo", cell)
+
+
+@chfn("s2GetNeighbors")
+def s2GetNeighbors(cell) -> Column:
+    return _h3_call("s2GetNeighbors", cell)
+
+
+@chfn("s2CapContains")
+def s2CapContains(center, degrees, point) -> Column:
+    return _h3_call("s2CapContains", center, degrees, point)
+
+
+@chfn("s2CapUnion")
+def s2CapUnion(c1, r1, c2, r2) -> Column:
+    return _h3_call("s2CapUnion", c1, r1, c2, r2)
+
+
+@chfn("s2RectContains")
+def s2RectContains(lo, hi, point) -> Column:
+    return _h3_call("s2RectContains", lo, hi, point)
+
+
+@chfn("s2RectAdd")
+def s2RectAdd(lo, hi, point) -> Column:
+    return _h3_call("s2RectAdd", lo, hi, point)
+
+
+@chfn("s2RectUnion")
+def s2RectUnion(lo1, hi1, lo2, hi2) -> Column:
+    return _h3_call("s2RectUnion", lo1, hi1, lo2, hi2)
+
+
+@chfn("s2RectIntersection")
+def s2RectIntersection(lo1, hi1, lo2, hi2) -> Column:
+    return _h3_call("s2RectIntersection", lo1, hi1, lo2, hi2)

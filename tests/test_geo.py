@@ -294,3 +294,68 @@ def test_h3_core_pentagon_boundary_shape():
             hp = h3._make_h3(res, bc, [0] * 15)
             b = h3.h3_to_geo_boundary(hp)
             assert len(b) == (10 if res % 2 else 5), (bc, res)
+
+
+def test_s2_core_reference_vectors():
+    """Reference stateless vectors: 01849_geoToS2, 01851-01854."""
+    from clickhouse_23_3_19_32_lts_spark.functions import s2_core as S
+
+    # 01851_s2_to_geo
+    assert S.s2_to_geo(4573520603753570041) == (55.779227241803866, 37.63098046233757)
+    assert S.s2_to_geo(4573517609713934091) == (55.76324102676383, 37.660183005258276)
+    # 01849_geoToS2 leaf round-trips (geoToS2(lon, lat) -> printed leaf id)
+    for lon, lat, want in (
+        (-19.826140, -41.192912, 145638248314527735),
+        (125.938503, 25.519362, 3814912406305146887),
+        (-89.810962, -57.013984, 13606307743304496003),
+        (5.161979, -46.718242, 13251733624047612511),
+    ):
+        assert S.geo_to_s2(lon, lat) == want
+    assert S.geo_to_s2(1.8446744073709552e19, 1.8446744073709552e19) == 4864204703484167331
+    # 01852_s2_get_neighbours
+    assert S.get_edge_neighbors(5074766849661468672) == [
+        5074766987100422144, 5074766712222515200,
+        5074767536856236032, 5074767261978329088,
+    ]
+    # 01853_s2_cells_intersect
+    assert S.cells_intersect(9926595209846587392, 9926594385212866560)
+    assert not S.cells_intersect(9926595209846587392, 9937259648002293760)
+    # 01854 caps
+    assert S.cap_contains(1157339245694594829, 1.0, 1157347770437378819)
+    assert not S.cap_contains(1157339245694594829, 1.0, 1152921504606846977)
+    assert S.cap_contains(1157339245694594829, 3.14, 1157339245694594829)
+    assert S.cap_union(3814912406305146967, 1.0, 1157347770437378819, 1.0) == (
+        4534655147792050737, 60.2088283994957,
+    )
+    assert S.cap_union(1157339245694594829, -1.0, 1152921504606846977, -1.0) == (
+        1157339245694594829, -57.29577951308232,
+    )
+    # error paths (serverError 36 / 43 in the reference)
+    import pytest
+
+    with pytest.raises(ValueError):
+        S.s2_to_geo((1 << 64) - 1)
+    with pytest.raises(ValueError):
+        S.cells_intersect(9926595209846587392, 9223372036854775806)
+    with pytest.raises(ValueError):
+        S.geo_to_s2(float("nan"), float("nan"))
+    with pytest.raises(ValueError):
+        S.geo_to_s2(float("-inf"), 1.1754943508222875e-38)
+
+
+def test_s2_rect_functions():
+    """s2Rect* sanity: add/contains/union/intersection are consistent."""
+    from clickhouse_23_3_19_32_lts_spark.functions import s2_core as S
+
+    lo = S.geo_to_s2(10.0, 10.0)
+    hi = S.geo_to_s2(20.0, 20.0)
+    inside = S.geo_to_s2(15.0, 15.0)
+    outside = S.geo_to_s2(40.0, 40.0)
+    assert S.rect_contains(lo, hi, inside)
+    assert not S.rect_contains(lo, hi, outside)
+    lo2, hi2 = S.rect_add(lo, hi, outside)
+    assert S.rect_contains(lo2, hi2, outside)
+    ulo, uhi = S.rect_union(lo, hi, lo2, hi2)
+    assert S.rect_contains(ulo, uhi, inside) and S.rect_contains(ulo, uhi, outside)
+    ilo, ihi = S.rect_intersection(lo, hi, lo2, hi2)
+    assert S.rect_contains(ilo, ihi, inside)
