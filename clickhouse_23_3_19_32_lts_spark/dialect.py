@@ -205,16 +205,15 @@ TEMPLATES: dict[str, str] = {
     # untuple(t) expands the tuple into one column per element
     # (FunctionUntuple) — Spark's inline generator over a 1-element array
     "untuple": "inline(array({0}))",
-    "parseDateTimeBestEffort": "to_timestamp({0})",
-    "parseDateTimeBestEffortOrNull": "to_timestamp({0})",
-    "parseDateTimeBestEffortOrZero": (
-        "coalesce(to_timestamp({0}), timestamp_seconds(0))"
-    ),
-    "parseDateTime64BestEffort": "to_timestamp({0})",
-    "parseDateTime64BestEffortOrNull": "to_timestamp({0})",
-    "parseDateTime64BestEffortOrZero": (
-        "coalesce(to_timestamp({0}), timestamp_seconds(0))"
-    ),
+    # best-effort datetime parsing: the reference token scanner is
+    # reimplemented in functions/besteffort.py (parseDateTimeBestEffort.cpp)
+    # and exposed through the chParseDT* pandas UDFs; see ARITY_TEMPLATES
+    "parseDateTimeBestEffort": None,
+    "parseDateTimeBestEffortOrNull": None,
+    "parseDateTimeBestEffortOrZero": None,
+    "parseDateTime64BestEffort": None,
+    "parseDateTime64BestEffortOrNull": None,
+    "parseDateTime64BestEffortOrZero": None,
     # 64-bit sub-second unix conversions (FunctionsConversion.h
     # fromUnixTimestamp64* / toUnixTimestamp64*)
     "fromUnixTimestamp64Milli": "timestamp_millis(CAST({0} AS BIGINT))",
@@ -420,6 +419,148 @@ ARITY_TEMPLATES: dict[str, dict[int, str]] = {
     "ignore": {0: "0", 1: "(length(CAST({0} AS STRING)) * 0)"},
     # roundBankers scale argument (FunctionsRound.h: optional, default 0)
     "roundBankers": {1: "bround({0})", 2: "bround({0}, {1})"},
+    # DateTime display time zones: the reference renders a DateTime in its
+    # column zone; the session is pinned UTC, so a non-UTC zone becomes a
+    # wall-clock shift (convert_timezone matches DateLUT incl. historic
+    # fractional offsets — reference 01262/01770)
+    "toTimeZone": {2: "convert_timezone('UTC', {1}, {0})"},
+    "toTimezone": {2: "convert_timezone('UTC', {1}, {0})"},
+    "now": {0: "current_timestamp()", 1: "convert_timezone('UTC', {0}, current_timestamp())"},
+    # only NUMERIC inputs are absolute instants needing a display shift;
+    # string/date inputs are wall clocks in the target zone already
+    "toDateTime": {
+        2: (
+            "(CASE WHEN CAST({0} AS STRING) RLIKE '^[0-9]+$'"
+            " THEN convert_timezone('UTC', {1},"
+            " timestamp_seconds(CAST(CAST({0} AS STRING) AS BIGINT)))"
+            " ELSE to_timestamp(CAST({0} AS STRING)) END)"
+        ),
+        3: (
+            "(CASE WHEN CAST({0} AS STRING) RLIKE '^[0-9]+(\\.[0-9]+)?$'"
+            " THEN convert_timezone('UTC', {2},"
+            " timestamp_seconds(CAST(CAST({0} AS STRING) AS DECIMAL(20,6))))"
+            " ELSE to_timestamp(CAST({0} AS STRING)) END)"
+        ),
+    },
+    "toDateTime64": {
+        3: (
+            "(CASE WHEN CAST({0} AS STRING) RLIKE '^[0-9]+(\\.[0-9]+)?$'"
+            " THEN convert_timezone('UTC', {2},"
+            " timestamp_seconds(CAST(CAST({0} AS STRING) AS DECIMAL(20,6))))"
+            " ELSE to_timestamp(CAST({0} AS STRING)) END)"
+        ),
+    },
+    # OrNull/OrZero datetime casts (FunctionsConversion.h to*OrNull):
+    # numeric strings are unix timestamps, otherwise standard parse
+    "toDateTimeOrNull": {
+        1: (
+            "(CASE WHEN CAST({0} AS STRING) RLIKE '^[0-9]+$'"
+            " THEN timestamp_seconds(CAST(CAST({0} AS STRING) AS BIGINT))"
+            " ELSE try_to_timestamp(CAST({0} AS STRING)) END)"
+        ),
+        2: (
+            "(CASE WHEN CAST({0} AS STRING) RLIKE '^[0-9]+$'"
+            " THEN timestamp_seconds(CAST(CAST({0} AS STRING) AS BIGINT))"
+            " ELSE try_to_timestamp(CAST({0} AS STRING)) END)"
+        ),
+    },
+    "toDateTimeOrZero": {
+        1: (
+            "coalesce(CASE WHEN CAST({0} AS STRING) RLIKE '^[0-9]+$'"
+            " THEN timestamp_seconds(CAST(CAST({0} AS STRING) AS BIGINT))"
+            " ELSE try_to_timestamp(CAST({0} AS STRING)) END,"
+            " timestamp_seconds(0))"
+        ),
+        2: (
+            "coalesce(CASE WHEN CAST({0} AS STRING) RLIKE '^[0-9]+$'"
+            " THEN timestamp_seconds(CAST(CAST({0} AS STRING) AS BIGINT))"
+            " ELSE try_to_timestamp(CAST({0} AS STRING)) END,"
+            " timestamp_seconds(0))"
+        ),
+    },
+    "toDateTime64OrNull": {
+        1: "try_to_timestamp(CAST({0} AS STRING))",
+        2: "try_to_timestamp(CAST({0} AS STRING))",
+        3: "try_to_timestamp(CAST({0} AS STRING))",
+    },
+    "toDateTime64OrZero": {
+        2: (
+            "coalesce(try_to_timestamp(CAST({0} AS STRING)),"
+            " timestamp_seconds(0))"
+        ),
+        3: (
+            "coalesce(try_to_timestamp(CAST({0} AS STRING)),"
+            " timestamp_seconds(0))"
+        ),
+    },
+    # best-effort datetime parsing (functions/besteffort.py scanner);
+    # strict raises, OrNull yields NULL, OrZero the epoch
+    "parseDateTimeBestEffort": {
+        1: "chParseDTBestEffort({0}, 'UTC')",
+        2: "chParseDTBestEffort({0}, {1})",
+    },
+    "parseDateTime32BestEffort": {
+        1: "chParseDTBestEffort({0}, 'UTC')",
+        2: "chParseDTBestEffort({0}, {1})",
+    },
+    "parseDateTimeBestEffortOrNull": {
+        1: "chParseDTBestEffortOrNull({0}, 'UTC')",
+        2: "chParseDTBestEffortOrNull({0}, {1})",
+    },
+    "parseDateTime32BestEffortOrNull": {
+        1: "chParseDTBestEffortOrNull({0}, 'UTC')",
+        2: "chParseDTBestEffortOrNull({0}, {1})",
+    },
+    "parseDateTimeBestEffortOrZero": {
+        1: "coalesce(chParseDTBestEffortOrNull({0}, 'UTC'), timestamp_seconds(0))",
+        2: "coalesce(chParseDTBestEffortOrNull({0}, {1}), timestamp_seconds(0))",
+    },
+    "parseDateTime32BestEffortOrZero": {
+        1: "coalesce(chParseDTBestEffortOrNull({0}, 'UTC'), timestamp_seconds(0))",
+        2: "coalesce(chParseDTBestEffortOrNull({0}, {1}), timestamp_seconds(0))",
+    },
+    "parseDateTimeBestEffortUS": {
+        1: "chParseDTBestEffortUS({0}, 'UTC')",
+        2: "chParseDTBestEffortUS({0}, {1})",
+    },
+    "parseDateTimeBestEffortUSOrNull": {
+        1: "chParseDTBestEffortUSOrNull({0}, 'UTC')",
+        2: "chParseDTBestEffortUSOrNull({0}, {1})",
+    },
+    "parseDateTimeBestEffortUSOrZero": {
+        1: "coalesce(chParseDTBestEffortUSOrNull({0}, 'UTC'), timestamp_seconds(0))",
+        2: "coalesce(chParseDTBestEffortUSOrNull({0}, {1}), timestamp_seconds(0))",
+    },
+    "parseDateTime64BestEffort": {
+        1: "chParseDT64BestEffort({0}, 3, 'UTC')",
+        2: "chParseDT64BestEffort({0}, {1}, 'UTC')",
+        3: "chParseDT64BestEffort({0}, {1}, {2})",
+    },
+    "parseDateTime64BestEffortOrNull": {
+        1: "chParseDT64BestEffortOrNull({0}, 3, 'UTC')",
+        2: "chParseDT64BestEffortOrNull({0}, {1}, 'UTC')",
+        3: "chParseDT64BestEffortOrNull({0}, {1}, {2})",
+    },
+    "parseDateTime64BestEffortOrZero": {
+        1: "coalesce(chParseDT64BestEffortOrNull({0}, 3, 'UTC'), timestamp_seconds(0))",
+        2: "coalesce(chParseDT64BestEffortOrNull({0}, {1}, 'UTC'), timestamp_seconds(0))",
+        3: "coalesce(chParseDT64BestEffortOrNull({0}, {1}, {2}), timestamp_seconds(0))",
+    },
+    "parseDateTime64BestEffortUS": {
+        1: "chParseDT64BestEffortUS({0}, 3, 'UTC')",
+        2: "chParseDT64BestEffortUS({0}, {1}, 'UTC')",
+        3: "chParseDT64BestEffortUS({0}, {1}, {2})",
+    },
+    "parseDateTime64BestEffortUSOrNull": {
+        1: "chParseDT64BestEffortUSOrNull({0}, 3, 'UTC')",
+        2: "chParseDT64BestEffortUSOrNull({0}, {1}, 'UTC')",
+        3: "chParseDT64BestEffortUSOrNull({0}, {1}, {2})",
+    },
+    "parseDateTime64BestEffortUSOrZero": {
+        1: "coalesce(chParseDT64BestEffortUSOrNull({0}, 3, 'UTC'), timestamp_seconds(0))",
+        2: "coalesce(chParseDT64BestEffortUSOrNull({0}, {1}, 'UTC'), timestamp_seconds(0))",
+        3: "coalesce(chParseDT64BestEffortUSOrNull({0}, {1}, {2}), timestamp_seconds(0))",
+    },
     # 2-arg arraySlice runs to the end; 1-arg arrayStringConcat joins with ''
     "arraySlice": {2: "slice({0}, {1}, size({0}))"},
     "arrayStringConcat": {1: "array_join({0}, '')"},
@@ -875,6 +1016,8 @@ def ch_type_to_spark(t: str) -> str:
         return "STRING"
     if re.match(r"FixedString\s*\(\s*\d+\s*\)$", t, re.IGNORECASE):
         return "STRING"
+    if re.match(r"DateTime32\s*(\(.*\))?$", t, re.IGNORECASE):
+        return "TIMESTAMP"
     if re.match(r"DateTime64\s*(\(.*\))?$", t, re.IGNORECASE):
         return "TIMESTAMP"
     if re.match(r"DateTime\s*\(", t, re.IGNORECASE):
@@ -1139,6 +1282,78 @@ def _find_bracket_end(tokens: list[str], open_idx: int) -> int:
 
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _ch_default_sql(t: str) -> str | None:
+    """Spark SQL literal for a CH type's default value
+    (defaultValueOfArgumentType.cpp -> IDataType::getDefault)."""
+    t = t.strip()
+    if t.startswith("Nullable("):
+        return "NULL"
+    if t.startswith(("UInt", "Int")) or t in ("Float32", "Float64"):
+        return "0"
+    if t.startswith("Decimal"):
+        return "0"
+    if t == "Bool":
+        return "false"
+    if t == "String":
+        return "''"
+    if t in ("Date", "Date32"):
+        return "DATE '1970-01-01'"
+    if t.startswith("DateTime"):
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    if t == "UUID":
+        return "'00000000-0000-0000-0000-000000000000'"
+    if t.startswith("Array("):
+        return "array()"
+    if t.startswith("Tuple(") and t.endswith(")"):
+        inner = t[6:-1]
+        parts, depth, cur = [], 0, ""
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        parts.append(cur)
+        defs = [_ch_default_sql(p) for p in parts]
+        if any(d is None for d in defs):
+            return None
+        fields = ", ".join(
+            f"'_{k + 1}', {d}" for k, d in enumerate(defs)
+        )
+        return f"named_struct({fields})"
+    return None
+
+
+def _alias_backref_tokens(tokens: list[str], upto: int, ident: str) -> list[str] | None:
+    """Tokens of the select-item expression aliased `AS ident` before
+    position `upto` (CH sibling-alias semantics for static type folding)."""
+    for j in range(upto - 1, 0, -1):
+        if tokens[j] == ident and tokens[j - 1].upper() == "AS":
+            # walk back from j-2 to the start of this select item
+            depth = 0
+            k = j - 2
+            while k >= 0:
+                tk = tokens[k]
+                if tk in (")", "]"):
+                    depth += 1
+                elif tk in ("(", "["):
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and (
+                    tk == "," or tk.upper() in ("SELECT", "BY", "WITH")
+                ):
+                    break
+                k -= 1
+            expr = tokens[k + 1 : j - 1]
+            return expr or None
+    return None
 
 # --- registry bridge: library Column builders → SQL templates ---------------
 # Every ClickHouse function implemented as a PySpark Column builder in
@@ -2283,6 +2498,40 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
 
         close = _find_call_end(tokens, i + 1)
         args = _split_args(tokens[i + 2 : close])
+        if (
+            t in ("toDateTime", "toDateTime32")
+            and len(args) >= 2
+            and len(args[1]) == 1
+            and args[1][0].isdigit()
+        ):
+            # toDateTime(x, <int>[, tz]) is the DateTime64 form — the
+            # integer is a fractional SCALE (FunctionsConversion.h)
+            t = "toDateTime64"
+        elif t == "toDateTime32":
+            t = "toDateTime"
+
+        if (
+            _DT_BEST_EFFORT
+            and t in (
+                "toDateTime", "toDateTimeOrNull", "toDateTimeOrZero",
+                "toDateTime64", "toDateTime64OrNull", "toDateTime64OrZero",
+            )
+            and args
+            and (
+                (len(args[0]) == 1 and args[0][0].startswith("'"))
+                or (lambda _ty: _ty is not None and "String" in _ty)(
+                    __import__(
+                        "clickhouse_23_3_19_32_lts_spark.chtypes",
+                        fromlist=["static_type"],
+                    ).static_type(list(args[0]), _COL_CH_TYPES)
+                )
+            )
+        ):
+            # date_time_input_format='best_effort' (Settings.h): string
+            # inputs parse via the best-effort scanner
+            base = "parseDateTimeBestEffort" if not t.startswith("toDateTime64") else "parseDateTime64BestEffort"
+            t = base + (t[len("toDateTime64"):] if t.startswith("toDateTime64") else t[len("toDateTime"):])
+
 
         # generic -If combinator (AggregateFunctionIf.cpp): fooIf(args...,
         # cond) aggregates only rows where cond — rewrite to the base
@@ -3251,6 +3500,78 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
+        if t in ("toTypeName", "toColumnTypeName") and len(args) == 1:
+            # static CH literal/expression typing (chtypes.py implements the
+            # reference's NumberTraits + literal rules); fall back to the
+            # runtime typeof() mapping when not statically inferable.
+            # toColumnTypeName additionally wraps fully-constant expressions
+            # in Const(...) (IColumn::isConst — toColumnTypeName.cpp)
+            from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
+
+            _arg_toks = list(args[0])
+            if (
+                len(_arg_toks) == 1
+                and re.match(r"[A-Za-z_]\w*$", _arg_toks[0])
+                and _arg_toks[0] not in _COL_CH_TYPES
+            ):
+                # sibling select-item alias (CH inlines these): walk back to
+                # `expr AS ident` earlier in the statement
+                expanded = _alias_backref_tokens(tokens, i, _arg_toks[0])
+                if expanded:
+                    _arg_toks = expanded
+            _st: dict = {}
+            inferred = static_type(_arg_toks, _COL_CH_TYPES, _st)
+            if inferred is not None:
+                if t == "toColumnTypeName" and not (
+                    _st.get("col") or _st.get("materialize")
+                ):
+                    inferred = f"Const({inferred})"
+                out.append("'" + inferred.replace("'", "''") + "'")
+                i = close + 1
+                continue
+
+        if t == "isConstant" and len(args) == 1:
+            # isConstant.cpp: 1 for Const columns. Static inference tracks
+            # column refs / materialize(); non-inferable stays the library
+            # builder's conservative 0
+            from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
+
+            _st2: dict = {}
+            if static_type(list(args[0]), _COL_CH_TYPES, _st2) is not None:
+                out.append(
+                    "0" if (_st2.get("col") or _st2.get("materialize")) else "1"
+                )
+                i = close + 1
+                continue
+
+        if t == "defaultValueOfArgumentType" and len(args) == 1:
+            from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
+
+            typ = static_type(list(args[0]), _COL_CH_TYPES)
+            dsql = _ch_default_sql(typ) if typ else None
+            if dsql is not None:
+                out.append(dsql)
+                i = close + 1
+                continue
+
+        if t == "defaultValueOfTypeName" and len(args) == 1 and args[0] and args[0][0].startswith("'"):
+            dsql = _ch_default_sql(args[0][0][1:-1])
+            if dsql is not None:
+                out.append(dsql)
+                i = close + 1
+                continue
+
+        if t == "char" and len(arg_sql) >= 1:
+            # FunctionChar.cpp: variadic, each argument truncated to one
+            # byte; the bytes form a (UTF-8) string
+            hexparts = ", ".join(
+                f"lpad(hex(pmod(CAST({a} AS BIGINT), 256)), 2, '0')"
+                for a in arg_sql
+            )
+            out.append(f"decode(unhex(concat({hexparts})), 'UTF-8')")
+            i = close + 1
+            continue
+
         if (
             t in ("toUInt8", "toUInt16", "toUInt32", "toUInt64")
             and len(arg_sql) == 1
@@ -3640,6 +3961,10 @@ def _rewrite_totals_clause(s: str) -> str:
                     dd = blank[:fm.start()].count("(") - blank[:fm.start()].count(")")
                     if dd == 0:
                         fpos = fm.start()
+                if fpos is None:
+                    # FROM-less form (`SELECT 11 AS n GROUP BY n WITH
+                    # TOTALS`): the select list ends where GROUP BY starts
+                    fpos = m.start()
                 if fpos is not None:
                     s = (
                         s[:fpos]
@@ -4920,6 +5245,12 @@ def _inline_select_aliases_fn(s: str) -> str:
 _SAFE_SUBSCRIPT = False
 _INLINE_SELECT_ALIASES = False
 _NULLABLE_COLS: frozenset = frozenset()
+# CH-declared column types of the statement's tables (name -> CH type),
+# threaded by the golden runner so toTypeName(column) can fold statically
+_COL_CH_TYPES: dict = {}
+# session setting date_time_input_format='best_effort': toDateTime* of a
+# STRING routes through the best-effort scanner (parseDateTimeBestEffort)
+_DT_BEST_EFFORT = False
 # retry mode: render 1-arg length()/empty()/notEmpty() with size() — CH
 # length() is polymorphic over arrays; Spark's is string/binary-only
 _LENGTH_AS_SIZE = False
@@ -4937,6 +5268,8 @@ def translate(
     length_as_size: bool = False,
     bool_ops: bool = False,
     totals_marker: bool = False,
+    col_ch_types: "dict[str, str] | None" = None,
+    dt_best_effort: bool = False,
 ) -> str:
     """ClickHouse SQL → Spark SQL. Raises ChSqlError on constructs that need
     the library operators instead (INTERPOLATE, multi-column WITH FILL,
@@ -4953,10 +5286,14 @@ def translate(
     (avg/median NaN) are skipped when the argument references one, since
     ClickHouse returns NULL, not NaN, for Nullable empty sets."""
     global _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
-    global _LENGTH_AS_SIZE, _TOTALS_MARKER
+    global _LENGTH_AS_SIZE, _TOTALS_MARKER, _COL_CH_TYPES, _DT_BEST_EFFORT
     prev, prev2, prev3 = _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
     prev4 = _LENGTH_AS_SIZE
     prev5 = _TOTALS_MARKER
+    prev6 = _COL_CH_TYPES
+    prev7 = _DT_BEST_EFFORT
+    _COL_CH_TYPES = col_ch_types or {}
+    _DT_BEST_EFFORT = dt_best_effort
     _SAFE_SUBSCRIPT = safe_subscript
     _INLINE_SELECT_ALIASES = inline_aliases
     _NULLABLE_COLS = frozenset(c.lower() for c in (nullable_cols or ()))
@@ -4977,6 +5314,8 @@ def translate(
         _NULLABLE_COLS = prev3
         _LENGTH_AS_SIZE = prev4
         _TOTALS_MARKER = prev5
+        _COL_CH_TYPES = prev6
+        _DT_BEST_EFFORT = prev7
 
 
 def _check_alias_expansion_budget(s: str) -> None:

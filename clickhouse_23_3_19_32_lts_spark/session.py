@@ -94,6 +94,9 @@ def get_spark(
     try:
         from clickhouse_23_3_19_32_lts_spark.functions.chhash import register_hash_udfs
         from clickhouse_23_3_19_32_lts_spark.functions.h3_udfs import register_h3_udfs
+        from clickhouse_23_3_19_32_lts_spark.functions.besteffort_udfs import (
+            register_besteffort_udfs,
+        )
         from clickhouse_23_3_19_32_lts_spark.functions.s2_udfs import register_s2_udfs
         from clickhouse_23_3_19_32_lts_spark.functions.sql_udfs import register_sql_udfs
 
@@ -101,6 +104,7 @@ def get_spark(
         register_hash_udfs(spark)
         register_h3_udfs(spark)
         register_s2_udfs(spark)
+        register_besteffort_udfs(spark)
     except Exception:  # noqa: BLE001 — SQL UDF names are additive, never fatal
         pass
     return spark

@@ -485,9 +485,26 @@ def _dt64_scales(stmt: str, schema, dt64_hint: dict[str, dict[str, int]]) -> dic
             known.update({k: v for k, v in cols.items() if k != "__table__"})
     out: dict[int, int] = {}
     for j, item in enumerate(items):
-        im = re.search(r"toDateTime64\s*\([^()]*,\s*(\d+)", item)
+        im = re.search(r"toDateTime64\w*\s*\(.*,\s*(\d+)\s*[,)]", item)
         if im:
             out[j] = int(im.group(1))
+            continue
+        im = re.search(r"(?:::|AS)\s*DateTime64\s*\(\s*(\d+)", item)
+        if im:
+            out[j] = int(im.group(1))
+            continue
+        # toDateTime(x, <int>) is the DateTime64-scale form
+        im = re.search(r"toDateTime\s*\([^()]*,\s*(\d+)\s*\)", item)
+        if im:
+            out[j] = int(im.group(1))
+            continue
+        im = re.search(r"parseDateTime64BestEffort\w*\s*\(", item)
+        if im:
+            # scale is the optional second argument, default 3
+            sm2 = re.search(
+                r"parseDateTime64BestEffort\w*\s*\([^()]*?,\s*(\d+)", item
+            )
+            out[j] = int(sm2.group(1)) if sm2 else 3
             continue
         bare = re.fullmatch(
             r"([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+[A-Za-z_][A-Za-z0-9_]*)?",
@@ -1378,6 +1395,13 @@ def _cast_lit(lit: str, dt) -> str:
 
     if isinstance(dt, T.DateType) and lit.startswith("'"):
         return _DATE_NORM.format(lit)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # DateTime accepts unix-timestamp NUMBERS and numeric strings
+        # (DataTypeDateTime deserialization; reference 00567)
+        if re.fullmatch(r"'[0-9]+'", lit):
+            return f"timestamp_seconds(CAST({lit[1:-1]} AS BIGINT))"
+        if re.fullmatch(r"-?[0-9]+", lit):
+            return f"timestamp_seconds({lit})"
     return f"CAST({lit} AS {dt.simpleString()})"
 
 
@@ -1727,6 +1751,15 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
             ):
                 # integer into DateTime = unix seconds
                 c = F.timestamp_seconds(c)
+            elif isinstance(
+                f.dataType, (T.TimestampType, T.TimestampNTZType)
+            ) and isinstance(src.schema[src_cols[i]].dataType, T.StringType):
+                # numeric STRING into DateTime is also unix seconds
+                # (DataTypeDateTime text deserialization; reference 00567)
+                c = F.when(
+                    c.rlike("^[0-9]+$"),
+                    F.timestamp_seconds(c.cast("bigint")),
+                ).otherwise(F.to_timestamp(c))
             emap = (enum_cols or {}).get(name, {}).get(f.name.lower())
             if emap:
                 # numeric values resolve to enum names (DataTypeEnum.cpp)
@@ -2262,8 +2295,11 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
             if re.search(r"--\s*\{\s*echo(On)?\s*\}", raw):
                 echo = True
             elif re.search(r"--\s*\{\s*echoOff\s*\}", raw):
+                # stop echoing but still EXECUTE the statement the directive
+                # comment is attached to (clickhouse-test only toggles echo)
                 echo = False
-                continue
+                if not stmt.strip():
+                    continue
             if echo:
                 chunk = raw.strip("\n")
                 while chunk.startswith("\n"):
@@ -2326,7 +2362,15 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     if parsed is not None:
                         got_rows = apply_fill(spark, parsed).collect()
                     else:
-                        got_rows = spark.sql(translate(stmt)).collect()
+                        got_rows = spark.sql(
+                            translate(
+                                stmt,
+                                dt_best_effort=session_settings.get(
+                                    "date_time_input_format", ""
+                                )
+                                == "best_effort",
+                            )
+                        ).collect()
                     if mrr:
                         # reads-counting approximation: an order-matching
                         # LIMIT scan reads ~LIMIT rows (optimize_read_in_
@@ -2865,6 +2909,13 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     )
                 )
 
+                # declared CH column types (canonical comma spacing) so
+                # toTypeName(column) folds statically in the dialect
+                col_ch_types: dict = {}
+                for _sch in ch_schemas.values():
+                    for _cn, _ct in _sch:
+                        col_ch_types[_cn] = re.sub(r",\s*", ", ", _ct)
+
                 def _build(safe: bool = False, inline: bool = False,
                            length_size: bool = False, boolw: bool = False):
                     if parsed is not None:
@@ -2883,6 +2934,11 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                                 )
                                 if nullable_cols
                                 else None,
+                                col_ch_types=col_ch_types,
+                                dt_best_effort=session_settings.get(
+                                    "date_time_input_format", ""
+                                )
+                                == "best_effort",
                             )
                         )
                     if _null_producer_free(stmt, nullable_cols):
