@@ -829,6 +829,13 @@ def _looks_predicate(s: str) -> bool:
     """True when the expression's TOP level is a comparison/logical form —
     i.e. it evaluates to a boolean in Spark but a UInt8 in ClickHouse."""
     toks = _tokenize(s)
+    # strip redundant outer parens so `(a > b)` is still a predicate
+    while (
+        len(toks) >= 2
+        and toks[0] == "("
+        and _find_call_end(["_"] + toks, 1) == len(toks)
+    ):
+        toks = toks[1:-1]
     depth = 0
     case_d = 0
     for k, t in enumerate(toks):
@@ -2045,6 +2052,60 @@ def _render_exact_hash(t: str, args: list[list[str]]) -> str:
     return expr
 
 
+def _rewrite_datetime_col_arith(tokens: list[str]) -> list[str]:
+    """DateTime columns compared with / shifted by integers: the reference
+    treats DateTime as its unix-seconds value (operators over UInt32), so
+    `ts > 0` and `ts + 3600` are valid CH. Rewrite in CH space using the
+    declared column types (toUnixTimestamp / toDateTime keep everything
+    translatable downstream)."""
+    if not _COL_CH_TYPES:
+        return tokens
+    dt_cols = {
+        c
+        for c, t in _COL_CH_TYPES.items()
+        if re.match(r"(?i)DateTime", t.strip())
+    }
+    if not dt_cols:
+        return tokens
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    cmps = {"=", "==", ">", "<", ">=", "<=", "!=", "<>"}
+    while i < n:
+        t = tokens[i]
+        nxt = tokens[i + 1] if i + 1 < n else ""
+        nxt2 = tokens[i + 2] if i + 2 < n else ""
+        prev = out[-1] if out else ""
+        if (
+            t in dt_cols
+            and prev not in (".",)
+            and nxt in cmps | {"+", "-"}
+            and re.fullmatch(r"\d+", nxt2)
+            and (i + 3 >= n or tokens[i + 3] not in (".", ":"))
+        ):
+            if nxt in cmps:
+                out += ["toUnixTimestamp", "(", t, ")", nxt, nxt2]
+            else:
+                out += [
+                    "toDateTime", "(", "toUnixTimestamp", "(", t, ")",
+                    nxt, nxt2, ")",
+                ]
+            i += 3
+            continue
+        if (
+            re.fullmatch(r"\d+", t)
+            and nxt in cmps
+            and nxt2 in dt_cols
+            and prev not in (".",)
+        ):
+            out += [t, nxt, "toUnixTimestamp", "(", nxt2, ")"]
+            i += 3
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _rewrite_ternary_tokens(tokens: list[str], _guard: int = 0) -> list[str]:
     """cond ? a : b → if(cond, a, b) (ClickHouse C-style ternary,
     ParserTernaryOperatorExpression) — lowest precedence, so the condition
@@ -3011,6 +3072,29 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                         f" CAST(0 AS DOUBLE), (__a, __b) -> __a + __b) / {n}, 2))"
                         f" / {n})"
                     ),
+                    "stddevsamp": (
+                        f"sqrt(aggregate({x}, CAST(0 AS DOUBLE), (__s, __e) ->"
+                        f" __s + pow(CAST(__e AS DOUBLE) - aggregate({x},"
+                        f" CAST(0 AS DOUBLE), (__a, __b) -> __a + __b) / {n}, 2))"
+                        f" / ({n} - 1))"
+                    ),
+                    "varpop": (
+                        f"(aggregate({x}, CAST(0 AS DOUBLE), (__s, __e) ->"
+                        f" __s + pow(CAST(__e AS DOUBLE) - aggregate({x},"
+                        f" CAST(0 AS DOUBLE), (__a, __b) -> __a + __b) / {n}, 2))"
+                        f" / {n})"
+                    ),
+                    "varsamp": (
+                        f"(aggregate({x}, CAST(0 AS DOUBLE), (__s, __e) ->"
+                        f" __s + pow(CAST(__e AS DOUBLE) - aggregate({x},"
+                        f" CAST(0 AS DOUBLE), (__a, __b) -> __a + __b) / {n}, 2))"
+                        f" / ({n} - 1))"
+                    ),
+                    # sketch families degrade to exact distinct on a single
+                    # block (arrayReduce sees the whole array)
+                    "uniqtheta": f"size(array_distinct({x}))",
+                    "uniqhll": f"size(array_distinct({x}))",
+                    "uniqcombined": f"size(array_distinct({x}))",
                 }
                 if base == "quantile" or base == "medianexact":
                     expr2 = _quant_interp(params or "0.5")
@@ -3529,6 +3613,17 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 out.append("'" + inferred.replace("'", "''") + "'")
                 i = close + 1
                 continue
+
+        if (
+            t in ("sum", "avg", "min", "max")
+            and len(arg_sql) == 1
+            and _looks_predicate(arg_sql[0])
+        ):
+            # CH aggregates UInt8 comparison results numerically
+            # (sum(x = 0) counts matches); Spark needs the explicit INT cast
+            out.append(f"{NAME_MAP.get(t, t)}(CAST(({arg_sql[0]}) AS INT))")
+            i = close + 1
+            continue
 
         if t == "isConstant" and len(args) == 1:
             # isConstant.cpp: 1 for Const columns. Static inference tracks
@@ -5718,6 +5813,39 @@ def _rewrite_limit_with_ties(s: str) -> str:
     )
 
 
+
+
+_TBL_ALIAS_RE = re.compile(
+    r"(?i)\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)"
+)
+_TBL_ALIAS_STOP = {
+    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ANY", "ALL",
+    "ASOF", "SEMI", "ANTI", "GLOBAL", "ON", "USING", "WHERE", "GROUP",
+    "ORDER", "LIMIT", "HAVING", "UNION", "SETTINGS", "PREWHERE", "FINAL",
+    "ARRAY", "SAMPLE", "AS", "FORMAT", "INTO", "WITH", "SELECT",
+    "INTERSECT", "EXCEPT", "OFFSET", "VALUES", "PASTE",
+}
+
+
+def _rewrite_orig_table_refs(s: str) -> str:
+    """ClickHouse resolves `origtable.col` even when the table has an alias
+    (`FROM table1 AS t1 … ON table1.a = …`); Spark only knows the alias.
+    Rewrite original-name qualifiers to the alias."""
+    blank = _blank_strings(s)
+    mapping: dict[str, str] = {}
+    for m in _TBL_ALIAS_RE.finditer(blank):
+        orig, alias = m.group(1), m.group(2)
+        if alias.upper() in _TBL_ALIAS_STOP or orig.upper() in _TBL_ALIAS_STOP:
+            continue
+        if orig != alias:
+            mapping[orig] = alias
+    for orig, alias in mapping.items():
+        if re.search(rf"\b{re.escape(orig)}\s*\.", blank):
+            s = re.sub(rf"\b{re.escape(orig)}\s*\.", alias + ".", s)
+            blank = _blank_strings(s)
+    return s
+
+
 def _translate_impl(ch_sql: str) -> str:
     s = _strip_block_comments(ch_sql).strip().rstrip(";")
     _check_alias_expansion_budget(s)
@@ -5733,6 +5861,7 @@ def _translate_impl(ch_sql: str) -> str:
     # settings above can expose a now-trailing FORMAT clause
     s = _FORMAT_TAIL.sub("", s)
     s = _rewrite_datetime_arith(s)
+    s = _rewrite_orig_table_refs(s)
     s = _rewrite_semi_join(s)
     # join strictness/locality prefixes: ALL JOIN ≡ JOIN exactly; GLOBAL is a
     # Distributed locality hint (Spark plans shuffles itself); ANY JOIN picks
@@ -5833,7 +5962,9 @@ def _translate_impl(ch_sql: str) -> str:
         raise ChSqlError(
             "bare ARRAY JOIN needs the library operator (use operators.arrayjoin.array_join / explode())"
         )
-    out = _rewrite(_rewrite_ternary_tokens(_tokenize(s)))
+    out = _rewrite(
+        _rewrite_datetime_col_arith(_rewrite_ternary_tokens(_tokenize(s)))
+    )
 
     # `x IN (SELECT 'str' …)`: Spark lexes SELECT followed by a string as a
     # typed literal (UNSUPPORTED_TYPED_LITERAL) — alias the leading string

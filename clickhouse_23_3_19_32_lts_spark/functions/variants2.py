@@ -1081,6 +1081,10 @@ def moduloLegacy(a, b) -> Column:
     # r = a % b, then r is wrapped into a SIGNED integer of the divisor's
     # byte width — moduloLegacy(-199, 200) = Int8(-199 % 200) = Int8(-199)
     # = 57, while moduloLegacy(-100, 200) = Int8(-100) = -100.
+    # result signedness = is_signed(A) || is_signed(B): a non-negative
+    # dividend over an unsigned divisor wraps UNSIGNED (moduloLegacy(199,
+    # 200) = UInt8(199) = 199); the value's sign is the runtime proxy for
+    # the static signedness
     ca, cb = col(a), col(b)
     r = ca % cb
     width = (
@@ -1088,7 +1092,9 @@ def moduloLegacy(a, b) -> Column:
         .when(F.abs(cb) < 65536, F.lit(65536.0))
         .when(F.abs(cb) < 4294967296, F.lit(4294967296.0))
     )  # divisors ≥ 2^32 → 8-byte result: pass r through unchanged
-    wrapped = (F.pmod(r + width / 2, width) - width / 2).cast("long")
+    signed_wrap = (F.pmod(r + width / 2, width) - width / 2).cast("long")
+    unsigned_wrap = F.pmod(r, width).cast("long")
+    wrapped = F.when((ca < 0) | (cb < 0), signed_wrap).otherwise(unsigned_wrap)
     return F.when(width.isNull(), r).otherwise(wrapped)
 
 

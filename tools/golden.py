@@ -2305,6 +2305,15 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 while chunk.startswith("\n"):
                     chunk = chunk[1:]
                 blocks.append(([ln for ln in (chunk + ";").split("\n")], False))
+            if re.search(r"(?i)\bgenerateRandom\s*\(", stmt):
+                try:
+                    stmt = _rewrite_generate_random(spark, stmt, ch_schemas)
+                except ChSqlError:
+                    # malformed structure / arity: the reference errors too —
+                    # honor an expected-error annotation, else surface it
+                    if re.search(r"--\s*\{\s*(?:server|client)Error", raw):
+                        continue
+                    raise
             if "joinGet" in stmt:
                 stmt = _rewrite_joinget(stmt, join_keys)
             if re.search(r"(?i)\bANTI\s+(LEFT|RIGHT)\s", stmt):
@@ -2433,6 +2442,25 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                             mem_tables[tname] = df1
                     continue
                 if re.match(r"(?i)DESC(?:RIBE)?\b", up):
+                    dfm = re.match(
+                        r"(?is)DESC(?:RIBE)?\s+(?:TABLE\s+)?format\s*\(\s*"
+                        r"(\w+)\s*,\s*('(?:[^'\\]|\\.|'')*')\s*\)\s*;?\s*$",
+                        stmt.strip(),
+                    )
+                    if dfm:
+                        payload = (
+                            dfm.group(2)[1:-1]
+                            .replace("\\'", "'")
+                            .replace("''", "'")
+                            .replace("\\\\", "\\")
+                            .replace("\\n", "\n")
+                            .replace("\\t", "\t")
+                        )
+                        pairs = _infer_format_schema(
+                            dfm.group(1), payload, session_settings
+                        )
+                        blocks.append((_describe_lines(pairs, None), False))
+                        continue
                     dm2 = re.match(
                         r"(?i)DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)",
                         stmt.strip(),
@@ -3023,27 +3051,52 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                             ex = ex2
                     raise ex
 
+                def _retry_flags(ex) -> dict:
+                    s2 = str(ex)
+                    flags = {}
+                    if _subscript_err(ex):
+                        flags["safe"] = True
+                    if (
+                        "LATERAL_COLUMN_ALIAS_IN_WINDOW" in s2
+                        or "INVALID_LAMBDA_FUNCTION_CALL" in s2
+                        or "UNRESOLVED_COLUMN" in s2
+                        or "LATERAL_COLUMN_ALIAS_IN_AGGREGATE" in s2
+                        or "UNEXPECTED_INPUT_TYPE" in s2
+                    ):
+                        flags["inline"] = True
+                    if _length_err(ex):
+                        flags["length_size"] = True
+                    if _bool_err(ex):
+                        flags["boolw"] = True
+                    return flags
+
+                def _build_retry(ex):
+                    """Cascading retries: each failure may suggest another
+                    translate flag; accumulate up to 4 before giving up."""
+                    if "AMBIGUOUS_REFERENCE" in str(ex):
+                        return _build_ambig(ex)
+                    kwargs: dict = {}
+                    for _ in range(4):
+                        new = {
+                            k: v
+                            for k, v in _retry_flags(ex).items()
+                            if k not in kwargs
+                        }
+                        if not new:
+                            raise ex
+                        kwargs.update(new)
+                        try:
+                            return _build(**kwargs)
+                        except Exception as ex2:  # noqa: BLE001
+                            if "AMBIGUOUS_REFERENCE" in str(ex2):
+                                return _build_ambig(ex2)
+                            ex = ex2
+                    raise ex
+
                 try:
                     res_df = _build()
                 except Exception as ex:  # noqa: BLE001
-                    if _subscript_err(ex):
-                        res_df = _build(safe=True)
-                    elif (
-                        "LATERAL_COLUMN_ALIAS_IN_WINDOW" in str(ex)
-                        # lambdas can't capture lateral alias refs either:
-                        # arraySort(x -> -x, arr) with `[...] AS arr` in the
-                        # same list — inlining the alias removes the capture
-                        or "INVALID_LAMBDA_FUNCTION_CALL" in str(ex)
-                    ):
-                        res_df = _build(inline=True)
-                    elif _length_err(ex):
-                        res_df = _build(length_size=True)
-                    elif _bool_err(ex):
-                        res_df = _build(boolw=True)
-                    elif "AMBIGUOUS_REFERENCE" in str(ex):
-                        res_df = _build_ambig(ex)
-                    else:
-                        raise
+                    res_df = _build_retry(ex)
                 if re.search(r"\bFORMAT\s+`?Null`?(\s|;|$)", stmt, re.IGNORECASE):
                     res_df.collect()  # execute for effects; output discarded
                     continue
@@ -3055,19 +3108,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     # Analysis errors can surface here too (spark.sql defers
                     # analysis to the first action), so the lateral-alias
                     # lambda retry applies as well.
-                    if _subscript_err(ex):
-                        res_df = _build(safe=True)
-                    elif (
-                        "LATERAL_COLUMN_ALIAS_IN_WINDOW" in str(ex)
-                        or "INVALID_LAMBDA_FUNCTION_CALL" in str(ex)
-                    ):
-                        res_df = _build(inline=True)
-                    elif _length_err(ex):
-                        res_df = _build(length_size=True)
-                    elif _bool_err(ex):
-                        res_df = _build(boolw=True)
-                    else:
-                        raise
+                    res_df = _build_retry(ex)
                     rows = res_df.collect()
                 f32_cols = _float32_positions(res_df.schema)
                 # DateTime64(N) renders with N fractional digits; Spark's
@@ -3312,3 +3353,421 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
             return True, "ok"
     lim = int(os.environ.get("GOLDEN_DIFF_LIMIT", "2000"))
     return False, f"mismatch:\n--got--\n{got[:lim]}\n--want--\n{want[:lim]}"
+
+
+# --- generateRandom table function (TableFunctionGenerateRandom.cpp) --------
+# Replaces `generateRandom('structure'[, seed[, max_str[, max_arr]]])` (or
+# the no-arg form, whose structure comes from the INSERT target) with a temp
+# view of xxhash64-derived pseudo-random rows. Values are plausible, not
+# bit-identical to the reference's pcg RNG — the passing tests assert
+# structure/cardinality (count, uniq thresholds, type checks), not bytes.
+
+_GENRAND_SEQ = [0]
+
+
+def _genrand_expr(ch_type: str, key: str, salt: int, max_str: int, max_arr: int, depth: int = 0) -> str:
+    t = ch_type.strip().strip("`")
+    h = f"abs(xxhash64({key}, {salt}))"
+
+    def inner(t2: str, extra: int) -> str:
+        return _genrand_expr(t2, key, salt * 31 + extra + 7, max_str, max_arr, depth + 1)
+
+    m = re.match(r"(?i)LowCardinality\s*\((.*)\)$", t)
+    if m:
+        return inner(m.group(1), 1)
+    m = re.match(r"(?i)Nullable\s*\((.*)\)$", t)
+    if m:
+        return f"if(pmod({h}, 10) = 0, NULL, {inner(m.group(1), 2)})"
+    m = re.match(r"(?i)Array\s*\((.*)\)$", t)
+    if m:
+        if depth > 3:
+            return "array()"
+        el = _genrand_expr(
+            m.group(1), f"xxhash64({key}, {salt}, __e{depth})", salt * 17 + 3,
+            max_str, max_arr, depth + 1,
+        )
+        return (
+            f"transform(sequence(1, CAST(pmod({h}, {max_arr + 1}) AS INT)),"
+            f" __e{depth} -> {el})"
+        )
+    m = re.match(r"(?i)Tuple\s*\((.*)\)$", t)
+    if m:
+        parts = _split_top_level_commas(m.group(1))
+        fields = []
+        for k, p in enumerate(parts):
+            p = p.strip()
+            nm = re.match(r"(`[^`]+`|\w+)\s+(.+)$", p)
+            if nm and not re.match(
+                r"(?i)(U?Int|Float|String|Fixed|Date|Enum|Decimal|Array|Tuple|Map|Nullable|LowCardinality|UUID|IPv|Bool)", nm.group(1)
+            ):
+                name, p2 = nm.group(1).strip("`"), nm.group(2)
+            else:
+                name, p2 = f"_{k + 1}", p
+            fields.append(f"'{name}', {inner(p2, 10 + k)}")
+        return "named_struct(" + ", ".join(fields) + ")"
+    m = re.match(r"(?i)Map\s*\((.*)\)$", t)
+    if m:
+        kv = _split_top_level_commas(m.group(1))
+        if len(kv) == 2:
+            kx = _genrand_expr(kv[0], f"xxhash64({key}, {salt}, __m{depth})", salt + 11, max_str, max_arr, depth + 1)
+            vx = _genrand_expr(kv[1], f"xxhash64({key}, {salt}, __m{depth})", salt + 13, max_str, max_arr, depth + 1)
+            return (
+                f"map_from_arrays(array_distinct(transform(sequence(1, CAST(1 + pmod({h}, 3) AS INT)), __m{depth} -> {kx})),"
+                f" slice(transform(sequence(1, CAST(1 + pmod({h}, 3) AS INT)), __m{depth} -> {vx}), 1,"
+                f" size(array_distinct(transform(sequence(1, CAST(1 + pmod({h}, 3) AS INT)), __m{depth} -> {kx})))))"
+            )
+    m = re.match(r"(?i)Enum(?:8|16)?\s*\((.*)\)$", t)
+    if m:
+        names = re.findall(r"'((?:[^'\\]|\\.)*)'\s*=", m.group(1))
+        arr = ", ".join(f"'{n}'" for n in names)
+        return f"element_at(array({arr}), CAST(1 + pmod({h}, {len(names)}) AS INT))"
+    m = re.match(r"(?i)FixedString\s*\(\s*(\d+)\s*\)$", t)
+    if m:
+        n = int(m.group(1))
+        return f"substr(repeat(hex(xxhash64({key}, {salt})), {n // 16 + 1}), 1, {n})"
+    m = re.match(r"(?i)Decimal(?:32|64|128|256)?\s*\(", t)
+    if m:
+        sm = re.search(r",\s*(\d+)\s*\)$", t) or re.search(r"\(\s*(\d+)\s*\)$", t)
+        scale = int(sm.group(1)) if sm else 2
+        return f"CAST(pmod({h}, 1000000) / {10 ** scale} AS DECIMAL(20, {scale}))"
+    tl = t.lower()
+    if tl.startswith("uint8"):
+        return f"CAST(pmod({h}, 256) AS INT)"
+    if tl.startswith("int8"):
+        return f"CAST(pmod({h}, 256) - 128 AS INT)"
+    if tl.startswith("uint16"):
+        return f"CAST(pmod({h}, 65536) AS INT)"
+    if tl.startswith("int16"):
+        return f"CAST(pmod({h}, 65536) - 32768 AS INT)"
+    if tl.startswith("uint32") or tl.startswith("ipv4"):
+        return f"pmod({h}, 4294967296)"
+    if tl.startswith("int32"):
+        return f"CAST(pmod({h}, 4294967296) - 2147483648 AS BIGINT)"
+    if tl.startswith(("uint64", "uint128", "uint256")):
+        return h
+    if tl.startswith(("int64", "int128", "int256")):
+        return f"xxhash64({key}, {salt})"
+    if tl.startswith("float32"):
+        return f"CAST(pmod({h}, 1000000) / 1000.0 AS FLOAT)"
+    if tl.startswith("float64"):
+        return f"pmod({h}, 100000000) / 1000.0"
+    if tl.startswith("bool"):
+        return f"(pmod({h}, 2) = 1)"
+    if tl.startswith("uuid"):
+        hx = f"concat(hex(xxhash64({key}, {salt})), hex(xxhash64({key}, {salt + 1})))"
+        return (
+            f"lower(concat(substr({hx},1,8),'-',substr({hx},9,4),'-',"
+            f"substr({hx},13,4),'-',substr({hx},17,4),'-',substr({hx},21,12)))"
+        )
+    if tl.startswith("ipv6"):
+        hx = f"lower(concat(hex(xxhash64({key}, {salt})), hex(xxhash64({key}, {salt + 1}))))"
+        return (
+            f"concat_ws(':', substr({hx},1,4), substr({hx},5,4), substr({hx},9,4),"
+            f" substr({hx},13,4), substr({hx},17,4), substr({hx},21,4),"
+            f" substr({hx},25,4), substr({hx},29,4))"
+        )
+    if tl.startswith("datetime64") or tl.startswith("datetime"):
+        return f"timestamp_seconds(pmod({h}, 1600000000))"
+    if tl.startswith("date32") or tl.startswith("date"):
+        return f"date_add(DATE '1970-01-01', CAST(pmod({h}, 30000) AS INT))"
+    if tl.startswith("string"):
+        return (
+            f"substr(repeat(hex(xxhash64({key}, {salt})), {max_str // 16 + 1}),"
+            f" 1, CAST(pmod(abs(xxhash64({key}, {salt + 5})), {max_str + 1}) AS INT))"
+        )
+    raise ChSqlError(f"generateRandom: unsupported type {t!r}")
+
+
+def _rewrite_generate_random(spark, stmt: str, ch_schemas: dict) -> str:
+    """Replace generateRandom(...) calls with temp views of random rows."""
+    while True:
+        m = re.search(r"(?i)\bgenerateRandom\s*\(", stmt)
+        if m is None:
+            return stmt
+        # find matching close paren
+        depth, j, in_str = 0, m.end() - 1, False
+        while j < len(stmt):
+            c = stmt[j]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        argstr = stmt[m.end():j]
+        args = [a.strip() for a in _split_top_level_commas(argstr)] if argstr.strip() else []
+        seed = 42
+        max_str, max_arr = 10, 10
+        cols: list[tuple[str, str]] = []
+        if args and args[0].startswith("'"):
+            structure = args[0][1:-1].replace("\\'", "'")
+            for cdef in _split_top_level_commas(structure):
+                cm = re.match(r"\s*(`[^`]+`|\w+)\s+(.+?)\s*$", cdef, re.DOTALL)
+                if cm:
+                    cols.append((cm.group(1).strip("`"), cm.group(2)))
+            rest = args[1:]
+        else:
+            # no structure: the INSERT target's schema defines it
+            tm = re.match(r"(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?`?(\w+)`?", stmt)
+            if tm and tm.group(1) in ch_schemas:
+                cols = list(ch_schemas[tm.group(1)])
+            rest = args
+        if len(rest) > 3:
+            raise ChSqlError("generateRandom: too many arguments")  # CH 42
+        if rest and re.fullmatch(r"\d+", rest[0] or ""):
+            seed = int(rest[0])
+        if len(rest) > 1 and re.fullmatch(r"\d+", rest[1] or ""):
+            max_str = int(rest[1])
+        if len(rest) > 2 and re.fullmatch(r"\d+", rest[2] or ""):
+            max_arr = int(rest[2])
+        if not cols:
+            raise ChSqlError("generateRandom: no structure available")
+        lm = re.search(r"(?i)\bLIMIT\s+(\d+)", stmt)
+        n = min(int(lm.group(1)), 200000) if lm else 65536
+        exprs = []
+        for k, (name, ctype) in enumerate(cols):
+            exprs.append(
+                _genrand_expr(ctype, "id", seed * 1000 + k * 97 + 1, max_str, max_arr)
+                + f" AS `{name}`"
+            )
+        _GENRAND_SEQ[0] += 1
+        view = f"__genrand_{_GENRAND_SEQ[0]}"
+        spark.sql(
+            f"SELECT {', '.join(exprs)} FROM range({n})"
+        ).createOrReplaceTempView(view)
+        stmt = stmt[:m.start()] + view + stmt[j + 1:]
+
+
+# --- schema inference for DESC format(...) ----------------------------------
+# Mirrors src/Formats/SchemaInferenceUtils.cpp with 23.3 defaults:
+# try_infer_integers/dates/datetimes = 1, json_try_infer_numbers_from_strings
+# = 1 (numbers win over dates — 02536), json_read_objects_as_strings = 1 as
+# the fallback when object values don't unify. Scalars wrap in Nullable();
+# mixed scalar types collapse per transformInferredTypesIfNeeded (numbers
+# widen, anything+String = String, heterogeneous arrays become Tuples).
+
+def _infer_scalar_from_string(s: str) -> str:
+    if s == "":
+        return "Nullable(String)"
+    if re.fullmatch(r"[+-]?\d+", s):
+        try:
+            v = int(s)
+            if -(2**63) <= v < 2**64:
+                return "Nullable(Int64)"
+        except ValueError:
+            pass
+        return "Nullable(Float64)"
+    if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?", s):
+        return "Nullable(Float64)"
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
+        return "Nullable(Date)"
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}[ T]\d{1,2}:\d{2}:\d{2}(\.\d+)?", s):
+        return "Nullable(DateTime64(9))"
+    return "Nullable(String)"
+
+
+def _unify_inferred(a: str | None, b: str | None) -> str | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if a == b:
+        return a
+    na = a[9:-1] if a.startswith("Nullable(") else a
+    nb = b[9:-1] if b.startswith("Nullable(") else b
+    if na == "Nothing":
+        return b if not b.startswith("Nullable(") and not b.startswith("Array(") else b
+    if nb == "Nothing":
+        return a
+    if {na, nb} == {"Int64", "Float64"}:
+        return "Nullable(Float64)"
+    if na.startswith("Array(") and nb.startswith("Array("):
+        inner = _unify_inferred(na[6:-1], nb[6:-1])
+        return f"Array({inner})" if inner else None
+    if na == "Date" and nb.startswith("DateTime"):
+        return f"Nullable({nb})"
+    if nb == "Date" and na.startswith("DateTime"):
+        return f"Nullable({na})"
+    if not na.startswith(("Array(", "Tuple(", "Map(")) and not nb.startswith(
+        ("Array(", "Tuple(", "Map(")
+    ):
+        return "Nullable(String)"
+    return None
+
+
+def _infer_json_value(v, settings: dict) -> str | None:
+    if v is None:
+        return "Nullable(Nothing)"
+    if isinstance(v, bool):
+        return "Nullable(Bool)"
+    if isinstance(v, int):
+        return "Nullable(Int64)"
+    if isinstance(v, float):
+        return "Nullable(Float64)"
+    if isinstance(v, str):
+        return _infer_scalar_from_string(v)
+    if isinstance(v, list):
+        if not v:
+            return "Array(Nullable(Nothing))"
+        els = [_infer_json_value(x, settings) for x in v]
+        uni = els[0]
+        for e in els[1:]:
+            uni = _unify_inferred(uni, e)
+            if uni is None:
+                break
+        if uni is not None:
+            if uni == "Nullable(Nothing)":
+                uni = "Nullable(Nothing)"
+            return f"Array({uni})"
+        return "Tuple(" + ", ".join(els) + ")"
+    if isinstance(v, dict):
+        if str(settings.get("allow_experimental_object_type", "0")) in ("1", "true"):
+            return "Object(Nullable(\\'json\\'))"  # TSV-escaped quotes
+        vals = [_infer_json_value(x, settings) for x in v.values()]
+        uni = vals[0] if vals else "Nullable(Nothing)"
+        for e in vals[1:]:
+            uni = _unify_inferred(uni, e)
+            if uni is None:
+                break
+        if uni is not None:
+            return f"Map(String, {uni})"
+        if str(settings.get("input_format_json_read_objects_as_strings", "1")) not in ("0", "false"):
+            return "Nullable(String)"
+        raise ChSqlError("cannot infer JSON object type")  # CH 652
+    return None
+
+
+def _split_csv_fields(line: str) -> list[str]:
+    out, cur, i, q = [], "", 0, False
+    while i < len(line):
+        c = line[i]
+        if q:
+            if c == '"':
+                if i + 1 < len(line) and line[i + 1] == '"':
+                    cur += '"'
+                    i += 1
+                else:
+                    q = False
+            else:
+                cur += c
+        elif c == '"':
+            q = True
+            cur += "\x00Q"  # mark quoted
+        elif c == ",":
+            out.append(cur)
+            cur = ""
+        else:
+            cur += c
+        i += 1
+    out.append(cur)
+    return out
+
+
+def _infer_ch_literal(s: str) -> str | None:
+    """Type of a ClickHouse text literal (CSV-quoted payloads, Values)."""
+    s = s.strip()
+    if not s:
+        return "Nullable(String)"
+    if s.upper() == "NULL":
+        return "Nullable(Nothing)"
+    if s.startswith("[") and s.endswith("]"):
+        inner = s[1:-1].strip()
+        if not inner:
+            return "Array(Nullable(Nothing))"
+        els = [_infer_ch_literal(p) for p in _split_top_level_commas(inner)]
+        uni = els[0]
+        for e in els[1:]:
+            uni = _unify_inferred(uni, e)
+            if uni is None:
+                return None
+        return f"Array({uni})"
+    if s.startswith("(") and s.endswith(")"):
+        els = [_infer_ch_literal(p) for p in _split_top_level_commas(s[1:-1])]
+        if len(els) == 1:
+            return els[0]
+        return "Tuple(" + ", ".join(e or "Nullable(String)" for e in els) + ")"
+    if s.startswith("'") and s.endswith("'"):
+        return "Nullable(String)"
+    return _infer_scalar_from_string(s)
+
+
+def _infer_format_schema(fmt: str, payload: str, settings: dict) -> list:
+    """(name, CH type) pairs for DESC format(fmt, payload)."""
+    fl = fmt.lower()
+    if fl in ("jsoneachrow", "ndjson", "jsonlines"):
+        import json as _json
+
+        dec = _json.JSONDecoder()
+        i, objs = 0, []
+        while i < len(payload):
+            while i < len(payload) and payload[i] in " \t\r\n,;":
+                i += 1
+            if i >= len(payload):
+                break
+            obj, j = dec.raw_decode(payload, i)
+            objs.append(obj)
+            i = j
+        cols: dict[str, str | None] = {}
+        order: list[str] = []
+        for o in objs:
+            if not isinstance(o, dict):
+                continue
+            for k, v in o.items():
+                if k not in cols:
+                    cols[k] = None
+                    order.append(k)
+                cols[k] = _unify_inferred(cols[k], _infer_json_value(v, settings))
+        out = []
+        for k in order:
+            t = cols[k]
+            if t is None:
+                t = "Nullable(String)"
+            out.append((k, t))
+        return out
+    if fl == "csv":
+        rows = [r for r in payload.split("\n") if r != ""]
+        cols2: list = []
+        for r in rows:
+            fields = _split_csv_fields(r)
+            for j, f in enumerate(fields):
+                while len(cols2) <= j:
+                    cols2.append(None)
+                if f.startswith("\x00Q"):
+                    body = f[2:]
+                    t = _infer_ch_literal(body)
+                    if t in (None,) or (
+                        t and t.startswith("Nullable(") and not body.startswith(("[", "("))
+                    ):
+                        t = "Nullable(String)" if not body.startswith(("[", "(")) else t
+                else:
+                    t = _infer_scalar_from_string(f)
+                cols2[j] = _unify_inferred(cols2[j], t) or "Nullable(String)"
+        return [(f"c{j + 1}", t or "Nullable(String)") for j, t in enumerate(cols2)]
+    if fl == "values":
+        rows = _split_top_level_commas(payload)
+        cols3: list = []
+        for r in rows:
+            r = r.strip()
+            if not (r.startswith("(") and r.endswith(")")):
+                continue
+            for j, f in enumerate(_split_top_level_commas(r[1:-1])):
+                while len(cols3) <= j:
+                    cols3.append(None)
+                cols3[j] = _unify_inferred(cols3[j], _infer_ch_literal(f)) or "Nullable(String)"
+        return [(f"c{j + 1}", t or "Nullable(String)") for j, t in enumerate(cols3)]
+    if fl in ("tsv", "tabseparated"):
+        rows = [r for r in payload.split("\n") if r != ""]
+        cols4: list = []
+        for r in rows:
+            for j, f in enumerate(r.split("\t")):
+                while len(cols4) <= j:
+                    cols4.append(None)
+                cols4[j] = _unify_inferred(cols4[j], _infer_scalar_from_string(f)) or "Nullable(String)"
+        return [(f"c{j + 1}", t or "Nullable(String)") for j, t in enumerate(cols4)]
+    raise ChSqlError(f"DESC format(): unsupported format {fmt}")

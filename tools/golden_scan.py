@@ -45,6 +45,44 @@ _SKIP_NAMES = {
     "01780_range_msan",
 }
 
+# Out-of-scope categories (verdict r5 #9): tests whose PASSING would require
+# reproducing engine internals this Spark-first design intentionally does
+# not have. classify() tags them so scan reports separate "reachable
+# remaining" from "out of scope"; they are NOT skipped during scans (a
+# category can shrink as features land), only reported separately.
+_WONTFIX_NAMES = {
+    # byte-exact pcg64/SplitMix RNG streams (generateRandom prints values)
+    "01338_sha256_fixedstring": "rng-bitexact",
+    "02012_sha512_fixedstring": "rng-bitexact",
+    "01254_array_of_unnamed_tuples": "rng-bitexact",
+    "02584_range_ipv4": "rng-bitexact",
+    # UInt64 column storage order (BIGINT carrier sorts signed)
+    "01849_geoToS2": "uint64-order",
+}
+
+_WONTFIX_PATTERNS: list[tuple[str, str]] = [
+    # EXPLAIN forms that print the reference's internal plan/AST text
+    (r"(?i)\bEXPLAIN\s+(PIPELINE|AST|ESTIMATE|PLAN\s+indexes|header\s*=)", "explain-internals"),
+    (r"(?i)\bEXPLAIN\s+SYNTAX\b", "explain-syntax-ast-optimizer"),
+    # live-updating subscriptions need a server push channel
+    (r"(?i)\bWATCH\s+", "watch-liveview"),
+    # 128/256-bit integer and Decimal256 value semantics (BIGINT carrier)
+    (r"(?i)\btoU?Int(128|256)\s*\(", "wide-integers"),
+    (r"(?i)\bDecimal256\b", "wide-integers"),
+    # server-internals introspection
+    (r"(?i)\bsystem\.(parts|metrics|events|asynchronous_metrics|processes|query_log|text_log|stack_trace)\b", "system-internals"),
+]
+
+
+def classify(name: str, text: str) -> str:
+    """'reachable' or 'wontfix:<reason>' for a candidate test."""
+    if name in _WONTFIX_NAMES:
+        return f"wontfix:{_WONTFIX_NAMES[name]}"
+    for pat, reason in _WONTFIX_PATTERNS:
+        if re.search(pat, text):
+            return f"wontfix:{reason}"
+    return "reachable"
+
 
 def candidates() -> list[str]:
     names = []
