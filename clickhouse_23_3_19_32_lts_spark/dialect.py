@@ -262,6 +262,18 @@ TEMPLATES: dict[str, str] = {
     "exp10": "power(10, {0})",
     "e": "exp(1)",
     "notLike": "(NOT ({0} LIKE {1}))",
+    "like": "({0} LIKE {1})",
+    # later map's keys win, FIRST map's key order is kept, new keys append
+    # (mapUpdate.cpp updates in place)
+    "mapUpdate": (
+        "map_from_entries(concat("
+        "transform(map_entries({0}), __e -> named_struct('key', __e.key,"
+        " 'value', coalesce(try_element_at({1}, __e.key), __e.value))),"
+        " filter(map_entries({1}),"
+        " __e -> NOT array_contains(map_keys({0}), __e.key))))"
+    ),
+    "ilike": "({0} ILIKE {1})",
+    "notILike": "(NOT ({0} ILIKE {1}))",
     "notILike": "(NOT ({0} ILIKE {1}))",
     "positionCaseInsensitive": "locate(lower({1}), lower({0}))",
     # the UTF8 variants count characters (positionUTF8.cpp) — exactly
@@ -396,8 +408,43 @@ TEMPLATES: dict[str, str] = {
     "avgMerge": "(sum({0}.sum) / sum({0}.cnt))",
     "uniqExactState": "collect_set({0})",
     "uniqExactMerge": "size(array_distinct(flatten(collect_list({0}))))",
-    "uniqState": "hll_sketch_agg({0})",
-    "uniqMerge": "hll_sketch_estimate(hll_union_agg({0}))",
+    # uniqState/Merge use the exact array carrier: the reference's uniq is
+    # EXACT below ~4096 distinct (HyperLogLogWithSmallSetOptimization), so
+    # golden-scale results only match the exact form; the sketch tier for
+    # 100-TB state storage stays in functions/states.py (hll_sketch_agg)
+    "uniqState": "array_sort(collect_set({0}))",
+    "uniqMerge": "size(array_distinct(flatten(collect_list({0}))))",
+    # groupBitmap* aggregate states (AggregateFunctionGroupBitmap.h): the
+    # bitmap carrier is a sorted distinct array (see functions/misc.py)
+    "groupBitmapState": "array_sort(collect_set({0}))",
+    "groupBitmapMerge": "size(array_distinct(flatten(collect_list({0}))))",
+    "groupBitmapOrState": "array_sort(array_distinct(flatten(collect_list({0}))))",
+    "groupBitmapOrMerge": "size(array_distinct(flatten(collect_list({0}))))",
+    "groupBitmapAndState": (
+        "aggregate(slice(collect_list({0}), 2, 2147483647),"
+        " try_element_at(collect_list({0}), 1),"
+        " (__acc, __x) -> array_sort(array_intersect(__acc, __x)))"
+    ),
+    "groupBitmapAndMerge": (
+        "size(aggregate(slice(collect_list({0}), 2, 2147483647),"
+        " try_element_at(collect_list({0}), 1),"
+        " (__acc, __x) -> array_sort(array_intersect(__acc, __x))))"
+    ),
+    "groupBitmapXorState": (
+        "filter(array_sort(array_distinct(flatten(collect_list({0})))),"
+        " __x -> size(filter(flatten(collect_list({0})), __y -> __y = __x)) % 2 = 1)"
+    ),
+    "groupBitmapXorMerge": (
+        "size(filter(array_sort(array_distinct(flatten(collect_list({0})))),"
+        " __x -> size(filter(flatten(collect_list({0})), __y -> __y = __x)) % 2 = 1))"
+    ),
+    # -MergeState: merge partials, re-emit as a state (same carrier)
+    "groupBitmapMergeState": "array_sort(array_distinct(flatten(collect_list({0}))))",
+    "uniqMergeState": "array_sort(array_distinct(flatten(collect_list({0}))))",
+    "sumMergeState": "sum({0})",
+    "minMergeState": "min({0})",
+    "maxMergeState": "max({0})",
+    "countMergeState": "sum({0})",
 }
 
 # --- arity-dependent templates: CH call → {n_args: Spark template} -----------
@@ -983,6 +1030,38 @@ def ch_type_to_spark(t: str) -> str:
         parts = _split_type_commas(m.group(1))
         if len(parts) >= 2:
             return ch_type_to_spark(", ".join(parts[1:]) if len(parts) > 2 else parts[1])
+    # AggregateFunction(agg, T…) partial-state columns: the carrier Spark
+    # type must match what the -State TEMPLATES produce (collect_set array
+    # for groupBitmap/uniqExact, hll sketch binary for uniq, plain values
+    # for sum/min/max/any, (sum, cnt) struct for avg)
+    m = re.match(r"AggregateFunction\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        parts = _split_type_commas(m.group(1))
+        if len(parts) >= 2:
+            agg = re.sub(r"\(.*\)$", "", parts[0]).strip().lower()
+            if agg.endswith("if") and agg not in ("multiif", "nullif"):
+                agg = agg[:-2]  # -If combinator: carrier of the base agg
+            arg0 = ch_type_to_spark(parts[1])
+            if agg in ("groupbitmap", "uniqexact", "grouparray",
+                       "groupuniqarray", "grouparrayarray"):
+                return f"ARRAY<{arg0}>"
+            if agg in ("uniq", "uniqcombined", "uniqcombined64", "uniqhll12",
+                       "uniqtheta"):
+                return f"ARRAY<{arg0}>"  # exact carrier, see uniqState
+            if agg == "count":
+                return "BIGINT"
+            if agg == "avg":
+                return "STRUCT<sum: DOUBLE, cnt: BIGINT>"
+            if agg in ("sum", "min", "max", "any", "anylast", "anyheavy",
+                       "sumwithoverflow"):
+                return arg0
+            if agg.startswith(("quantile", "median")):
+                return f"ARRAY<{arg0}>"
+            if agg in ("argmin", "argmax") and len(parts) >= 3:
+                return (
+                    f"STRUCT<v: {arg0}, k: {ch_type_to_spark(parts[2])}>"
+                )
+            raise ChSqlError(f"unsupported AggregateFunction state: {parts[0]}")
     # `T NULL` / `T NOT NULL` standard-SQL nullability suffixes
     m = re.match(r"(.*?)\s+(?:NOT\s+)?NULL$", t, re.IGNORECASE | re.DOTALL)
     if m and not re.search(r"[()]", t[m.end(1):]):
@@ -1531,8 +1610,11 @@ def _registry_bridge(fname: str, arg_sql: list[str]) -> str | None:
             tpl = re.sub(rf"\b__dlt_a{j}\b", lambda _m, a=a: f"({a})", tpl)
         return tpl
     # literal-annotated params must be given literal SQL; inline them into
-    # the builder call (template is value-specific — not cached)
+    # the builder call (template is value-specific — not cached). Non-literal
+    # args go in as PLACEHOLDER columns and are text-spliced afterwards — a
+    # rendered nested py-UDF argument would otherwise corrupt the SQL.
     args = []
+    subst: dict[int, str] = {}
     for j, a in enumerate(arg_sql):
         if lit_mask[j]:
             v = _as_py_literal(a)
@@ -1540,11 +1622,14 @@ def _registry_bridge(fname: str, arg_sql: list[str]) -> str | None:
                 return None
             args.append(v)
         else:
-            try:
-                args.append(F.expr(a))
-            except Exception:  # noqa: BLE001
-                return None
-    return _render_call(spark, builder, args)
+            args.append(F.col(f"__dlt_a{j}"))
+            subst[j] = a
+    tpl = _render_call(spark, builder, args)
+    if tpl is None:
+        return None
+    for j, a in subst.items():
+        tpl = re.sub(rf"\b__dlt_a{j}\b", lambda _m, a=a: f"({a})", tpl)
+    return tpl
 
 # keywords that can precede an array literal (so a following [ is NOT a
 # subscript of them)
@@ -2545,6 +2630,10 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             and (
                 tl not in _NONCALLABLE_KEYWORDS
                 or (tl in ("and", "or") and not prev_ends_expr)
+                # function-form like(x, pat) (FunctionsStringSearch registers
+                # like/notLike/ilike as ordinary functions); infix `x LIKE
+                # (…)` has an expression right before the keyword
+                or (tl in ("like", "ilike") and not prev_ends_expr)
                 or (tl == "values" and bool(out) and out[-1].lower() == "from")
             )
         )
@@ -2967,6 +3056,52 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             )
             x = arg_sql[1]
             expr2 = None
+            if spec.lower() in ("summap", "minmap", "maxmap") and len(arg_sql) >= 3:
+                # sumMap/minMap/maxMap(keys, v1[, v2…]): per-key fold over
+                # zipped (key, value) pairs, NULL values skipped, empty key
+                # bucket → 0 (AggregateFunctionSumMap.h); arrayReduce feeds
+                # arrays-of-arrays, so each argument flattens first
+                for a in arg_sql[1:]:
+                    body = re.sub(r"(?is)\barray\s*\(|[\[\](),\s]+", " ", a)
+                    toks_a = body.split()
+                    if toks_a and {w.lower() for w in toks_a} == {"null"}:
+                        raise ChSqlError(
+                            "sumMap: Array(Nullable(Nothing)) argument is "
+                            "an illegal type (serverError 43)"
+                        )
+                ks = f"flatten({arg_sql[1]})"
+                uk = f"array_sort(array_distinct({ks}))"
+                op = spec.lower()[:3]
+                vals = []
+                for a in arg_sql[2:]:
+                    vs = f"flatten({a})"
+                    pairs = (
+                        f"zip_with({ks}, {vs}, (__k, __v) ->"
+                        f" named_struct('k', __k, 'v', __v))"
+                    )
+                    if op == "sum":
+                        per = (
+                            f"aggregate({pairs}, CAST(0 AS DOUBLE),"
+                            f" (__a, __p) -> __a + (CASE WHEN __p.k = __u"
+                            f" AND __p.v IS NOT NULL"
+                            f" THEN CAST(__p.v AS DOUBLE) ELSE 0 END))"
+                        )
+                    else:
+                        fn2 = "array_min" if op == "min" else "array_max"
+                        per = (
+                            f"coalesce({fn2}(transform(filter({pairs},"
+                            f" __p -> __p.k = __u AND __p.v IS NOT NULL),"
+                            f" __p -> CAST(__p.v AS DOUBLE))),"
+                            f" CAST(0 AS DOUBLE))"
+                        )
+                    vals.append(f"transform({uk}, __u -> {per})")
+                fields = ", ".join(
+                    [f"'_1', {uk}"]
+                    + [f"'_{j + 2}', {v}" for j, v in enumerate(vals)]
+                )
+                out.append(f"named_struct({fields})")
+                i = close + 1
+                continue
             if am and am.group(1).lower() == "simplelinearregression" and len(arg_sql) == 3:
                 # least-squares fit over zipped (x, y) arrays
                 # (AggregateFunctionSimpleLinearRegression.h): returns the
@@ -3708,12 +3843,44 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
+        if t in ("arrayPartialSort", "arrayPartialReverseSort") and len(args) >= 2:
+            # partial sort: every reference usage resizes to the limit, and a
+            # full sort's first `limit` elements equal the partial sort's
+            # (arraySort.cpp ArrayPartialSortImpl) — drop the limit arg and
+            # reprocess as the full keyed/plain sort
+            base = (
+                "arraySort" if t == "arrayPartialSort" else "arrayReverseSort"
+            )
+            if _is_lambda_sql(" ".join(args[0])):
+                keep = [args[0]] + args[2:]
+            else:
+                lim_sql = " ".join(args[0]).strip().strip("() ")
+                if len(args) != 2 or not re.fullmatch(
+                    r"\d+|[A-Za-z_]\w*", lim_sql
+                ):
+                    raise ChSqlError(
+                        f"{t}: expects (limit, array) or (lambda, limit, "
+                        f"arrays…)"
+                    )
+                keep = args[1:]
+            new = [base, "("]
+            for jj, a in enumerate(keep):
+                if jj:
+                    new.append(",")
+                new += list(a)
+            new.append(")")
+            tokens = tokens[:i] + new + tokens[close + 1 :]
+            continue
+
         _HOF = (
             "arrayMap", "arrayFilter", "arrayExists", "arrayAll", "arrayFirst",
             "arrayLast", "arrayFirstOrNull", "arrayLastOrNull",
             "arrayFirstIndex", "arrayCount", "arraySum",
             "arrayAvg", "arrayMin", "arrayMax", "arrayCompact",
             "arraySort", "arrayReverseSort",
+            "arraySplit", "arrayReverseSplit",
+            "arrayCumSum", "arrayCumSumNonNegative",
+            "mapFilter", "mapApply",
         )
         if t in _HOF and arg_sql and _is_lambda_sql(arg_sql[0]):
             # ClickHouse HOFs are lambda-FIRST (FunctionsHigherOrder); Spark's
@@ -3722,7 +3889,8 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             lam, arrs = arg_sql[0], arg_sql[1:]
             if t not in ("arrayMap", "arraySum", "arrayAvg", "arrayMin",
                          "arrayMax", "arrayCompact", "arraySort",
-                         "arrayReverseSort"):
+                         "arrayReverseSort", "arrayCumSum",
+                         "arrayCumSumNonNegative", "mapApply"):
                 # predicate HOFs: ClickHouse treats any nonzero as true
                 # (UInt8 lambdas like `x -> 1`); Spark demands BOOLEAN
                 head_l, body_l = lam.split("->", 1)
@@ -3771,6 +3939,11 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 lt, gt = ("1", "-1") if t == "arrayReverseSort" else ("-1", "1")
                 cmp = (
                     f"(__l, __r) -> CASE"
+                    f" WHEN __l.k IS NULL AND __r.k IS NULL THEN"
+                    f" (CASE WHEN __l.i < __r.i THEN -1"
+                    f" WHEN __l.i > __r.i THEN 1 ELSE 0 END)"
+                    f" WHEN __l.k IS NULL THEN 1"
+                    f" WHEN __r.k IS NULL THEN -1"
                     f" WHEN __l.k < __r.k THEN {lt}"
                     f" WHEN __l.k > __r.k THEN {gt}"
                     f" WHEN __l.i < __r.i THEN -1 WHEN __l.i > __r.i THEN 1"
@@ -3792,6 +3965,64 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 out.append(
                     f"filter({a0}, (__x, __i) -> __i = 0"
                     f" OR NOT ({cur} <=> {prv}))"
+                )
+            elif t == "mapFilter":
+                out.append(f"map_filter({a0}, {lam})")
+            elif t == "mapApply":
+                # lambda yields a (k, v) tuple (mapApply.cpp) — rebuild the
+                # map from transformed entries; a non-pair tuple surfaces as
+                # a missing-field analysis error like the reference's
+                # NUMBER_OF_ARGUMENTS_DOESNT_MATCH
+                st = (
+                    f"element_at(zip_with(array(__e.key), array(__e.value),"
+                    f" {lam}), 1)"
+                )
+                out.append(
+                    f"map_from_entries(transform(map_entries({a0}),"
+                    f" __e -> named_struct('key', ({st})._1,"
+                    f" 'value', ({st})._2)))"
+                )
+            elif t in ("arraySplit", "arrayReverseSplit"):
+                # cut BEFORE flagged elements (arraySplit) / AFTER them
+                # (arrayReverseSplit) — FunctionArrayMapped ArraySplitImpl.
+                # Group starts → slices; empty source filters to [].
+                flags = (
+                    f"zip_with({arrs[0]}, {arrs[1]}, {lam})"
+                    if len(arrs) == 2
+                    else f"transform({arrs[0]}, {lam})"
+                )
+                off = "__i" if t == "arraySplit" else "__i - 1"
+                starts = (
+                    f"filter(sequence(1, greatest(size({a0}), 1)),"
+                    f" __i -> __i <= size({a0}) AND (__i = 1 OR"
+                    f" (CASE WHEN ({off}) >= 1 THEN"
+                    f" coalesce(CAST(try_element_at({flags}, {off})"
+                    f" AS BOOLEAN), false) ELSE false END)))"
+                )
+                out.append(
+                    f"filter(transform({starts}, (__s, __j) ->"
+                    f" slice({a0}, __s,"
+                    f" coalesce(try_element_at({starts}, __j + 2),"
+                    f" size({a0}) + 1) - __s)),"
+                    f" __g -> size({a0}) > 0)"
+                )
+            elif t in ("arrayCumSum", "arrayCumSumNonNegative"):
+                b = (
+                    f"zip_with({arrs[0]}, {arrs[1]}, {lam})"
+                    if len(arrs) == 2
+                    else f"transform({arrs[0]}, {lam})"
+                )
+                step = (
+                    "greatest(__a + CAST(__x AS DOUBLE), CAST(0 AS DOUBLE))"
+                    if t == "arrayCumSumNonNegative"
+                    else "__a + CAST(__x AS DOUBLE)"
+                )
+                out.append(
+                    f"transform(CASE WHEN size({a0}) > 0 THEN"
+                    f" sequence(1, size({a0})) ELSE"
+                    f" CAST(array() AS ARRAY<INT>) END,"
+                    f" __i -> aggregate(slice({b}, 1, __i),"
+                    f" CAST(0 AS DOUBLE), (__a, __x) -> {step}))"
                 )
             elif t == "arrayCount":
                 out.append(f"size(filter({a0}, {lam}))")
@@ -4157,6 +4388,213 @@ def _enclosing_scope(s: str, pos: int) -> tuple[int, int]:
     raise ChSqlError("unbalanced parentheses")
 
 
+_ASOF_RE = re.compile(r"(?i)\bASOF\s+(LEFT\s+|INNER\s+)?JOIN\s+")
+
+
+def _ch_join_default_sql(ch_type: str) -> str:
+    """TYPED SQL literal for a CH column type's default value, for the ASOF
+    default-row union (addMissingDefaults.cpp; join misses under
+    join_use_nulls=0). The untyped variant for defaultValueOfArgumentType
+    is _ch_default_sql above."""
+    t = ch_type.strip()
+    tl = t.lower()
+    if tl.startswith("nullable"):
+        try:
+            return f"CAST(NULL AS {ch_type_to_spark(t)})"
+        except Exception:  # noqa: BLE001
+            return "NULL"
+    if tl.startswith(("string", "fixedstring", "enum")):
+        return "''"
+    if tl.startswith(("date32",)) or tl == "date":
+        return "DATE '1970-01-01'"
+    if tl.startswith("datetime"):
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    if tl.startswith(("array",)):
+        try:
+            return f"CAST(array() AS {ch_type_to_spark(t)})"
+        except Exception:  # noqa: BLE001
+            return "array()"
+    try:
+        spark_t = ch_type_to_spark(t)
+    except Exception:  # noqa: BLE001
+        return "NULL"
+    if any(k in spark_t.upper() for k in ("INT", "FLOAT", "DOUBLE", "DECIMAL", "LONG", "SHORT", "BYTE")):
+        return f"CAST(0 AS {spark_t})"
+    return f"CAST(NULL AS {spark_t})"
+
+
+def _rewrite_asof_join(s: str) -> str:
+    """ClickHouse ASOF JOIN (JoinStrictness::Asof, HashJoin.cpp; USING's
+    last column / ON's single inequality picks the closest match).
+    Rewritten as a correlated LATERAL top-1 subquery — Catalyst
+    decorrelates it into a join+window plan; the explicitly bucketed
+    union+window operator remains operators/asof_join.py (the 100-TB
+    path, SCALING.md)."""
+    blank = _blank_strings(s)
+    m = _ASOF_RE.search(blank)
+    if m is None:
+        return s
+    kind = (m.group(1) or "INNER").strip().upper()
+    # left alias = the identifier immediately preceding ASOF
+    lm = None
+    for lm2 in re.finditer(r"[A-Za-z_][\w.]*", blank[: m.start()]):
+        lm = lm2
+    if lm is None or blank[lm.end() : m.start()].strip():
+        return s
+    lalias = lm.group(0).split(".")[-1]
+    rel, ralias, end = _read_relation(s, m.end())
+    if not rel:
+        return s
+    name = ralias or (
+        rel.split(".")[-1] if re.fullmatch(r"[A-Za-z_][\w.]*", rel) else "__asof_r"
+    )
+    rest = s[end:]
+    rest_blank = blank[end:]
+    um = re.match(
+        r"\s*USING\s*(?:\(([^)]*)\)|"
+        r"([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*))",
+        rest,
+        re.IGNORECASE,
+    )
+    if um:
+        keys = [k.strip() for k in (um.group(1) or um.group(2)).split(",") if k.strip()]
+        if len(keys) < 2:
+            # ASOF USING needs equality keys plus the closest-match column
+            # (HashJoin.cpp: "ASOF join needs at least one equi-condition",
+            # serverError 62)
+            raise ChSqlError("ASOF join USING requires at least two columns")
+        conds = [f"{name}.{k} = {lalias}.{k}" for k in keys[:-1]]
+        tcol = keys[-1]
+        # ASOF USING default inequality: left.t >= right.t (join.md docs)
+        conds.append(f"{name}.{tcol} <= {lalias}.{tcol}")
+        order = f"{name}.{tcol} DESC"
+        tail = rest[um.end() :]
+    else:
+        onm = re.match(r"\s*ON\b", rest, re.IGNORECASE)
+        if not onm:
+            return s
+        # condition runs to the first depth-0 clause keyword
+        stop = re.compile(
+            r"(?i)\b(WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS|UNION|FORMAT|"
+            r"PREWHERE|INTERSECT|EXCEPT|SEMI|ANTI|INNER|LEFT|RIGHT|FULL|"
+            r"CROSS|ASOF|JOIN|WINDOW)\b"
+        )
+        cend = len(rest)
+        for sm in stop.finditer(rest_blank, onm.end()):
+            if _depth_at(rest_blank, sm.start()) == 0:
+                cend = sm.start()
+                break
+        cond = rest[onm.end() : cend]
+        tail = rest[cend:]
+        # split into depth-0 AND conjuncts
+        conj, last = [], 0
+        cb = _blank_strings(cond)
+        for am in re.finditer(r"(?i)\bAND\b", cb):
+            if _depth_at(cb, am.start()) == 0:
+                conj.append(cond[last : am.start()])
+                last = am.end()
+        conj.append(cond[last:])
+        conds, order = [], None
+        for c in conj:
+            c = re.sub(r"==", "=", c).strip()
+            # strip redundant outer parens so the inequality sides stay
+            # balanced when spliced into ORDER BY
+            while c.startswith("(") and c.endswith(")"):
+                d, closes_at_end = 0, False
+                for k, ch in enumerate(c):
+                    if ch == "(":
+                        d += 1
+                    elif ch == ")":
+                        d -= 1
+                        if d == 0:
+                            closes_at_end = k == len(c) - 1
+                            break
+                if not closes_at_end:
+                    break
+                c = c[1:-1].strip()
+            im = re.match(
+                r"^(.*?[^<>=!-])(>=|<=|>|<)([^=].*)$", c, re.DOTALL
+            )
+            if im and re.search(r"(?i)\bOR\b", _blank_strings(c)):
+                im = None  # a disjunction is a plain filter, not the ASOF key
+            if im and "=" != im.group(2):
+                a, op, b = im.group(1).strip(), im.group(2), im.group(3).strip()
+                r_is_a = re.search(rf"\b{re.escape(name)}\s*\.", a) is not None
+                rexpr = a if r_is_a else b
+                if order is not None:
+                    raise ChSqlError("ASOF join expects exactly one inequality")
+                below = (op in ("<", "<=")) if r_is_a else (op in (">", ">="))
+                order = f"{rexpr} {'DESC' if below else 'ASC'}"
+            conds.append(f"({c})")
+        if order is None:
+            raise ChSqlError("ASOF join requires an inequality in ON")
+    where = " AND ".join(conds)
+    inner_rel = rel if rel.startswith("(") else f"(SELECT * FROM {rel})"
+    schema = _TABLE_SCHEMAS.get(rel) if not rel.startswith("(") else None
+    if kind == "LEFT" and schema:
+        # join misses fill with TYPE DEFAULTS (join_use_nulls=0,
+        # Core/Settings.h) — a sentinel default row loses to any real match
+        # via the __m sort key, so the LEFT JOIN LATERAL always matches
+        defaults = ", ".join(_ch_join_default_sql(ct) for _cn, ct in schema)
+        lateral = (
+            f"(SELECT * EXCEPT(__m) FROM ("
+            f"SELECT 0 AS __m, {name}.* FROM {inner_rel} AS {name}"
+            f" WHERE {where}"
+            f" UNION ALL SELECT 1 AS __m, {defaults}"
+            f") AS {name} ORDER BY __m, {order} LIMIT 1)"
+        )
+    else:
+        lateral = (
+            f"(SELECT * FROM {inner_rel} AS {name} WHERE {where}"
+            f" ORDER BY {order} LIMIT 1)"
+        )
+    joinkw = "LEFT JOIN LATERAL" if kind == "LEFT" else "INNER JOIN LATERAL"
+    out = s[: m.start()] + f"{joinkw} {lateral} AS {name} ON true " + tail
+    return _rewrite_asof_join(out)
+
+
+_ANTI_RE = re.compile(r"(?i)\b(?:GLOBAL\s+)?ANTI\s+(LEFT|RIGHT|INNER)?\s*JOIN\s+")
+
+
+def _rewrite_anti_join(s: str) -> str:
+    """ANTI strictness (JoinStrictness::Anti): keep rows WITHOUT a match.
+    ANTI LEFT → Spark's native LEFT ANTI; ANTI RIGHT swaps the two
+    relations first (Spark has no RIGHT ANTI)."""
+    blank = _blank_strings(s)
+    m = None
+    for cand in _ANTI_RE.finditer(blank):
+        # skip Spark's own `LEFT ANTI JOIN` (already lowered)
+        prev = blank[: cand.start()].rstrip().rsplit(None, 1)
+        if prev and prev[-1].upper() == "LEFT":
+            continue
+        m = cand
+        break
+    if m is None:
+        return s
+    kind = (m.group(1) or "LEFT").upper()
+    if kind in ("LEFT", "INNER"):
+        return _rewrite_anti_join(
+            s[: m.start()] + "LEFT ANTI JOIN " + s[m.end() :]
+        )
+    rel, _ralias, end = _read_relation(s, m.end())
+    if not rel:
+        return s
+    join_depth = _depth_at(blank, m.start())
+    fm = None
+    for cand in re.finditer(r"(?i)\bFROM\s+", blank):
+        if cand.end() <= m.start() and _depth_at(blank, cand.start()) == join_depth:
+            fm = cand
+    if fm is None:
+        return s
+    lrel, _lalias, lend = _read_relation(s, fm.end())
+    if not lrel or lend > m.start():
+        return s
+    lpart, rpart = s[fm.end() : lend], s[m.end() : end]
+    return _rewrite_anti_join(
+        s[: fm.end()] + rpart + " LEFT ANTI JOIN " + lpart + " " + s[end:]
+    )
+
+
 _SEMI_LEFT_RE = re.compile(
     r"(?i)\b(?:GLOBAL\s+)?(SEMI|ANY)\s+(LEFT|INNER)\s+(?:OUTER\s+)?JOIN\s+"
 )
@@ -4188,12 +4626,30 @@ def _read_relation(s: str, pos: int) -> tuple[str, str, int]:
             return "", "", pos
         rel = m.group(0)
         j = pos + m.end()
+        if j < n and s[j] == "(":
+            # table function: numbers(10), values(...), generateRandom(...)
+            depth = 0
+            k = j
+            while k < n:
+                if s[k] == "(":
+                    depth += 1
+                elif s[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            rel = rel + s[j : k + 1]
+            j = k + 1
+    am2 = re.match(r"\s+AS\s+([A-Za-z_]\w*)", s[j:], re.IGNORECASE)
+    if am2:  # explicit AS: any identifier is a valid alias (even keywords)
+        return rel, am2.group(1), j + am2.end()
     am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", s[j:], re.IGNORECASE)
     alias = ""
     if am and am.group(1).upper() not in (
         "USING", "ON", "WHERE", "GROUP", "ORDER", "LIMIT", "SETTINGS",
         "FORMAT", "SEMI", "ANTI", "LEFT", "RIGHT", "INNER", "FULL", "JOIN",
         "UNION", "HAVING", "CROSS", "ANY", "ALL", "GLOBAL", "PREWHERE",
+        "SELECT", "ASOF", "FINAL", "SAMPLE", "ARRAY", "INTERSECT", "EXCEPT",
     ):
         alias = am.group(1)
         j += am.end()
@@ -4227,7 +4683,9 @@ def _rewrite_semi_join(s: str) -> str:
         )
         if rel and um:
             keys = um.group(2) or um.group(3)
-            name = alias or (rel if not rel.startswith("(") else "__semi_r")
+            name = alias or (
+                rel if re.fullmatch(r"[A-Za-z_][\w.]*", rel) else "__semi_r"
+            )
             name = name.split(".")[-1]
             lowered = (
                 "INNER JOIN" if strict == "SEMI" or kind == "INNER"
@@ -4276,7 +4734,9 @@ def _dedup_left_relation(s: str, join_pos: int, keys: str):
     rel, alias, end = _read_relation(s, fm.end())
     if not rel or end > join_pos:
         return s
-    name = alias or (rel if not rel.startswith("(") else "__semi_l")
+    name = alias or (
+        rel if re.fullmatch(r"[A-Za-z_][\w.]*", rel) else "__semi_l"
+    )
     name = name.split(".")[-1]
     return (
         s[: fm.end()]
@@ -4460,6 +4920,37 @@ def _rewrite_with_fill_clause(s: str) -> str:
         f"__grid AS (SELECT explode({seq}) AS {col} FROM __b) "
         f"SELECT * FROM __grid LEFT JOIN __src USING ({col})) ORDER BY {col}{tail}"
     )
+
+
+def _rewrite_scalar_with_all(s: str, _guard: int = 0) -> str:
+    """Apply the scalar-WITH alias expansion at the top level AND inside
+    every `( WITH … SELECT … )` subquery scope (ParserWithElement works at
+    any SELECT scope, the plain rewrite only matched ^WITH)."""
+    if _guard > 8:
+        return s
+    s = _rewrite_scalar_with(s)
+    blank = _blank_strings(s)
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        if blank[i] == "(" and re.match(r"\(\s*WITH\b", blank[i:], re.IGNORECASE):
+            d = 0
+            j = i
+            while j < n:
+                if blank[j] == "(":
+                    d += 1
+                elif blank[j] == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+                j += 1
+            inner = _rewrite_scalar_with_all(s[i + 1 : j], _guard + 1)
+            out.append("(" + inner + ")")
+            i = j + 1
+            continue
+        out.append(s[i])
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_scalar_with(s: str) -> str:
@@ -5141,74 +5632,86 @@ def _split_top_level_commas_str(s: str) -> list[str]:
 
 
 def _rebind_union_tail_limit(s: str) -> str:
-    """ClickHouse parses `SELECT a UNION ALL SELECT b LIMIT n` with the
-    LIMIT (and any ORDER BY before it) belonging to the LAST branch — the
-    union has no global clauses without a wrapping subquery
-    (ParserUnionQueryElement: each element is a full SELECT). Spark applies
-    a trailing LIMIT to the whole union, silently changing row counts —
-    so parenthesize the last branch: `SELECT a UNION ALL (SELECT b LIMIT
-    n)`. Only fires when a LIMIT is present in the tail (a bare trailing
-    ORDER BY stays global: harmless for sorted-compare outputs and far
-    less likely to change results)."""
+    """ClickHouse parses each set-operation branch as a FULL SELECT
+    (ParserUnionQueryElement): a branch-level `… LIMIT n` binds to THAT
+    branch, and the union has no global clauses without a wrapping
+    subquery. Spark either applies a trailing LIMIT to the whole union or
+    refuses to parse `LIMIT n UNION ALL …` mid-chain — so parenthesize
+    every unparenthesized branch that carries its own same-depth LIMIT."""
     blank = _blank_strings(s)
-    depth = []
-    d = 0
-    for c in blank:
+    n = len(s)
+    # scope id per position (contents of each paren group share an id)
+    scope_of = [0] * n
+    scope_start = {0: 0}
+    stack = [0]
+    next_id = 1
+    for i, c in enumerate(blank):
         if c == "(":
-            d += 1
-            depth.append(d)
+            scope_of[i] = stack[-1]
+            stack.append(next_id)
+            scope_start[next_id] = i + 1
+            next_id += 1
         elif c == ")":
-            depth.append(d)
-            d -= 1
+            stack.pop()
+            scope_of[i] = stack[-1]
         else:
-            depth.append(d)
+            scope_of[i] = stack[-1]
+    scope_end = {0: n}
+    stack = [0]
+    next_id = 1
+    for i, c in enumerate(blank):
+        if c == "(":
+            stack.append(next_id)
+            next_id += 1
+        elif c == ")":
+            scope_end[stack.pop()] = i
+    _setop_re = re.compile(
+        r"(?i)\b(UNION|INTERSECT|EXCEPT)\b"
+        r"(?=(\s+(ALL|DISTINCT))?(\s*\()*\s*(SELECT|WITH)\b)"
+    )
+    by_scope: dict[int, list] = {}
+    for m in _setop_re.finditer(blank):
+        by_scope.setdefault(scope_of[m.start()], []).append(m)
     inserts: list[tuple[int, str]] = []
-    seen_scopes: set[tuple[int, int]] = set()
-    for m in re.finditer(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b", blank):
-        p = m.start()
-        dk = depth[p]
-        # scope end: first `)` closing this depth, else end of string
-        q = len(s)
-        if dk > 0:
-            for k in range(m.end(), len(s)):
-                if blank[k] == ")" and depth[k] == dk:
-                    q = k
-                    break
-        # find the LAST set-op of the chain within this scope
-        last_start = p
-        for m2 in re.finditer(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b", blank[p:q]):
-            if depth[p + m2.start()] == dk:
-                last_start = p + m2.start()
-        if (last_start, q) in seen_scopes:
-            continue
-        seen_scopes.add((last_start, q))
-        # branch begins after the keyword and an optional ALL/DISTINCT
-        bm = re.match(
-            r"(?i)(UNION|INTERSECT|EXCEPT)(\s+(ALL|DISTINCT))?\s*",
-            blank[last_start:q],
-        )
-        if not bm:
-            continue
-        b0 = last_start + bm.end()
-        seg = blank[b0:q]
-        lim = None
-        for lm in re.finditer(r"(?i)\bLIMIT\b", seg):
-            if depth[b0 + lm.start()] == dk:
-                lim = lm
-        if lim is None:
-            continue
-        # LIMIT n BY cols is the LIMIT BY operator, not a row limit
-        tail_after = seg[lim.end():]
-        if re.match(r"(?i)\s*\d+\s*(,\s*\d+\s*)?BY\b", tail_after):
-            continue
-        # trailing SETTINGS/FORMAT/INTO OUTFILE stay outside the parens
-        stop = len(seg)
-        for sm in re.finditer(r"(?i)\b(SETTINGS|FORMAT|INTO\s+OUTFILE)\b", seg):
-            if depth[b0 + sm.start()] == dk and sm.start() > lim.start():
-                stop = sm.start()
-                break
-        inserts.append((b0, "("))
-        inserts.append((b0 + stop, ")"))
+    for sid, ms in by_scope.items():
+        bounds = []  # (branch_start, branch_end)
+        prev = scope_start[sid]
+        for m in ms:
+            bounds.append((prev, m.start()))
+            bm = re.match(
+                r"(?i)(UNION|INTERSECT|EXCEPT)(\s+(ALL|DISTINCT))?\s*",
+                blank[m.start():],
+            )
+            prev = m.start() + bm.end()
+        bounds.append((prev, scope_end.get(sid, n)))
+        for bi, (b0, b1) in enumerate(bounds):
+            seg = blank[b0:b1]
+            lim = None
+            for lm in re.finditer(r"(?i)\bLIMIT\b", seg):
+                if scope_of[b0 + lm.start()] == sid:
+                    lim = lm
+            if lim is None:
+                continue
+            # LIMIT n BY cols is the LIMIT BY operator, not a row limit
+            if re.match(r"(?i)\s*\d+\s*(,\s*\d+\s*)?BY\b", seg[lim.end():]):
+                continue
+            if s[b0:b1].strip().startswith("("):
+                continue  # branch already parenthesized
+            stop = b1
+            if bi == len(bounds) - 1:
+                # trailing SETTINGS/FORMAT/INTO OUTFILE stay outside
+                for sm in re.finditer(
+                    r"(?i)\b(SETTINGS|FORMAT|INTO\s+OUTFILE)\b", seg
+                ):
+                    if scope_of[b0 + sm.start()] == sid and sm.start() > lim.start():
+                        stop = b0 + sm.start()
+                        break
+            # skip leading whitespace for the open paren
+            w = b0
+            while w < b1 and s[w] == " ":
+                w += 1
+            inserts.append((w, "("))
+            inserts.append((stop, ")"))
     for pos, txt in sorted(inserts, reverse=True):
         s = s[:pos] + txt + s[pos:]
     return s
@@ -5256,7 +5759,11 @@ def _rewrite_fromless_dummy(s: str) -> str:
             depth[p + fm.start()] == dsel
             for fm in re.finditer(r"(?i)\bFROM\b", seg)
         )
-        if has_from or not re.search(r"(?i)\bdummy\b", seg):
+        needs = re.search(r"(?i)\bdummy\b", seg) or any(
+            depth[p + wm.start()] == dsel
+            for wm in re.finditer(r"(?i)\bWHERE\b", seg)
+        )  # Spark rejects a from-less WHERE; CH reads system.one
+        if has_from or not needs:
             continue
         ins_at = q
         for fm in _FROMLESS_STOP_RE.finditer(seg):
@@ -5343,6 +5850,7 @@ _NULLABLE_COLS: frozenset = frozenset()
 # CH-declared column types of the statement's tables (name -> CH type),
 # threaded by the golden runner so toTypeName(column) can fold statically
 _COL_CH_TYPES: dict = {}
+_TABLE_SCHEMAS: dict = {}  # table → ordered [(col, CH type)] (ASOF defaults)
 # session setting date_time_input_format='best_effort': toDateTime* of a
 # STRING routes through the best-effort scanner (parseDateTimeBestEffort)
 _DT_BEST_EFFORT = False
@@ -5365,6 +5873,7 @@ def translate(
     totals_marker: bool = False,
     col_ch_types: "dict[str, str] | None" = None,
     dt_best_effort: bool = False,
+    table_schemas: "dict[str, list] | None" = None,
 ) -> str:
     """ClickHouse SQL → Spark SQL. Raises ChSqlError on constructs that need
     the library operators instead (INTERPOLATE, multi-column WITH FILL,
@@ -5382,11 +5891,14 @@ def translate(
     ClickHouse returns NULL, not NaN, for Nullable empty sets."""
     global _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
     global _LENGTH_AS_SIZE, _TOTALS_MARKER, _COL_CH_TYPES, _DT_BEST_EFFORT
+    global _TABLE_SCHEMAS
     prev, prev2, prev3 = _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
     prev4 = _LENGTH_AS_SIZE
     prev5 = _TOTALS_MARKER
     prev6 = _COL_CH_TYPES
     prev7 = _DT_BEST_EFFORT
+    prev8 = _TABLE_SCHEMAS
+    _TABLE_SCHEMAS = table_schemas or {}
     _COL_CH_TYPES = col_ch_types or {}
     _DT_BEST_EFFORT = dt_best_effort
     _SAFE_SUBSCRIPT = safe_subscript
@@ -5411,6 +5923,7 @@ def translate(
         _TOTALS_MARKER = prev5
         _COL_CH_TYPES = prev6
         _DT_BEST_EFFORT = prev7
+        _TABLE_SCHEMAS = prev8
 
 
 def _check_alias_expansion_budget(s: str) -> None:
@@ -5833,9 +6346,21 @@ def _rewrite_orig_table_refs(s: str) -> str:
     Rewrite original-name qualifiers to the alias."""
     blank = _blank_strings(s)
     mapping: dict[str, str] = {}
+    all_aliases: set[str] = set()
+    for m in _TBL_ALIAS_RE.finditer(blank):
+        if m.group(2).upper() not in _TBL_ALIAS_STOP:
+            all_aliases.add(m.group(2))
+    for m in re.finditer(r"\)\s*(?:AS\s+)?([A-Za-z_]\w*)", blank, re.IGNORECASE):
+        if m.group(1).upper() not in _TBL_ALIAS_STOP:
+            all_aliases.add(m.group(1))
     for m in _TBL_ALIAS_RE.finditer(blank):
         orig, alias = m.group(1), m.group(2)
         if alias.upper() in _TBL_ALIAS_STOP or orig.upper() in _TBL_ALIAS_STOP:
+            continue
+        if orig in all_aliases:
+            # the table's own name doubles as SOME alias in this statement
+            # (e.g. `… ) ANIMAL WHERE ANIMAL.x`): rewriting would capture
+            # references to that alias — leave the qualifier alone
             continue
         if orig != alias:
             mapping[orig] = alias
@@ -5846,8 +6371,124 @@ def _rewrite_orig_table_refs(s: str) -> str:
     return s
 
 
+def _rewrite_heredoc(s: str) -> str:
+    """$tag$ raw text $tag$ heredoc literals (ParserStringLiteral heredoc
+    support, 21.x+): rewrite to escaped single-quoted literals. `AS $x$y$`
+    stays an identifier (allow_dollar in identifiers)."""
+    if "$" not in s:
+        return s
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == "'":
+                    break
+                j += 1
+            out.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if c == "$":
+            prev = "".join(out).rstrip()
+            if re.search(r"(?i)\bAS$", prev):
+                out.append(c)
+                i += 1
+                continue
+            j = s.find("$", i + 1)
+            if j == -1:
+                out.append(c)
+                i += 1
+                continue
+            tag = s[i : j + 1]
+            close = s.find(tag, j + 1)
+            if close == -1:
+                out.append(c)
+                i += 1
+                continue
+            body = s[j + 1 : close]
+            out.append("'" + body.replace("\\", "\\\\").replace("'", "\\'") + "'")
+            i = close + len(tag)
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_from_first(s: str) -> str:
+    """ClickHouse's FROM-first form (ParserSelectQuery 22.x+):
+    `FROM rel SELECT items …` → `SELECT items FROM rel …` (clauses after
+    the select list stay behind the reinserted FROM). Innermost first."""
+    changed = True
+    while changed:
+        changed = False
+        blank = _blank_strings(s)
+        depth = []
+        d = 0
+        for c in blank:
+            if c == "(":
+                d += 1
+                depth.append(d)
+            elif c == ")":
+                depth.append(d)
+                d -= 1
+            else:
+                depth.append(d)
+        best = None
+        for fm in re.finditer(r"(?i)\bFROM\s+", blank):
+            rel, alias, end = _read_relation(s, fm.end())
+            if not rel:
+                continue
+            sm = re.match(r"\s*SELECT\b", s[end:], re.IGNORECASE)
+            if not sm:
+                continue
+            if best is None or depth[fm.start()] > depth[best[0].start()]:
+                best = (fm, rel, alias, end, sm)
+        if best is None:
+            return s
+        fm, rel, alias, end, sm = best
+        dsel = depth[fm.start()]
+        q = len(s)
+        for k in range(end, len(s)):
+            if blank[k] == ")" and depth[k] == dsel:
+                q = k
+                break
+        body = s[end + sm.end() - len("SELECT") + len("SELECT") : q]
+        # wait-free split: body = select items + trailing clauses
+        rest_blank = _blank_strings(body)
+        ins = len(body)
+        stop = re.compile(
+            r"(?i)\b(WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|"
+            r"FORMAT|UNION|INTERSECT|EXCEPT\s+(ALL|DISTINCT|SELECT)|WINDOW)\b"
+        )
+        for km in stop.finditer(rest_blank):
+            dd = 0
+            for ch in rest_blank[: km.start()]:
+                if ch == "(":
+                    dd += 1
+                elif ch == ")":
+                    dd -= 1
+            if dd == 0:
+                ins = km.start()
+                break
+        rel_sql = rel + ((" AS " + alias) if alias else "")
+        new_scope = (
+            "SELECT " + body[:ins].strip() + " FROM " + rel_sql + " " + body[ins:]
+        )
+        s = s[: fm.start()] + new_scope + s[q:]
+        changed = True
+    return s
+
+
 def _translate_impl(ch_sql: str) -> str:
     s = _strip_block_comments(ch_sql).strip().rstrip(";")
+    s = _rewrite_heredoc(s)
+    if re.search(r"(?is)\bFROM\b.*?\bSELECT\b", _blank_strings(s)):
+        s = _rewrite_from_first(s)
     _check_alias_expansion_budget(s)
     # hyperscan caps fuzzy edit distance at 2 (MultiMatchAnyImpl.h:
     # max_hyperscan_regexp_length / fuzzy distance check → error in CH)
@@ -5862,7 +6503,16 @@ def _translate_impl(ch_sql: str) -> str:
     s = _FORMAT_TAIL.sub("", s)
     s = _rewrite_datetime_arith(s)
     s = _rewrite_orig_table_refs(s)
+    # kind-first strictness order (ParserJoin accepts both `LEFT ANY JOIN`
+    # and `ANY LEFT JOIN`) — normalize to strictness-first
+    s = re.sub(
+        r"(?i)\b(LEFT|RIGHT|INNER)\s+(ANY|SEMI|ANTI|ASOF)\s+JOIN\b",
+        lambda m: f"{m.group(2).upper()} {m.group(1).upper()} JOIN",
+        s,
+    )
+    s = _rewrite_asof_join(s)
     s = _rewrite_semi_join(s)
+    s = _rewrite_anti_join(s)
     # join strictness/locality prefixes: ALL JOIN ≡ JOIN exactly; GLOBAL is a
     # Distributed locality hint (Spark plans shuffles itself); ANY JOIN picks
     # one right-side match — translated as a plain join, exact when the join
@@ -5878,6 +6528,14 @@ def _translate_impl(ch_sql: str) -> str:
     # `x IN tuple(a, b, ...)` is the function-form IN list
     # (ParserTupleOfLiterals): unwrap to a plain parenthesized list
     s = re.sub(r"(?i)\b(IN)\s+tuple\s*\(", r"\1 (", s)
+    # scalar RHS `x IN 1` and array-literal RHS `x IN [1, 2]`
+    # (ParserInOperand accepts a single literal / array as the set)
+    s = re.sub(r"(?i)\b(IN)\s*\[([^\[\]]*)\]", r"\1 (\2)", s)
+    s = re.sub(
+        r"(?i)\b(IN)\s+(-?\d+(?:\.\d+)?|'(?:[^'\\]|\\.)*')(?=[\s,)]|$)",
+        r"\1 (\2)",
+        s,
+    )
     # LIMIT n WITH TIES (ParserSelectQuery limit_with_ties_mode): emulate
     # with rank() over the statement's ORDER BY — Spark has no WITH TIES
     s = _rewrite_limit_with_ties(s)
@@ -5892,7 +6550,7 @@ def _translate_impl(ch_sql: str) -> str:
     # (StorageSystemOne.cpp; every FROM-less SELECT implicitly reads
     # system.one) — give each such SELECT scope a real FROM, subqueries
     # included, so GROUP BY dummy / USING dummy resolve
-    if re.search(r"(?i)\bdummy\b", s):
+    if re.search(r"(?i)\bdummy\b|\bWHERE\b", s):
         s = _rewrite_fromless_dummy(s)
     if re.search(r"(?i)\bFROM\s+VALUES\s*\(", s):
         s = _rewrite_values_tf(s)
@@ -5936,7 +6594,7 @@ def _translate_impl(ch_sql: str) -> str:
         else m.group(0),
         s,
     )
-    s = _rewrite_scalar_with(s)
+    s = _rewrite_scalar_with_all(s)
     s = _rewrite_distinct_on(s)  # before alias passes: `ON (k) expr` would
     # otherwise parse as an aliased select item and macro-expand
     s = _expand_aliases_scoped(s)
@@ -5966,6 +6624,10 @@ def _translate_impl(ch_sql: str) -> str:
         _rewrite_datetime_col_arith(_rewrite_ternary_tokens(_tokenize(s)))
     )
 
+    # single-parameter lambda with parens `(a) -> body` (ParserLambda
+    # accepts both): Spark's parser only takes the bare form `a -> body`
+    out = re.sub(r"\(\s*([A-Za-z_]\w*)\s*\)\s*->", r"\1 ->", out)
+
     # `x IN (SELECT 'str' …)`: Spark lexes SELECT followed by a string as a
     # typed literal (UNSUPPORTED_TYPED_LITERAL) — alias the leading string
     # item to defuse the ambiguity
@@ -5986,8 +6648,9 @@ def _translate_impl(ch_sql: str) -> str:
             return m.group(0)
 
     out = re.sub(
-        r"\bAS\s+((?:Nullable|LowCardinality|Array|Map|Tuple|FixedString|"
-        r"Decimal\d*|DEC|NUMERIC|FIXED|DateTime64|Enum8|Enum16|Enum)"
+        r"\b[Aa][Ss]\s+((?:Nullable|LowCardinality|Array|Map|Tuple|FixedString|"
+        r"Decimal\d*|DEC|NUMERIC|FIXED|DateTime64|Enum8|Enum16|Enum|"
+        r"AggregateFunction|SimpleAggregateFunction)"
         r"\s*\((?:[^()]|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))*\))",
         _as_type,
         out,

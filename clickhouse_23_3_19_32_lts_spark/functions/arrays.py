@@ -182,7 +182,21 @@ def arraySort(arr) -> Column:
 
 @chfn("arrayReverseSort")
 def arrayReverseSort(arr) -> Column:
-    return F.reverse(F.array_sort(col(arr)))
+    # descending with NULLs LAST (GenericArraySort less_or_equal keeps
+    # nulls at the end in BOTH directions; a plain reverse would lead
+    # with them)
+    a = col(arr)
+    return F.array_sort(
+        a,
+        lambda l, r: (
+            F.when(l.isNull() & r.isNull(), F.lit(0))
+            .when(l.isNull(), F.lit(1))
+            .when(r.isNull(), F.lit(-1))
+            .when(l < r, F.lit(1))
+            .when(l > r, F.lit(-1))
+            .otherwise(F.lit(0))
+        ),
+    )
 
 
 @chfn("arrayUniq")

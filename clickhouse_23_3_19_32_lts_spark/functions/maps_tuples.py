@@ -69,10 +69,20 @@ def mapFilter(fn, m) -> Column:
 
 @chfn("mapUpdate")
 def mapUpdate(a, b) -> Column:
-    """b's entries override a's."""
-    return F.map_concat(
-        F.map_filter(col(a), lambda k, v: ~F.map_contains_key(col(b), k)), col(b)
+    """b's entries override a's IN PLACE (a's key order is kept, b's new
+    keys append — mapUpdate.cpp)."""
+    ca, cb = col(a), col(b)
+    updated = F.transform(
+        F.map_entries(ca),
+        lambda e: F.struct(
+            e.key.alias("key"),
+            F.coalesce(F.try_element_at(cb, e.key), e.value).alias("value"),
+        ),
     )
+    appended = F.filter(
+        F.map_entries(cb), lambda e: ~F.array_contains(F.map_keys(ca), e.key)
+    )
+    return F.map_from_entries(F.concat(updated, appended))
 
 
 @chfn("mapFromArrays", "CAST_map")

@@ -14,8 +14,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, Window, WindowSpec
 from pyspark.sql import functions as F
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
 
-from clickhouse_23_3_19_32_lts_spark.functions.registry import chfn, col
+from clickhouse_23_3_19_32_lts_spark.functions.registry import chfn, col, lit_or_col
 
 __all__ = [
     "currentDatabase", "hostName", "version", "uptime", "sleep_",
@@ -115,23 +117,75 @@ def formatReadableQuantity(x) -> Column:
 
 
 @chfn("formatReadableTimeDelta")
-def formatReadableTimeDelta(x) -> Column:
-    c = col(x).cast("long")
-    days, rem = (c / 86400).cast("long"), c % 86400
-    hours, rem2 = (rem / 3600).cast("long"), rem % 3600
-    mins, secs = (rem2 / 60).cast("long"), rem2 % 60
-    d = col(x).cast("double")
-    return F.when(F.isnan(d), F.lit("nan")).when(
-        d == float("inf"), F.lit("inf")
-    ).when(d == float("-inf"), F.lit("-inf")).otherwise(
-        F.concat_ws(
-            ", ",
-            F.when(days > 0, F.format_string("%d days", days)),
-            F.when(hours > 0, F.format_string("%d hours", hours)),
-            F.when(mins > 0, F.format_string("%d minutes", mins)),
-            F.when((secs > 0) | (c == 0), F.format_string("%d seconds", secs)),
-        )
+def formatReadableTimeDelta(x, max_unit=None) -> Column:
+    from clickhouse_23_3_19_32_lts_spark.functions.variants2 import _named_pudf
+
+    # NULL marks the default: a string literal renders unquoted through
+    # the bridge's .sql() round-trip, a NULL survives it
+    mu = (
+        lit_or_col(max_unit).cast("string")
+        if max_unit is not None
+        else F.lit(None).cast("string")
     )
+    return _named_pudf(ch_fmt_timedelta, "string")(col(x).cast("double"), mu)
+
+
+def ch_fmt_timedelta(sec: pd.Series, maxu: pd.Series) -> pd.Series:
+    """formatReadableTimeDelta.cpp: break |seconds| into
+    years(365 d)/months(30.5 d)/days/hours/minutes/seconds starting at the
+    maximum unit; comma-join with ' and ' before the last; singular for 1;
+    a single leading '-' for negatives."""
+    import math
+
+    units = [
+        ("year", 365.0 * 86400), ("month", 30.5 * 86400), ("day", 86400.0),
+        ("hour", 3600.0), ("minute", 60.0), ("second", 1.0),
+    ]
+    start = {"years": 0, "months": 1, "days": 2, "hours": 3,
+             "minutes": 4, "seconds": 5}
+
+    def fmt_float(f):
+        r = repr(float(f))
+        if r.endswith(".0"):
+            r = r[:-2]
+        return r.replace("e+", "e")
+
+    def one(v, mu):
+        if mu is None:
+            mu = "years"
+        if mu not in start:
+            raise ValueError(
+                f"formatReadableTimeDelta: unexpected maximum unit {mu!r}"
+            )
+        if v is None:
+            return None
+        v = float(v)
+        if math.isnan(v) or math.isinf(v):
+            return fmt_float(v) if not math.isnan(v) else "nan"
+        neg = v < 0
+        value = abs(v)
+        parts = []
+        for name, size in units[start[mu]:]:
+            if value + 1.0 == value:
+                # too large for exact smaller units (processUnit's guard):
+                # one float-printed unit and stop
+                parts.append((fmt_float(math.floor(value / size)), name, 2))
+                value = 0.0
+                continue
+            cnt = int(value / size)
+            if not cnt and (size > 1 or parts):
+                continue
+            value -= cnt * size
+            parts.append((str(cnt), name, cnt))
+        out = []
+        # delimiter before each non-first unit: " and " when it is the last
+        for j, (txt, name, cnt) in enumerate(parts):
+            if j:
+                out.append(" and " if j == len(parts) - 1 else ", ")
+            out.append(f"{txt} {name}" + ("s" if cnt != 1 else ""))
+        return ("-" if neg else "") + "".join(out)
+
+    return pd.Series([one(v, m) for v, m in zip(sec, maxu)])
 
 
 @chfn("bar")

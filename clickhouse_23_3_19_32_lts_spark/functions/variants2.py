@@ -906,75 +906,99 @@ def IPv4NumToStringClassC(n) -> Column:
     )
 
 
+# Module-level pandas UDFs with UNIQUE names: the SQL bridge renders a
+# builder's Column to SQL text, and a UDF call keeps the inner function's
+# __name__ — a generic nested `_ntoa` then fails to resolve when that SQL
+# is re-parsed. register_variant_udfs() makes these names session-visible.
+
+# pandas UDFs must NOT be created at module import time: executors import
+# this package inside Python workers (no SparkContext), and @pandas_udf
+# parses its return-type DDL eagerly. Create lazily, once, named — the SQL
+# bridge renders calls by the impl function's __name__.
+_PUDF_CACHE: dict = {}
+
+
+def _named_pudf(impl, ret: str):
+    u = _PUDF_CACHE.get(impl.__name__)
+    if u is None:
+        u = pandas_udf(impl, ret)
+        _PUDF_CACHE[impl.__name__] = u
+    return u
+
+def ch_ipv6_expand(ser: pd.Series) -> pd.Series:
+    import ipaddress
+
+    def one(v):
+        if v is None:
+            return None
+        if isinstance(v, (bytes, bytearray)):
+            try:
+                return ipaddress.IPv6Address(bytes(v)).exploded
+            except ValueError:
+                return None
+        try:
+            return ipaddress.IPv6Address(v).exploded
+        except ValueError:
+            try:
+                return ipaddress.IPv6Address("::ffff:" + v).exploded
+            except ValueError:
+                return None
+
+    return ser.map(one)
+
+
+def ch_ipv6_ntoa(ser: pd.Series) -> pd.Series:
+    import ipaddress
+
+    def one(v):
+        if v is None:
+            return None
+        try:
+            if isinstance(v, (bytes, bytearray)):
+                return str(ipaddress.IPv6Address(bytes(v)))
+            return str(ipaddress.IPv6Address(v))
+        except ValueError:
+            return None
+
+    return ser.map(one)
+
+
+def ch_ipv6_aton(ser: pd.Series) -> pd.Series:
+    import ipaddress
+
+    def one(v):
+        if v is None:
+            return None
+        try:
+            return ipaddress.IPv6Address(v).packed
+        except ValueError:
+            try:
+                return ipaddress.IPv6Address("::ffff:" + v).packed
+            except ValueError:
+                return None
+
+    return ser.map(one)
+
+
 def _ipv6_expand(s: Column) -> Column:
     """Full 32-hex-digit form of an IPv6 string (pandas UDF, stdlib exact)."""
-    @pandas_udf("string")
-    def _exp(ser: pd.Series) -> pd.Series:
-        import ipaddress
-
-        def one(v):
-            if v is None:
-                return None
-            try:
-                return ipaddress.IPv6Address(v).exploded
-            except ValueError:
-                try:
-                    return ipaddress.IPv6Address("::ffff:" + v).exploded
-                except ValueError:
-                    return None
-
-        return ser.map(one)
-
-    return _exp(s)
+    return _named_pudf(ch_ipv6_expand, "string")(s)
 
 
 @chfn("IPv6NumToString", "INET6_NTOA")
 def IPv6NumToString(x) -> Column:
-    @pandas_udf("string")
-    def _ntoa(ser: pd.Series) -> pd.Series:
-        import ipaddress
-
-        def one(v):
-            if v is None:
-                return None
-            try:
-                if isinstance(v, (bytes, bytearray)):
-                    return str(ipaddress.IPv6Address(bytes(v)))
-                return str(ipaddress.IPv6Address(v))
-            except ValueError:
-                return None
-
-        return ser.map(one)
-
-    return _ntoa(col(x))
+    return _named_pudf(ch_ipv6_ntoa, "string")(col(x))
 
 
 @chfn("IPv6StringToNum", "INET6_ATON")
 def IPv6StringToNum(s) -> Column:
-    @pandas_udf("binary")
-    def _aton(ser: pd.Series) -> pd.Series:
-        import ipaddress
-
-        def one(v):
-            if v is None:
-                return None
-            try:
-                return ipaddress.IPv6Address(v).packed
-            except ValueError:
-                try:
-                    return ipaddress.IPv6Address("::ffff:" + v).packed
-                except ValueError:
-                    return None
-
-        return ser.map(one)
-
-    return _aton(col(s))
+    return _named_pudf(ch_ipv6_aton, "binary")(col(s))
 
 
 @chfn("cutIPv6")
 def cutIPv6(s, bytes_to_cut_v6: int = 0, bytes_to_cut_v4: int = 0) -> Column:
     """Zero the last N bytes of the address (anonymization)."""
-    exp = _ipv6_expand(col(s).cast("string"))
+    exp = _ipv6_expand(col(s))  # accepts packed binary or text
     groups_to_cut = int(bytes_to_cut_v6) // 2
     if groups_to_cut <= 0:
         return exp
@@ -984,24 +1008,24 @@ def cutIPv6(s, bytes_to_cut_v6: int = 0, bytes_to_cut_v4: int = 0) -> Column:
     return F.array_join(F.concat(kept, zeros), ":")
 
 
+def ch_ipv6_cidr_range(ser: pd.Series, pfx: pd.Series) -> pd.DataFrame:
+    import ipaddress
+
+    lo, hi = [], []
+    for v, p in zip(ser, pfx):
+        try:
+            net = ipaddress.IPv6Network((v, int(p)), strict=False)
+            lo.append(str(net.network_address))
+            hi.append(str(net.broadcast_address))
+        except (ValueError, TypeError):
+            lo.append(None)
+            hi.append(None)
+    return pd.DataFrame({"lo": lo, "hi": hi})
+
+
 @chfn("IPv6CIDRToRange")
 def IPv6CIDRToRange(s, prefix) -> Column:
-    @pandas_udf("struct<lo:string,hi:string>")
-    def _rng(ser: pd.Series, pfx: pd.Series) -> pd.DataFrame:
-        import ipaddress
-
-        lo, hi = [], []
-        for v, p in zip(ser, pfx):
-            try:
-                net = ipaddress.IPv6Network((v, int(p)), strict=False)
-                lo.append(str(net.network_address))
-                hi.append(str(net.broadcast_address))
-            except (ValueError, TypeError):
-                lo.append(None)
-                hi.append(None)
-        return pd.DataFrame({"lo": lo, "hi": hi})
-
-    return _rng(col(s).cast("string"), col(prefix).cast("int"))
+    return _named_pudf(ch_ipv6_cidr_range, "struct<lo:string,hi:string>")(col(s).cast("string"), col(prefix).cast("int"))
 
 
 # --------------------------------------------------------------------------
@@ -1621,51 +1645,85 @@ def tryDecrypt(mode, ciphertext, key, iv=None, aad=None) -> Column:
     return F.try_aes_decrypt(*args)
 
 
+def ch_base58_enc(ser: pd.Series) -> pd.Series:
+    alphabet = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+    def one(v):
+        if v is None:
+            return None
+        if isinstance(v, str):
+            try:
+                b = v.encode("latin-1")  # inverse of the decode carrier
+            except UnicodeEncodeError:
+                b = v.encode("utf-8")
+        else:
+            b = bytes(v)
+        n = int.from_bytes(b, "big")
+        out = ""
+        while n:
+            n, r = divmod(n, 58)
+            out = alphabet[r] + out
+        pad = len(b) - len(b.lstrip(b"\x00"))
+        return "1" * pad + (out or "")
+
+    return ser.map(one)
+
+
 @chfn("base58Encode")
 def base58Encode(s) -> Column:
-    @pandas_udf("string")
-    def _enc(ser: pd.Series) -> pd.Series:
-        alphabet = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
-
-        def one(v):
-            if v is None:
-                return None
-            b = v.encode() if isinstance(v, str) else bytes(v)
-            n = int.from_bytes(b, "big")
-            out = ""
-            while n:
-                n, r = divmod(n, 58)
-                out = alphabet[r] + out
-            pad = len(b) - len(b.lstrip(b"\x00"))
-            return "1" * pad + (out or "")
-
-        return ser.map(one)
-
-    return _enc(col(s))
+    return _named_pudf(ch_base58_enc, "string")(col(s))
 
 
-@chfn("base58Decode", "tryBase58Decode")
+@chfn("base58Decode")
 def base58Decode(s) -> Column:
-    @pandas_udf("string")
-    def _dec(ser: pd.Series) -> pd.Series:
-        alphabet = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    return _named_pudf(ch_base58_dec_strict, "string")(col(s))
 
-        def one(v):
-            if v is None:
-                return None
-            try:
-                n = 0
-                for c in v:
-                    n = n * 58 + alphabet.index(c)
-                pad = len(v) - len(v.lstrip("1"))
-                raw = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
-                return (b"\x00" * pad + raw).decode("utf-8", errors="replace")
-            except ValueError:
-                return None
 
-        return ser.map(one)
+@chfn("tryBase58Decode")
+def tryBase58Decode(s) -> Column:
+    return _named_pudf(ch_base58_dec, "string")(col(s))
 
-    return _dec(col(s))
+
+def _b58_decode_one(v):
+    alphabet = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    n = 0
+    for c in v:
+        n = n * 58 + alphabet.index(c)  # ValueError on invalid char
+    pad = len(v) - len(v.lstrip("1"))
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    # latin-1 keeps every byte value addressable so encode(decode(x)) is
+    # byte-faithful (CH String is a byte string)
+    out = b"\x00" * pad + raw
+    try:
+        return out.decode("utf-8")
+    except UnicodeDecodeError:
+        return out.decode("latin-1")
+
+
+def ch_base58_dec(ser: pd.Series) -> pd.Series:
+    def one(v):
+        if v is None:
+            return None
+        try:
+            return _b58_decode_one(v)
+        except ValueError:
+            return None
+
+    return ser.map(one)
+
+
+def ch_base58_dec_strict(ser: pd.Series) -> pd.Series:
+    """base58Decode throws on invalid input (serverError 36); the try…
+    variant above maps it to NULL (FunctionBase58Conversion.h)."""
+    def one(v):
+        if v is None:
+            return None
+        try:
+            return _b58_decode_one(v)
+        except ValueError as exc:
+            raise ValueError(f"invalid base58: {v!r}") from exc
+
+    return ser.map(one)
 
 
 @chfn("mortonEncode")
@@ -1712,3 +1770,23 @@ for _name, _builder in REGISTRY.items():
         and not hasattr(_builtins, _name)
     ):
         globals()[_name] = _builder
+
+
+def register_variant_udfs(spark) -> None:
+    """Session-register the module-level pandas UDFs so SQL rendered by the
+    registry bridge (which keeps their __name__) resolves on re-parse."""
+    from clickhouse_23_3_19_32_lts_spark.functions.misc import (
+        ch_fmt_timedelta,
+    )
+
+    for impl, ret in (
+        (ch_ipv6_expand, "string"),
+        (ch_ipv6_ntoa, "string"),
+        (ch_ipv6_aton, "binary"),
+        (ch_ipv6_cidr_range, "struct<lo:string,hi:string>"),
+        (ch_base58_enc, "string"),
+        (ch_base58_dec, "string"),
+        (ch_base58_dec_strict, "string"),
+        (ch_fmt_timedelta, "string"),
+    ):
+        spark.udf.register(impl.__name__, _named_pudf(impl, ret))

@@ -100,11 +100,16 @@ def get_spark(
         from clickhouse_23_3_19_32_lts_spark.functions.s2_udfs import register_s2_udfs
         from clickhouse_23_3_19_32_lts_spark.functions.sql_udfs import register_sql_udfs
 
+        from clickhouse_23_3_19_32_lts_spark.functions.variants2 import (
+            register_variant_udfs,
+        )
+
         register_sql_udfs(spark)
         register_hash_udfs(spark)
         register_h3_udfs(spark)
         register_s2_udfs(spark)
         register_besteffort_udfs(spark)
+        register_variant_udfs(spark)
     except Exception:  # noqa: BLE001 — SQL UDF names are additive, never fatal
         pass
     return spark

@@ -430,3 +430,52 @@ def test_system_virtual_tables(spark):
         translate("SELECT sum(number) AS s FROM (SELECT number FROM system.numbers_mt LIMIT 5)")
     ).collect()
     assert rows[0]["s"] == 10
+
+
+def test_asof_join_lateral_rewrite():
+    """ASOF JOIN lowers to a correlated LATERAL top-1 subquery
+    (HashJoin.cpp ASOF strictness; USING's last column is the
+    closest-match key)."""
+    out = translate(
+        "SELECT A.k FROM A ASOF INNER JOIN B ON A.k == B.k AND A.t >= B.t"
+    )
+    assert "JOIN LATERAL" in out
+    assert "ORDER BY" in out and "LIMIT 1" in out
+    # USING needs >= 2 columns (serverError 62)
+    import pytest as _pytest
+
+    from clickhouse_23_3_19_32_lts_spark.dialect import ChSqlError
+
+    with _pytest.raises(ChSqlError):
+        translate("SELECT * FROM t1 ASOF JOIN t2 USING k")
+
+
+def test_kind_first_join_normalization():
+    out = translate("select * from t1 left any join t2 using (k)")
+    assert "LEFT JOIN" in out.upper()
+    out2 = translate("select * from t1 left anti join t2 using (k)")
+    assert "LEFT ANTI JOIN" in out2.upper()
+
+
+def test_heredoc_literals():
+    assert translate("SELECT $$VALUE$$") == "SELECT 'VALUE'"
+    assert translate("SELECT $doc$'V'$doc$") == "SELECT '\\'V\\''"
+
+
+def test_from_first_syntax():
+    out = translate("FROM numbers(1) SELECT number")
+    assert out.upper().startswith("SELECT")
+
+
+def test_in_scalar_and_array_forms():
+    assert translate("SELECT 1 IN 1") == "SELECT 1 IN (1)"
+    assert translate("SELECT 1 IN [1,2]") == "SELECT 1 IN (1, 2)"
+
+
+def test_union_branch_limit_parenthesized():
+    out = translate("SELECT 1 UNION ALL SELECT 2 LIMIT 1")
+    assert "(SELECT 2 LIMIT 1)" in out
+    out2 = translate(
+        "SELECT * FROM (SELECT 1 AS a LIMIT 1 UNION ALL SELECT 2 LIMIT 2)"
+    )
+    assert "(SELECT 1 AS a LIMIT 1)" in out2 and "(SELECT 2 LIMIT 2)" in out2

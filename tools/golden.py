@@ -705,7 +705,10 @@ def _translate_create(stmt: str) -> tuple[str, str]:
             ctype = re.split(
                 r"\s+(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC\s*\(|TTL|COMMENT)\b", ctype, flags=re.IGNORECASE
             )[0]
-        if re.match(r"Nullable\s*\(", ctype.strip(), re.IGNORECASE):
+        if re.search(r"(?i)\bNullable\s*\(", ctype):
+            # top-level Nullable OR nested (Array(Nullable(…)), Map values):
+            # either way the column legitimately carries NULLs and must not
+            # be default-filled
             nullable.add(cname.strip("`").lower())
         nm2 = re.match(r"Nested\s*\((.*)\)\s*$", ctype.strip(), re.IGNORECASE | re.DOTALL)
         if nm2:
@@ -1544,6 +1547,14 @@ def _fill_null_defaults(df, skip: "set[str] | None" = None):
             # column: its NULL may come from the Nullable input — keep it
             fill = False
         if fill:
+            if isinstance(f.dataType, T.ArrayType) and not isinstance(
+                f.dataType.elementType,
+                (T.ArrayType, T.StructType, T.MapType, T.BinaryType, T.NullType),
+            ):
+                # NULL elements inside a non-Nullable array render as the
+                # element type default too (arrayResize/arrayPadding sites)
+                et = f.dataType.elementType
+                c = F.transform(c, lambda x: F.coalesce(x, _type_default(et)))
             c = F.coalesce(c, _type_default(f.dataType))
         cols.append(c.alias(f.name))
     wrapped = tmp.select(*cols)
@@ -2963,6 +2974,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                                 if nullable_cols
                                 else None,
                                 col_ch_types=col_ch_types,
+                                table_schemas=ch_schemas,
                                 dt_best_effort=session_settings.get(
                                     "date_time_input_format", ""
                                 )
@@ -3100,8 +3112,35 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 if re.search(r"\bFORMAT\s+`?Null`?(\s|;|$)", stmt, re.IGNORECASE):
                     res_df.collect()  # execute for effects; output discarded
                     continue
+                def _collect_ordered(df):
+                    """collect(), with top-level Map columns read through
+                    map_entries() — PySpark's dict conversion does NOT
+                    preserve Spark map entry order (hash order), while
+                    ClickHouse Maps are ordered pair arrays. Returns
+                    (rows, positions-of-map-columns)."""
+                    from pyspark.sql import functions as F
+                    from pyspark.sql import types as T
+
+                    mcols = {
+                        i2
+                        for i2, f2 in enumerate(df.schema.fields)
+                        if isinstance(f2.dataType, T.MapType)
+                    }
+                    if not mcols:
+                        return df.collect(), mcols
+                    tmp2 = df.toDF(*[f"__m{i2}" for i2 in range(len(df.schema.fields))])
+                    sel2 = [
+                        (
+                            F.map_entries(tmp2[f"__m{i2}"])
+                            if i2 in mcols
+                            else tmp2[f"__m{i2}"]
+                        ).alias(f2.name)
+                        for i2, f2 in enumerate(df.schema.fields)
+                    ]
+                    return tmp2.select(*sel2).collect(), mcols
+
                 try:
-                    rows = res_df.collect()
+                    rows, map_cols = _collect_ordered(res_df)
                 except Exception as ex:
                     # arr[i] hit index 0 at runtime — ClickHouse returns the
                     # type default there; retry with the guarded subscript.
@@ -3109,7 +3148,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     # analysis to the first action), so the lateral-alias
                     # lambda retry applies as well.
                     res_df = _build_retry(ex)
-                    rows = res_df.collect()
+                    rows, map_cols = _collect_ordered(res_df)
                 f32_cols = _float32_positions(res_df.schema)
                 # DateTime64(N) renders with N fractional digits; Spark's
                 # schema can't carry the scale, so recover it per column:
@@ -3124,6 +3163,11 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 )
                 return False, f"exec error: {first[:220]}"
             def _fmt_cell(j, v):
+                if j in map_cols and isinstance(v, list):
+                    # entry-array view of a Map column (see _collect_ordered)
+                    return "{" + ",".join(
+                        f"{_fmt_nested(e[0])}:{_fmt_nested(e[1])}" for e in v
+                    ) + "}"
                 if j in f32_cols:
                     return _fmt_top_f32(v)
                 sc = ts_scales.get(j)

@@ -63,6 +63,7 @@ _WONTFIX_NAMES = {
 _WONTFIX_PATTERNS: list[tuple[str, str]] = [
     # EXPLAIN forms that print the reference's internal plan/AST text
     (r"(?i)\bEXPLAIN\s+(PIPELINE|AST|ESTIMATE|PLAN\s+indexes|header\s*=)", "explain-internals"),
+    (r"(?i)\bEXPLAIN\s+QUERY\s+TREE\b", "explain-internals"),
     (r"(?i)\bEXPLAIN\s+SYNTAX\b", "explain-syntax-ast-optimizer"),
     # live-updating subscriptions need a server push channel
     (r"(?i)\bWATCH\s+", "watch-liveview"),
