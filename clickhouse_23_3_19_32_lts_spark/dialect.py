@@ -6396,8 +6396,11 @@ def _rewrite_heredoc(s: str) -> str:
         if c == "$":
             prev = "".join(out).rstrip()
             if re.search(r"(?i)\bAS$", prev):
-                out.append(c)
-                i += 1
+                # identifier containing $ (allow_dollar parser setting) —
+                # backtick-quote it for Spark
+                im = re.match(r"[\w$]+", s[i:])
+                out.append("`" + im.group(0) + "`")
+                i += im.end()
                 continue
             j = s.find("$", i + 1)
             if j == -1:
@@ -6411,7 +6414,13 @@ def _rewrite_heredoc(s: str) -> str:
                 i += 1
                 continue
             body = s[j + 1 : close]
-            out.append("'" + body.replace("\\", "\\\\").replace("'", "\\'") + "'")
+            esc = (
+                body.replace("\\", "\\\\")
+                .replace("'", "\\'")
+                .replace("\n", "\\n")  # survive whitespace collapsing
+                .replace("\t", "\\t")
+            )
+            out.append("'" + esc + "'")
             i = close + len(tag)
             continue
         out.append(c)
@@ -6487,6 +6496,8 @@ def _rewrite_from_first(s: str) -> str:
 def _translate_impl(ch_sql: str) -> str:
     s = _strip_block_comments(ch_sql).strip().rstrip(";")
     s = _rewrite_heredoc(s)
+    # digit-leading aliases (allow_numbers in identifiers): backtick-quote
+    s = re.sub(r"(?i)\b(AS)\s+(\d[\w$]*[A-Za-z_$][\w$]*)\b", r"\1 `\2`", s)
     if re.search(r"(?is)\bFROM\b.*?\bSELECT\b", _blank_strings(s)):
         s = _rewrite_from_first(s)
     _check_alias_expansion_budget(s)

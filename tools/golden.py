@@ -419,7 +419,14 @@ def _fmt_top(v) -> str:
             return str(int(v))
         return _fmt_float(float(v))
     if isinstance(v, str):
-        return v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+        # TSV escaping incl. single quotes (WriteHelpers.h
+        # writeEscapedString escapes \\ \t \n and ')
+        return (
+            v.replace("\\", "\\\\")
+            .replace("\t", "\\t")
+            .replace("\n", "\\n")
+            .replace("'", "\\'")
+        )
     if isinstance(v, (bytes, bytearray)):
         # FixedString/unhex results are raw bytes; ClickHouse prints them
         # as their (escaped) byte string
