@@ -268,7 +268,8 @@ TEMPLATES: dict[str, str] = {
     "mapUpdate": (
         "map_from_entries(concat("
         "transform(map_entries({0}), __e -> named_struct('key', __e.key,"
-        " 'value', coalesce(try_element_at({1}, __e.key), __e.value))),"
+        " 'value', IF(array_contains(map_keys({1}), __e.key),"
+        " try_element_at({1}, __e.key), __e.value))),"
         " filter(map_entries({1}),"
         " __e -> NOT array_contains(map_keys({0}), __e.key))))"
     ),
@@ -4441,6 +4442,22 @@ def _rewrite_asof_join(s: str) -> str:
         lm = lm2
     if lm is None or blank[lm.end() : m.start()].strip():
         return s
+    # the identifier must BE a relation/alias, i.e. directly follow a
+    # FROM/JOIN item — if the text since the last same-depth FROM/JOIN
+    # contains an ON/USING clause, it is a condition column (e.g.
+    # `... ON a.id = b.id ASOF JOIN c`) and qualifying with it would
+    # produce an unresolvable alias: bail instead
+    jd = _depth_at(blank, m.start())
+    lseg_start = None
+    for kw in re.finditer(r"(?i)\b(?:FROM|JOIN)\b", blank[: lm.start()]):
+        if _depth_at(blank, kw.start()) == jd:
+            lseg_start = kw.end()
+    if lseg_start is not None:
+        seg = blank[lseg_start : lm.start()]
+        while re.search(r"\([^()]*\)", seg):
+            seg = re.sub(r"\([^()]*\)", " ", seg)
+        if re.search(r"(?i)\bON\b|\bUSING\b|=", seg):
+            return s
     lalias = lm.group(0).split(".")[-1]
     rel, ralias, end = _read_relation(s, m.end())
     if not rel:
@@ -4468,8 +4485,10 @@ def _rewrite_asof_join(s: str) -> str:
         # ASOF USING default inequality: left.t >= right.t (join.md docs)
         conds.append(f"{name}.{tcol} <= {lalias}.{tcol}")
         order = f"{name}.{tcol} DESC"
+        using_keys = keys
         tail = rest[um.end() :]
     else:
+        using_keys = []
         onm = re.match(r"\s*ON\b", rest, re.IGNORECASE)
         if not onm:
             return s
@@ -4531,21 +4550,27 @@ def _rewrite_asof_join(s: str) -> str:
     where = " AND ".join(conds)
     inner_rel = rel if rel.startswith("(") else f"(SELECT * FROM {rel})"
     schema = _TABLE_SCHEMAS.get(rel) if not rel.startswith("(") else None
+    # USING keys are deduped by ClickHouse (left side wins in SELECT *):
+    # exclude the right copies so the column count matches and unqualified
+    # references to a USING key stay unambiguous
+    uexc = ", ".join(using_keys)
     if kind == "LEFT" and schema:
         # join misses fill with TYPE DEFAULTS (join_use_nulls=0,
         # Core/Settings.h) — a sentinel default row loses to any real match
         # via the __m sort key, so the LEFT JOIN LATERAL always matches
         defaults = ", ".join(_ch_join_default_sql(ct) for _cn, ct in schema)
+        exc = f"__m, {uexc}" if uexc else "__m"
         lateral = (
-            f"(SELECT * EXCEPT(__m) FROM ("
+            f"(SELECT * EXCEPT({exc}) FROM ("
             f"SELECT 0 AS __m, {name}.* FROM {inner_rel} AS {name}"
             f" WHERE {where}"
             f" UNION ALL SELECT 1 AS __m, {defaults}"
             f") AS {name} ORDER BY __m, {order} LIMIT 1)"
         )
     else:
+        sel = f"* EXCEPT({uexc})" if uexc else "*"
         lateral = (
-            f"(SELECT * FROM {inner_rel} AS {name} WHERE {where}"
+            f"(SELECT {sel} FROM {inner_rel} AS {name} WHERE {where}"
             f" ORDER BY {order} LIMIT 1)"
         )
     joinkw = "LEFT JOIN LATERAL" if kind == "LEFT" else "INNER JOIN LATERAL"
@@ -4588,6 +4613,11 @@ def _rewrite_anti_join(s: str) -> str:
         return s
     lrel, _lalias, lend = _read_relation(s, fm.end())
     if not lrel or lend > m.start():
+        return s
+    if s[lend : m.start()].strip():
+        # intervening joins between the FROM relation and the ANTI RIGHT —
+        # swapping just the first relation would silently drop them; bail
+        # so the retry cascade surfaces a translate failure instead
         return s
     lpart, rpart = s[fm.end() : lend], s[m.end() : end]
     return _rewrite_anti_join(
@@ -4864,6 +4894,32 @@ def _blank_strings(s: str) -> str:
                 in_str = True
             out.append(c)
         i += 1
+    return "".join(out)
+
+
+def _sub_blank(pattern: str, repl: str, s: str, flags: int = 0) -> str:
+    """re.sub, but matches are located on the string-blanked copy so text
+    inside string literals is never rewritten; group references (\\1 …\\9)
+    in `repl` expand from the ORIGINAL string at the matched spans (indices
+    line up because _blank_strings preserves length)."""
+    blank = _blank_strings(s)
+    out, last = [], 0
+    for m in re.finditer(pattern, blank, flags):
+        out.append(s[last : m.start()])
+        piece, i = [], 0
+        while i < len(repl):
+            c = repl[i]
+            if c == "\\" and i + 1 < len(repl) and repl[i + 1].isdigit():
+                a, b = m.span(int(repl[i + 1]))
+                if a != -1:
+                    piece.append(s[a:b])
+                i += 2
+            else:
+                piece.append(c)
+                i += 1
+        out.append("".join(piece))
+        last = m.end()
+    out.append(s[last:])
     return "".join(out)
 
 
@@ -6497,7 +6553,7 @@ def _translate_impl(ch_sql: str) -> str:
     s = _strip_block_comments(ch_sql).strip().rstrip(";")
     s = _rewrite_heredoc(s)
     # digit-leading aliases (allow_numbers in identifiers): backtick-quote
-    s = re.sub(r"(?i)\b(AS)\s+(\d[\w$]*[A-Za-z_$][\w$]*)\b", r"\1 `\2`", s)
+    s = _sub_blank(r"(?i)\b(AS)\s+(\d[\w$]*[A-Za-z_$][\w$]*)\b", r"\1 `\2`", s)
     if re.search(r"(?is)\bFROM\b.*?\bSELECT\b", _blank_strings(s)):
         s = _rewrite_from_first(s)
     _check_alias_expansion_budget(s)
@@ -6541,9 +6597,9 @@ def _translate_impl(ch_sql: str) -> str:
     s = re.sub(r"(?i)\b(IN)\s+tuple\s*\(", r"\1 (", s)
     # scalar RHS `x IN 1` and array-literal RHS `x IN [1, 2]`
     # (ParserInOperand accepts a single literal / array as the set)
-    s = re.sub(r"(?i)\b(IN)\s*\[([^\[\]]*)\]", r"\1 (\2)", s)
-    s = re.sub(
-        r"(?i)\b(IN)\s+(-?\d+(?:\.\d+)?|'(?:[^'\\]|\\.)*')(?=[\s,)]|$)",
+    s = _sub_blank(r"(?i)\b(IN)\s*\[([^\[\]]*)\]", r"\1 (\2)", s)
+    s = _sub_blank(
+        r"(?i)\b(IN)\s+(-?\d+(?:\.\d+)?|'[^']*')(?=[\s,)]|$)",
         r"\1 (\2)",
         s,
     )
@@ -6637,7 +6693,7 @@ def _translate_impl(ch_sql: str) -> str:
 
     # single-parameter lambda with parens `(a) -> body` (ParserLambda
     # accepts both): Spark's parser only takes the bare form `a -> body`
-    out = re.sub(r"\(\s*([A-Za-z_]\w*)\s*\)\s*->", r"\1 ->", out)
+    out = _sub_blank(r"\(\s*([A-Za-z_]\w*)\s*\)\s*->", r"\1 ->", out)
 
     # `x IN (SELECT 'str' …)`: Spark lexes SELECT followed by a string as a
     # typed literal (UNSUPPORTED_TYPED_LITERAL) — alias the leading string

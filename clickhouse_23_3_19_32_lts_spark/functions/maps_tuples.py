@@ -74,9 +74,14 @@ def mapUpdate(a, b) -> Column:
     ca, cb = col(a), col(b)
     updated = F.transform(
         F.map_entries(ca),
+        # membership test, not value nullness: a NULL value in b still
+        # overrides (mapUpdate.cpp takes b's entry unconditionally)
         lambda e: F.struct(
             e.key.alias("key"),
-            F.coalesce(F.try_element_at(cb, e.key), e.value).alias("value"),
+            F.when(
+                F.array_contains(F.map_keys(cb), e.key),
+                F.try_element_at(cb, e.key),
+            ).otherwise(e.value).alias("value"),
         ),
     )
     appended = F.filter(

@@ -83,9 +83,14 @@ def test_dedup_sketch_is_map_side(spark):
     """MinHash signatures fold in a partial aggregate before any exchange:
     the shuffle carries (doc, 16 longs), never shingle text."""
     p = plan_of(spark, "q_dedup_minhash_lsh")
-    first_exchange = p.find("Exchange")
-    first_partial_agg = p.find("partial_min")
-    assert first_partial_agg != -1
+    lines = p.splitlines()
+    sig_exchanges = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(__id" in l]
+    assert sig_exchanges, "signature shuffle missing from plan"
+    # tree prints parent-first: the line after each signature Exchange is its
+    # child, which must be the map-side partial fold (doc, 16 longs) -- never
+    # raw shingle rows
+    for i in sig_exchanges:
+        assert "partial_min" in lines[i + 1], "signature fold moved after the shuffle"
 
 
 def test_embedding_near_dup_no_pair_cartesian(spark):
