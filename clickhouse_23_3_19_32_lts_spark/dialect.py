@@ -136,13 +136,22 @@ NAME_MAP: dict[str, str] = {
     "groupBitXor": "bit_xor",
 }
 
+# numeric-conversion targets (type-aware date/datetime handling in the call
+# renderer routes temporal args through epoch arithmetic before these apply)
+_NUM_CONV_SPARK = {
+    "toInt8": "TINYINT", "toInt16": "SMALLINT", "toInt32": "INT",
+    "toInt64": "BIGINT", "toUInt8": "INT", "toUInt16": "INT",
+    "toUInt32": "BIGINT", "toUInt64": "BIGINT",
+    "toFloat32": "FLOAT", "toFloat64": "DOUBLE",
+}
+
 # --- argument templates: CH call → Spark SQL with {0},{1},... placeholders --
 TEMPLATES: dict[str, str] = {
-    "intDiv": "({0} div {1})",
-    "intDivOrZero": "(CASE WHEN {1} = 0 THEN 0 ELSE {0} div {1} END)",
-    "modulo": "({0} % {1})",
+    "intDiv": "(({0}) div ({1}))",
+    "intDivOrZero": "(CASE WHEN ({1}) = 0 THEN 0 ELSE ({0}) div ({1}) END)",
+    "modulo": "(({0}) % ({1}))",
     "positiveModulo": "pmod({0}, {1})",
-    "negate": "(-{0})",
+    "negate": "(-({0}))",
     "toString": "CAST({0} AS STRING)",
     "toInt8": "CAST({0} AS TINYINT)",
     "toInt16": "CAST({0} AS SMALLINT)",
@@ -241,9 +250,9 @@ TEMPLATES: dict[str, str] = {
     "toDayOfWeek": "(((dayofweek({0}) + 5) % 7) + 1)",  # ISO: Mon=1..Sun=7
     "DAYOFWEEK": "(((dayofweek({0}) + 5) % 7) + 1)",  # MySQL alias, same ISO rule
     "yesterday": "date_sub(current_date(), 1)",
-    "plus": "({0} + {1})",
-    "minus": "({0} - {1})",
-    "multiply": "({0} * {1})",
+    "plus": "(({0}) + ({1}))",
+    "minus": "(({0}) - ({1}))",
+    "multiply": "(({0}) * ({1}))",
     "divide": "(CAST({0} AS DOUBLE) / {1})",
     "JSONExtractRaw": "get_json_object({0}, concat('$.', {1}))",
     "visitParamExtractString": "get_json_object({0}, concat('$.', {1}))",
@@ -287,7 +296,9 @@ TEMPLATES: dict[str, str] = {
     "materialize": "{0}",
     "toNullable": "{0}",
     "toLowCardinality": "{0}",
-    "toFixedString": "{0}",
+    # toFixedString pads to N with NUL bytes (FunctionToFixedString);
+    # the golden TSV escaper prints them as \0 like writeEscapedString
+    "toFixedString": "rpad({0}, {1}, char(0))",
     # regexp replace (One-variant: Spark replaces all; documented divergence)
     "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
     "replaceRegexpOne": "regexp_replace({0}, {1}, {2})",
@@ -3232,6 +3243,32 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                     "uniqhll": f"size(array_distinct({x}))",
                     "uniqcombined": f"size(array_distinct({x}))",
                 }
+                # -State/-Merge forms over the documented carriers (the
+                # aggregate TEMPLATES' representations): uniq* states are
+                # sorted distinct arrays, avg states (sum, cnt) structs
+                uniq_m = f"size(array_distinct(flatten({x})))"
+                forms.update({
+                    "uniqmerge": uniq_m, "uniqexactmerge": uniq_m,
+                    "uniqhll12merge": uniq_m, "uniqcombinedmerge": uniq_m,
+                    "summerge": forms["sum"], "countmerge": forms["sum"],
+                    "minmerge": f"array_min({x})",
+                    "maxmerge": f"array_max({x})",
+                    "avgmerge": (
+                        f"(aggregate({x}, CAST(0 AS DOUBLE),"
+                        f" (__a, __e) -> __a + __e.sum)"
+                        f" / aggregate({x}, CAST(0 AS DOUBLE),"
+                        f" (__a, __e) -> __a + __e.cnt))"
+                    ),
+                    "grouparraymerge": f"flatten({x})",
+                    "groupuniqarraymerge": f"array_sort(array_distinct(flatten({x})))",
+                    "uniqstate": f"array_sort(array_distinct({x}))",
+                    "uniqexactstate": f"array_distinct({x})",
+                    "sumstate": forms["sum"],
+                    "countstate": n,
+                    "minstate": f"array_min({x})",
+                    "maxstate": f"array_max({x})",
+                    "grouparraystate": x,
+                })
                 if base == "quantile" or base == "medianexact":
                     expr2 = _quant_interp(params or "0.5")
                 elif base == "quantileexact":
@@ -3508,6 +3545,13 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                     f"(CASE WHEN element_at(map({pairs}), CAST({arg_sql[0]} AS STRING)) IS NULL"
                     f" THEN CAST(raise_error('cannot cast to enum') AS STRING)"
                     f" ELSE CAST({arg_sql[0]} AS STRING) END)"
+                )
+                i = close + 1
+                continue
+            fsm = re.match(r"(?i)FixedString\s*\(\s*(\d+)\s*\)$", ch_type)
+            if fsm:
+                out.append(
+                    f"rpad(CAST({arg_sql[0]} AS STRING), {fsm.group(1)}, char(0))"
                 )
                 i = close + 1
                 continue
@@ -3822,7 +3866,63 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
+        if t == "intDivOrZero" and len(arg_sql) == 2:
+            # OrZero also covers the overflow case min_int / -1
+            # (src/Functions/DivisionUtils.h checkedDivision): guard it when
+            # the dividend's CH type is statically known
+            from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
+
+            _dty = static_type(list(args[0]), _COL_CH_TYPES)
+            _mins = {
+                "Int8": -128, "Int16": -32768, "Int32": -2147483648,
+                "Int64": -9223372036854775808,
+            }
+            if _dty in _mins:
+                a0, a1 = arg_sql
+                out.append(
+                    f"(CASE WHEN ({a1}) = 0 THEN 0"
+                    f" WHEN ({a0}) = {_mins[_dty]} AND ({a1}) = -1 THEN 0"
+                    f" ELSE ({a0}) div ({a1}) END)"
+                )
+                i = close + 1
+                continue
+
+        if (
+            t in _NUM_CONV_SPARK
+            and len(arg_sql) == 1
+        ):
+            # CH numeric conversions of temporal values take the UNDERLYING
+            # number (DataTypeDate is UInt16 days, DateTime is UInt32
+            # seconds — src/Functions/FunctionsConversion.h), which Spark's
+            # CAST(date AS INT) refuses: emit the epoch arithmetic instead
+            from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
+
+            _ity = static_type(list(args[0]), _COL_CH_TYPES)
+            if _ity in ("Date", "Date32"):
+                out.append(
+                    f"CAST(datediff({arg_sql[0]}, DATE '1970-01-01')"
+                    f" AS {_NUM_CONV_SPARK[t]})"
+                )
+                i = close + 1
+                continue
+            if _ity is not None and _ity.startswith("DateTime"):
+                out.append(
+                    f"CAST(unix_timestamp({arg_sql[0]}) AS {_NUM_CONV_SPARK[t]})"
+                )
+                i = close + 1
+                continue
+
         if t in TEMPLATES and TEMPLATES[t] is not None and not _has_lambda:
+            if t in (
+                "plus", "minus", "multiply", "negate", "intDiv",
+                "intDivOrZero", "modulo", "positiveModulo",
+            ):
+                # CH arithmetic over UInt8 comparison results is numeric
+                # (minus(a = 1, b = 2)); Spark refuses boolean operands
+                arg_sql = [
+                    f"CAST(({a}) AS INT)" if _looks_predicate(a) else a
+                    for a in arg_sql
+                ]
             out.append(_fill_template(TEMPLATES[t], arg_sql, t))
             i = close + 1
             continue
@@ -4547,34 +4647,75 @@ def _rewrite_asof_join(s: str) -> str:
             conds.append(f"({c})")
         if order is None:
             raise ChSqlError("ASOF join requires an inequality in ON")
+    om2 = re.search(r"([A-Za-z_]\w*)\s+(?:ASC|DESC)\s*$", order or "")
+    if om2 and re.search(
+        rf"(?i)toNullable\s*\((?:[^()]|\([^()]*\))*\)\s+as\s+{re.escape(om2.group(1))}\b",
+        rel,
+    ):
+        # the reference refuses a Nullable ASOF column on the right table
+        # (HashJoin.cpp, ErrorCodes::NOT_IMPLEMENTED serverError 48)
+        raise ChSqlError("ASOF join over right-table Nullable column")
     where = " AND ".join(conds)
     inner_rel = rel if rel.startswith("(") else f"(SELECT * FROM {rel})"
     schema = _TABLE_SCHEMAS.get(rel) if not rel.startswith("(") else None
-    # USING keys are deduped by ClickHouse (left side wins in SELECT *):
-    # exclude the right copies so the column count matches and unqualified
-    # references to a USING key stay unambiguous
-    uexc = ", ".join(using_keys)
     if kind == "LEFT" and schema:
         # join misses fill with TYPE DEFAULTS (join_use_nulls=0,
         # Core/Settings.h) — a sentinel default row loses to any real match
         # via the __m sort key, so the LEFT JOIN LATERAL always matches
         defaults = ", ".join(_ch_join_default_sql(ct) for _cn, ct in schema)
-        exc = f"__m, {uexc}" if uexc else "__m"
         lateral = (
-            f"(SELECT * EXCEPT({exc}) FROM ("
+            f"(SELECT * EXCEPT(__m) FROM ("
             f"SELECT 0 AS __m, {name}.* FROM {inner_rel} AS {name}"
             f" WHERE {where}"
             f" UNION ALL SELECT 1 AS __m, {defaults}"
             f") AS {name} ORDER BY __m, {order} LIMIT 1)"
         )
     else:
-        sel = f"* EXCEPT({uexc})" if uexc else "*"
         lateral = (
-            f"(SELECT {sel} FROM {inner_rel} AS {name} WHERE {where}"
+            f"(SELECT * FROM {inner_rel} AS {name} WHERE {where}"
             f" ORDER BY {order} LIMIT 1)"
         )
     joinkw = "LEFT JOIN LATERAL" if kind == "LEFT" else "INNER JOIN LATERAL"
-    out = s[: m.start()] + f"{joinkw} {lateral} AS {name} ON true " + tail
+    head = s[: m.start()]
+    tail_out = tail
+    if using_keys:
+        # ClickHouse dedupes USING columns in the * expansion (left side
+        # wins) and resolves an UNQUALIFIED key to the left value; the
+        # lateral keeps the right copies, so mirror both rules textually:
+        # bare * excludes the lateral's key copies, bare key refs qualify
+        # with the left alias. Qualified refs ({name}.k) keep working.
+        bare = re.compile(
+            r"(?<![\w.`])({})(?![\w.`(])".format("|".join(map(re.escape, using_keys)))
+        )
+
+        def _qual(txt: str) -> str:
+            tb = _blank_strings(txt)
+            outp, last2 = [], 0
+            for bm in bare.finditer(tb):
+                outp.append(txt[last2 : bm.start()])
+                outp.append(f"{lalias}.{txt[bm.start() : bm.end()]}")
+                last2 = bm.end()
+            outp.append(txt[last2:])
+            return "".join(outp)
+
+        hb = _blank_strings(head)
+        sm2 = re.search(r"(?i)\bSELECT\s+(DISTINCT\s+)?", hb)
+        if sm2:
+            seg_start = sm2.end()
+            seg_end = len(head)
+            for fm2 in re.finditer(r"(?i)\bFROM\b", hb):
+                if _depth_at(hb, fm2.start()) == _depth_at(hb, sm2.start()):
+                    seg_end = fm2.start()
+                    break
+            star = re.compile(r"(^|[\s,(])\*(?=$|[\s,)])")
+            seg = head[seg_start:seg_end]
+            exc = ", ".join(f"{name}.{k}" for k in using_keys)
+            seg = star.sub(
+                lambda mm2: f"{mm2.group(1)}* EXCEPT({exc})", seg, count=1
+            )
+            head = head[:seg_start] + _qual(seg) + head[seg_end:]
+        tail_out = _qual(tail_out)
+    out = head + f"{joinkw} {lateral} AS {name} ON true " + tail_out
     return _rewrite_asof_join(out)
 
 
@@ -5907,6 +6048,10 @@ _NULLABLE_COLS: frozenset = frozenset()
 # threaded by the golden runner so toTypeName(column) can fold statically
 _COL_CH_TYPES: dict = {}
 _TABLE_SCHEMAS: dict = {}  # table → ordered [(col, CH type)] (ASOF defaults)
+# table → (sampling key column, domain bits): SAMPLE k rewrites into a
+# deterministic range predicate over the key's type domain
+# (MergeTreeDataSelectExecutor.cpp:496-610 relative-range arithmetic)
+_TABLE_SAMPLING: dict = {}
 # session setting date_time_input_format='best_effort': toDateTime* of a
 # STRING routes through the best-effort scanner (parseDateTimeBestEffort)
 _DT_BEST_EFFORT = False
@@ -5930,6 +6075,7 @@ def translate(
     col_ch_types: "dict[str, str] | None" = None,
     dt_best_effort: bool = False,
     table_schemas: "dict[str, list] | None" = None,
+    table_sampling: "dict[str, tuple] | None" = None,
 ) -> str:
     """ClickHouse SQL → Spark SQL. Raises ChSqlError on constructs that need
     the library operators instead (INTERPOLATE, multi-column WITH FILL,
@@ -5947,14 +6093,16 @@ def translate(
     ClickHouse returns NULL, not NaN, for Nullable empty sets."""
     global _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
     global _LENGTH_AS_SIZE, _TOTALS_MARKER, _COL_CH_TYPES, _DT_BEST_EFFORT
-    global _TABLE_SCHEMAS
+    global _TABLE_SCHEMAS, _TABLE_SAMPLING
     prev, prev2, prev3 = _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
     prev4 = _LENGTH_AS_SIZE
     prev5 = _TOTALS_MARKER
     prev6 = _COL_CH_TYPES
     prev7 = _DT_BEST_EFFORT
     prev8 = _TABLE_SCHEMAS
+    prev9 = _TABLE_SAMPLING
     _TABLE_SCHEMAS = table_schemas or {}
+    _TABLE_SAMPLING = table_sampling or {}
     _COL_CH_TYPES = col_ch_types or {}
     _DT_BEST_EFFORT = dt_best_effort
     _SAFE_SUBSCRIPT = safe_subscript
@@ -5980,6 +6128,105 @@ def translate(
         _COL_CH_TYPES = prev6
         _DT_BEST_EFFORT = prev7
         _TABLE_SCHEMAS = prev8
+        _TABLE_SAMPLING = prev9
+
+
+_SAMPLE_NUM = r"\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+_SAMPLE_RE = re.compile(
+    rf"(?i)\bFROM\s+([A-Za-z_][\w.]*)\s*(FINAL\s+)?SAMPLE\s+"
+    rf"({_SAMPLE_NUM})(?:\s*/\s*({_SAMPLE_NUM}))?"
+    rf"(?:\s+OFFSET\s+({_SAMPLE_NUM})(?:\s*/\s*({_SAMPLE_NUM}))?)?"
+)
+_SAMPLE_STOP = re.compile(
+    r"(?i)\b(GROUP|ORDER|LIMIT|HAVING|SETTINGS|FORMAT|UNION|INTERSECT|"
+    r"EXCEPT|WINDOW)\b"
+)
+
+
+def _rewrite_sample_clause(s: str) -> str:
+    """SAMPLE k [OFFSET m] over a registered sampling key: a deterministic
+    range predicate over the key's type domain, exactly the reference's
+    rational-arithmetic range split (MergeTreeDataSelectExecutor.cpp:
+    496-610; repeated queries see the same subset, sub-ranges compose, and
+    parallel_replica settings subdivide the range)."""
+    from decimal import Decimal
+    from fractions import Fraction
+
+    # parallel-replica subdivision reads the (not-yet-stripped) SETTINGS
+    rc = re.search(r"(?i)\bparallel_replicas_count\s*=\s*(\d+)", s)
+    ro = re.search(r"(?i)\bparallel_replica_offset\s*=\s*(\d+)", s)
+    n_rep = int(rc.group(1)) if rc else 1
+    i_rep = int(ro.group(1)) if ro else 0
+
+    def frac(a: str, b: "str | None") -> Fraction:
+        f = Fraction(Decimal(a))
+        if b is not None:
+            f /= Fraction(Decimal(b))
+        return f
+
+    while True:
+        blank = _blank_strings(s)
+        m = _SAMPLE_RE.search(blank)
+        if m is None:
+            return s
+        tbl = m.group(1).split(".")[-1]
+        reg = _TABLE_SAMPLING.get(tbl)
+        if reg is None:
+            return s  # unknown sampling key: leave for the error path
+        key, bits = reg
+        dom = 1 << bits
+        size = frac(m.group(3), m.group(4))
+        off = frac(m.group(5), m.group(6)) if m.group(5) else Fraction(0)
+        if size > 1:
+            # absolute row-count form: approximate fraction n/total via the
+            # same truncating integer arithmetic, total read at run time
+            n = int(size)
+            pred = (
+                f"{key} < (CAST({n} AS BIGINT) * {dom})"
+                f" div (SELECT count(*) FROM {tbl})"
+            )
+        else:
+            lo, hi = off, min(off + size, Fraction(1))
+            if n_rep > 1:
+                width = hi - lo
+                lo, hi = (
+                    lo + width * i_rep / n_rep,
+                    lo + width * (i_rep + 1) / n_rep,
+                )
+            li, ui = int(lo * dom), int(hi * dom)
+            if li >= ui:
+                pred = "1 = 0"
+            else:
+                parts = []
+                if li > 0:
+                    parts.append(f"{key} >= {li}")
+                if ui < dom:
+                    parts.append(f"{key} < {ui}")
+                pred = " AND ".join(parts)
+        # splice out `SAMPLE ...` (keep FROM tbl [FINAL])
+        keep_end = m.start(2) if m.group(2) else m.end(1)
+        head, tail = s[: keep_end], s[m.end() :]
+        if m.group(2):
+            head = s[: m.end(2)]
+        if not pred:
+            s = head + " " + tail
+            continue
+        wm = re.match(r"(?i)\s*(PREWHERE|WHERE)\b", tail)
+        if wm:
+            # wrap the existing condition: WHERE (pred) AND (cond)
+            tb = _blank_strings(tail)
+            cend = len(tail)
+            for km in _SAMPLE_STOP.finditer(tb, wm.end()):
+                if _depth_at(tb, km.start()) == 0:
+                    cend = km.start()
+                    break
+            cond = tail[wm.end() : cend].strip()
+            s = (
+                head + " " + wm.group(1) + f" ({pred}) AND ({cond}) "
+                + tail[cend:]
+            )
+        else:
+            s = head + f" WHERE {pred} " + tail
 
 
 def _check_alias_expansion_budget(s: str) -> None:
@@ -6552,6 +6799,10 @@ def _rewrite_from_first(s: str) -> str:
 def _translate_impl(ch_sql: str) -> str:
     s = _strip_block_comments(ch_sql).strip().rstrip(";")
     s = _rewrite_heredoc(s)
+    if _TABLE_SAMPLING and re.search(r"(?i)\bSAMPLE\s", _blank_strings(s)):
+        # before settings-stripping: the rewrite reads parallel_replica
+        # settings from the statement tail
+        s = _rewrite_sample_clause(s)
     # digit-leading aliases (allow_numbers in identifiers): backtick-quote
     s = _sub_blank(r"(?i)\b(AS)\s+(\d[\w$]*[A-Za-z_$][\w$]*)\b", r"\1 `\2`", s)
     if re.search(r"(?is)\bFROM\b.*?\bSELECT\b", _blank_strings(s)):
@@ -6568,6 +6819,41 @@ def _translate_impl(ch_sql: str) -> str:
     # SETTINGS may follow FORMAT (ParserQueryWithOutput): stripping the
     # settings above can expose a now-trailing FORMAT clause
     s = _FORMAT_TAIL.sub("", s)
+    # infix `a MOD b` (ParserExpression treats MOD as %); the function form
+    # mod(a, b) exists in Spark, so only rewrite when the preceding
+    # non-space char ends an operand (digit/identifier/closing paren)
+    blank_mod = _blank_strings(s)
+    mod_spans = []
+    for mm_ in re.finditer(r"(?i)\bMOD\b", blank_mod):
+        prev_txt = blank_mod[: mm_.start()].rstrip()
+        prevc = prev_txt[-1:]
+        if not prevc or not (prevc.isalnum() or prevc in ")]'_"):
+            continue
+        pw = re.search(r"[A-Za-z_]\w*$", prev_txt)
+        if pw and pw.group(0).upper() in (
+            "SELECT", "WITH", "WHERE", "PREWHERE", "AND", "OR", "NOT",
+            "WHEN", "THEN", "ELSE", "CASE", "BY", "ON", "AS", "IN",
+            "FROM", "JOIN", "HAVING", "ALL", "DISTINCT", "UNION",
+            "SETTINGS", "LIKE", "ILIKE", "IF", "RETURN", "BETWEEN",
+            "LIMIT", "OFFSET", "USING", "INTERVAL",
+        ):
+            continue  # keyword before MOD → this is the function form
+        mod_spans.append(mm_.span())
+    for a_, b_ in reversed(mod_spans):
+        s = s[:a_] + "%" + s[b_:]
+    bz = _blank_strings(s)
+    if re.search(r"(?i)\bDIV\s+-?0(?![.\w])", bz) or re.search(
+        r"(?<![.\w])\d+\s*%\s*-?0(?![.\w])", bz
+    ) or re.search(r"(?i)\bintDiv\s*\(\s*[^,()]+,\s*-?0\s*\)", bz):
+        # integer division/modulo by a literal zero is an error in the
+        # reference (ErrorCodes::ILLEGAL_DIVISION, serverError 153)
+        raise ChSqlError("division by zero")
+    # float fmod by zero is IEEE nan in the reference, NULL in Spark
+    s = _sub_blank(
+        r"(?<![\w.])(\d+\.\d+(?:[eE][-+]?\d+)?)\s*%\s*-?0(?![.\w])",
+        r"double('NaN')",
+        s,
+    )
     s = _rewrite_datetime_arith(s)
     s = _rewrite_orig_table_refs(s)
     # kind-first strictness order (ParserJoin accepts both `LEFT ANY JOIN`

@@ -73,7 +73,16 @@ def modulo(a, b) -> Column:
 
 @chfn("moduloOrZero")
 def moduloOrZero(a, b) -> Column:
-    return F.when(col(b) == 0, F.lit(0)).otherwise(col(a) % col(b))
+    """x % 0 → 0 for integers, but float fmod keeps IEEE semantics → nan
+    (ModuloOrZeroImpl in src/Functions/moduloOrZero.cpp only guards the
+    integral division path)."""
+    ca, cb = col(a), col(b)
+    float_div = cb.cast("string").rlike(r"[.eE]") | ca.cast("string").rlike(r"[.eE]")
+    return (
+        F.when((cb == 0) & float_div, F.lit(float("nan")))
+        .when(cb == 0, F.lit(0))
+        .otherwise(ca % cb)
+    )
 
 
 @chfn("positiveModulo", "positive_modulo", "pmod")

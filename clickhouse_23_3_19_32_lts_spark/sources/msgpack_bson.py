@@ -70,7 +70,38 @@ def _split_type_args(s: str) -> list[str]:
 # MessagePack value codec (public spec)
 
 
+class MpExt:
+    """MessagePack ext value (type, data) — the reference writes UUIDs as
+    fixext16 type 2 under output_format_msgpack_uuid_representation='ext'
+    (MsgPackRowOutputFormat.cpp serializeUUID)."""
+
+    __slots__ = ("type", "data")
+
+    def __init__(self, type_: int, data: bytes):
+        self.type, self.data = type_, data
+
+    def __eq__(self, o):
+        return isinstance(o, MpExt) and (self.type, self.data) == (o.type, o.data)
+
+    def __repr__(self):
+        return f"MpExt({self.type}, {self.data.hex()})"
+
+
 def mp_pack(v, out: bytearray) -> None:
+    if isinstance(v, MpExt):
+        n = len(v.data)
+        fix = {1: 0xD4, 2: 0xD5, 4: 0xD6, 8: 0xD7, 16: 0xD8}.get(n)
+        if fix is not None:
+            out.append(fix)
+        elif n <= 0xFF:
+            out += struct.pack(">BB", 0xC7, n)
+        elif n <= 0xFFFF:
+            out += struct.pack(">BH", 0xC8, n)
+        else:
+            out += struct.pack(">BI", 0xC9, n)
+        out += struct.pack(">b", v.type)
+        out += v.data
+        return
     if v is None:
         out.append(0xC0)
     elif isinstance(v, bool):
@@ -218,6 +249,16 @@ def mp_unpack(buf: bytes, pos: int):
             v, pos = mp_unpack(buf, pos)
             d[k] = v
         return d, pos
+    if b in (0xD4, 0xD5, 0xD6, 0xD7, 0xD8):  # fixext 1/2/4/8/16
+        n = 1 << (b - 0xD4)
+        t = struct.unpack_from(">b", buf, pos)[0]
+        return MpExt(t, bytes(buf[pos + 1 : pos + 1 + n])), pos + 1 + n
+    if b in (0xC7, 0xC8, 0xC9):  # ext 8/16/32
+        n_len = {0xC7: 1, 0xC8: 2, 0xC9: 4}[b]
+        n = int.from_bytes(buf[pos : pos + n_len], "big")
+        pos += n_len
+        t = struct.unpack_from(">b", buf, pos)[0]
+        return MpExt(t, bytes(buf[pos + 1 : pos + 1 + n])), pos + 1 + n
     raise FormatError(f"msgpack: unsupported type byte 0x{b:02x}")
 
 

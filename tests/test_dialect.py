@@ -16,7 +16,7 @@ from clickhouse_23_3_19_32_lts_spark.dialect import ChSqlError, ch_sql, translat
     "ch, expected",
     [
         ("SELECT toYear(d) FROM t", "SELECT year(d) FROM t"),
-        ("SELECT intDiv(a, b) FROM t", "SELECT (a div b) FROM t"),
+        ("SELECT intDiv(a, b) FROM t", "SELECT ((a) div (b)) FROM t"),
         ("SELECT toString(x) FROM t", "SELECT CAST(x AS STRING) FROM t"),
         ("SELECT count() FROM t", "SELECT count(*) FROM t"),
         ("SELECT x FROM t WHERE a == 1", "SELECT x FROM t WHERE a = 1"),

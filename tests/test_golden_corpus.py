@@ -23,9 +23,34 @@ with open(LIST) as fh:
     CORPUS = [line.strip() for line in fh if line.strip()]
 
 
+_RESET_EVERY = 100
+_run_count = [0]
+
+
+def _periodic_session_reset(spark):
+    """One shared session runs the whole ~1300-test corpus; cached plans,
+    leftover temp views and accumulated catalog state slow the tail and can
+    eventually kill the JVM. Every _RESET_EVERY tests, drop what tests left
+    behind (keeps a long run's per-test cost flat)."""
+    _run_count[0] += 1
+    if _run_count[0] % _RESET_EVERY:
+        return
+    try:
+        spark.catalog.clearCache()
+        for tbl in spark.catalog.listTables():
+            if tbl.isTemporary:
+                try:
+                    spark.catalog.dropTempView(tbl.name)
+                except Exception:  # noqa: BLE001
+                    pass
+    except Exception:  # noqa: BLE001
+        pass
+
+
 @pytest.mark.skipif(not os.path.isdir(BASE), reason="reference corpus not present")
 @pytest.mark.parametrize("name", CORPUS)
 def test_golden(name, spark):
+    _periodic_session_reset(spark)
     # per-test guard: a JVM-side runaway can't be interrupted by SIGALRM
     # alone (the py4j recv blocks), so cancel Spark jobs from a watchdog
     import signal
@@ -36,16 +61,19 @@ def test_golden(name, spark):
 
     old = signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(_TO()))
     sc = spark.sparkContext
-    dog = threading.Timer(100.0, lambda: sc.cancelAllJobs())
+    dog = threading.Timer(160.0, lambda: sc.cancelAllJobs())
     dog.daemon = True
     dog.start()
-    signal.alarm(90)
+    # 150s, not 90: under a full-suite run a handful of tests (02000/02003/
+    # 02004) are load-sensitive and blew a 90s budget while passing in
+    # seconds alone — the watchdog is a runaway guard, not a perf gate
+    signal.alarm(150)
     try:
         ok, msg = run_golden(
             spark, f"{BASE}/{name}.sql", f"{BASE}/{name}.reference"
         )
     except _TO:
-        pytest.fail(f"{name}: timed out after 90s")
+        pytest.fail(f"{name}: timed out after 150s")
     finally:
         signal.alarm(0)
         dog.cancel()

@@ -426,6 +426,7 @@ def _fmt_top(v) -> str:
             .replace("\t", "\\t")
             .replace("\n", "\\n")
             .replace("'", "\\'")
+            .replace("\x00", "\\0")
         )
     if isinstance(v, (bytes, bytearray)):
         # FixedString/unhex results are raw bytes; ClickHouse prints them
@@ -737,6 +738,98 @@ def _translate_create(stmt: str) -> tuple[str, str]:
                 enums[cname.strip("`").lower()] = emap
         cols.append(f"{cname} {_ch_type_to_spark(ctype)}")
     return ", ".join(cols), name, nullable, nested, enums
+
+
+_UINT_BITS = {"UInt8": 8, "UInt16": 16, "UInt32": 32, "UInt64": 64}
+
+
+def _sub_file_tf(spark, stmt: str, file_store: dict, created: list) -> str:
+    """Substitute `file(name, fmt, 'structure')` reads whose name was
+    written by an earlier INSERT INTO FUNCTION file(...) in this test:
+    decode the stored bytes through the spec codec into a typed temp view.
+    A stored ext value (UUID) read into a non-UUID column raises the
+    reference's ILLEGAL_COLUMN (MsgPackRowInputFormat.cpp insertion check).
+    """
+    if not file_store or not re.search(r"(?i)\bFROM\s+file\s*\(", stmt):
+        return stmt
+
+    def _rep(mm):
+        args = _split_top_level_commas(mm.group(2))
+        fpath = args[0].strip().strip("'").split("/")[-1]
+        data = file_store.get(fpath)
+        if data is None:
+            return mm.group(0)
+        fmt = (args[1].strip().strip("'").lower() if len(args) > 1 else "auto")
+        if fmt == "auto":
+            fmt = fpath.rsplit(".", 1)[-1].lower()
+        structure = args[2].strip().strip("'") if len(args) > 2 else None
+        if fmt != "msgpack" or not structure:
+            return mm.group(0)
+        from clickhouse_23_3_19_32_lts_spark.sources.binary_formats import (
+            schema_from_ch,
+        )
+        from clickhouse_23_3_19_32_lts_spark.sources.msgpack_bson import (
+            MpExt,
+            decode_msgpack,
+        )
+
+        pairs = []
+        for pdef in _split_top_level_commas(structure):
+            nm, _, ty = pdef.strip().partition(" ")
+            pairs.append((nm.strip("`"), ty.strip()))
+        rows = decode_msgpack(data, len(pairs))
+        conv = []
+        for r in rows:
+            outr = []
+            for v, (_cn, ct) in zip(r, pairs):
+                if isinstance(v, MpExt):
+                    if ct.strip().rstrip(")").split("(")[0] not in ("UUID", "Nullable"):
+                        raise ChSqlError(
+                            f"ILLEGAL_COLUMN: msgpack ext value into {ct}"
+                        )
+                    import uuid as _uuid
+
+                    v = str(_uuid.UUID(bytes=v.data))
+                outr.append(v)
+            conv.append(outr)
+        df = spark.createDataFrame(conv, schema=schema_from_ch(pairs))
+        vname = f"__file_tf_{abs(hash(fpath)) % 10**8}"
+        df.createOrReplaceTempView(vname)
+        created.append(vname)
+        return mm.group(1) + vname
+
+    return re.sub(
+        r"(?is)\b(FROM\s+)file\s*\(((?:[^()']|'[^']*'|\([^()]*\))*)\)",
+        _rep, stmt,
+    )
+
+
+def _parse_sampling_key(stmt: str, cols: list) -> "tuple[str, int] | None":
+    """(sampling column, domain bits) from a CREATE TABLE statement:
+    new-style `SAMPLE BY col` or old-style `MergeTree(date, col, key, gran)`
+    (4-arg deprecated syntax, sampling is the 2nd argument). Only bare
+    unsigned-integer columns register — hash-expression keys would need
+    bit-exact CH hashes to byte-match and are left untranslated."""
+    key = None
+    sm = re.search(r"(?i)\bSAMPLE\s+BY\s+([A-Za-z_]\w*)\b", stmt)
+    if sm:
+        key = sm.group(1)
+    else:
+        em = re.search(
+            r"(?i)\bENGINE\s*=\s*\w*MergeTree\s*\(((?:[^()]|\([^()]*\))*)\)",
+            stmt,
+        )
+        if em:
+            args = [a.strip() for a in _split_top_level_commas(em.group(1))]
+            if len(args) == 4 and re.fullmatch(r"[A-Za-z_]\w*", args[1]):
+                key = args[1]
+    if not key:
+        return None
+    for cn, ct in cols:
+        if cn == key:
+            bits = _UINT_BITS.get(ct.strip())
+            return (key, bits) if bits else None
+    return None
 
 
 def _parse_create_meta(stmt: str):
@@ -2281,6 +2374,8 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
     join_keys: dict[str, list] = {}
     dt64_hint: dict[str, str] = {}
     ch_schemas: dict[str, list] = {}  # table → ordered (name, CH type)
+    sampling_keys: dict[str, tuple] = {}  # table → (col, domain bits)
+    file_store: dict[str, bytes] = {}  # file() TF writes (basename → bytes)
     col_defaults: dict[str, dict] = {}  # table → col → DEFAULT expr (CH SQL)
     table_meta: dict[str, tuple] = {}  # table → (engine, sort keys, version)
     table_alias: dict[str, str] = {}  # Buffer table → destination table
@@ -2347,6 +2442,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 try:
                     if up.startswith(("SET ", "DROP ", "CREATE", "INSERT INTO")):
                         continue  # DDL paths are laxer here; don't judge them
+                    stmt = _sub_file_tf(spark, stmt, file_store, created)
                     # Template output with a missing template file errors in
                     # ClickHouse before any rows are produced
                     tfm = re.search(
@@ -2704,6 +2800,60 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         ch_schemas[name] = meta[0]
                         col_defaults[name] = meta[1]
                         table_meta[name] = (meta[2], meta[3], meta[4], meta[5])
+                        samp = _parse_sampling_key(stmt, meta[0])
+                        if samp:
+                            sampling_keys[name] = samp
+                    continue
+                ffm = re.match(
+                    r"(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?FUNCTION\s+file\s*\(\s*"
+                    r"('[^']*'|[\w.]+)\s*(?:,\s*('?\w+'?))?\s*(?:,\s*'([^']*)')?\s*\)\s*"
+                    r"(SELECT|WITH)\b(.*)$",
+                    stmt,
+                )
+                if ffm:
+                    # INSERT INTO FUNCTION file(path[, fmt]) — serialize the
+                    # SELECT through the spec codecs into an in-memory store
+                    # (the sandbox never writes the reference's user_files)
+                    fpath = ffm.group(1).strip("'").split("/")[-1]
+                    ffmt = (ffm.group(2) or "").strip("'").lower()
+                    if not ffmt:
+                        ffmt = fpath.rsplit(".", 1)[-1].lower()
+                    body = ffm.group(4) + ffm.group(5)
+                    rows0 = spark.sql(translate(body)).collect()
+                    if ffmt == "msgpack":
+                        from clickhouse_23_3_19_32_lts_spark.sources.msgpack_bson import (
+                            MpExt,
+                            encode_msgpack,
+                        )
+
+                        uuid_ext = (
+                            str(session_settings.get(
+                                "output_format_msgpack_uuid_representation", ""
+                            )).lower() == "ext"
+                            or re.search(
+                                r"(?i)output_format_msgpack_uuid_representation\s*=\s*'ext'",
+                                stmt,
+                            )
+                            is not None
+                        )
+                        uuid_re = re.compile(
+                            r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-"
+                            r"[0-9a-f]{4}-[0-9a-f]{12}$",
+                            re.IGNORECASE,
+                        )
+
+                        def _mp_cell(v):
+                            if uuid_ext and isinstance(v, str) and uuid_re.match(v):
+                                import uuid as _uuid
+
+                                return MpExt(2, _uuid.UUID(v).bytes)
+                            return v
+
+                        file_store[fpath] = encode_msgpack(
+                            [[_mp_cell(v) for v in r] for r in rows0]
+                        )
+                    else:
+                        raise ChSqlError(f"file() sink format: {ffmt}")
                     continue
                 if up.startswith("INSERT INTO"):
                     for buf, dst in table_alias.items():
@@ -2820,6 +2970,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 # text formats through the INSERT inline parser, binary
                 # (BSONEachRow/MsgPack/Native) through the spec codecs —
                 # and substitute a typed temp view
+                stmt = _sub_file_tf(spark, stmt, file_store, created)
                 if re.search(r"(?i)\bFROM\s+format\s*\(", stmt):
 
                     def _format_rep(mm):
@@ -2982,6 +3133,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                                 else None,
                                 col_ch_types=col_ch_types,
                                 table_schemas=ch_schemas,
+                                table_sampling=sampling_keys,
                                 dt_best_effort=session_settings.get(
                                     "date_time_input_format", ""
                                 )
@@ -3081,6 +3233,10 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         or "UNRESOLVED_COLUMN" in s2
                         or "LATERAL_COLUMN_ALIAS_IN_AGGREGATE" in s2
                         or "UNEXPECTED_INPUT_TYPE" in s2
+                        # sibling alias of an aggregate reused in a scalar
+                        # expression (CH inlines; Spark wants GROUP BY)
+                        or "MISSING_GROUP_BY" in s2
+                        or "MISSING_AGGREGATION" in s2
                     ):
                         flags["inline"] = True
                     if _length_err(ex):
@@ -3089,11 +3245,56 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         flags["boolw"] = True
                     return flags
 
+                def _gbpos_fix(src: str, ex) -> str | None:
+                    # enable_positional_arguments: ClickHouse reads an int
+                    # in GROUP/ORDER BY as a position only when it lands on
+                    # a plain select item; out-of-range or aggregate-item
+                    # ints stay CONSTANTS. Spark always reads ordinals —
+                    # de-literalize the offending int so it groups/sorts as
+                    # a constant.
+                    pm = re.search(
+                        r"(?:GROUP|ORDER) BY position (-?\d+)|GROUP BY (\d+) refers",
+                        str(ex),
+                    )
+                    if not pm:
+                        return None
+                    pos = pm.group(1) or pm.group(2)
+                    blank0 = _blank(src)
+                    gm = re.search(r"(?i)\b(GROUP|ORDER)\s+BY\s+", blank0)
+                    if not gm:
+                        return None
+                    seg = src[gm.end():]
+                    fixed_seg, nsub = re.subn(
+                        rf"(?<![\w.])({re.escape(pos)})(?![\w.])",
+                        f"CAST({pos} AS BIGINT)",
+                        seg,
+                        count=1,
+                    )
+                    if not nsub:
+                        return None
+                    return src[: gm.end()] + fixed_seg
+
                 def _build_retry(ex):
                     """Cascading retries: each failure may suggest another
                     translate flag; accumulate up to 4 before giving up."""
                     if "AMBIGUOUS_REFERENCE" in str(ex):
                         return _build_ambig(ex)
+                    if "GROUP_BY_POS" in str(ex) or "ORDER_BY_POS" in str(ex):
+                        cur = stmt
+                        for _ in range(3):
+                            cur2 = _gbpos_fix(cur, ex)
+                            if cur2 is None:
+                                break
+                            cur = cur2
+                            try:
+                                return spark.sql(translate(cur))
+                            except Exception as ex2:  # noqa: BLE001
+                                if (
+                                    "GROUP_BY_POS" not in str(ex2)
+                                    and "ORDER_BY_POS" not in str(ex2)
+                                ):
+                                    raise
+                                ex = ex2
                     kwargs: dict = {}
                     for _ in range(4):
                         new = {
