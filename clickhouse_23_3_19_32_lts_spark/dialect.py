@@ -238,18 +238,25 @@ TEMPLATES: dict[str, str] = {
     "toDecimal128": "CAST({0} AS DECIMAL(38, {1}))",
     # toStartOfYear/Quarter/Month return Date whatever the input
     # (DateTimeTransforms.h) — Spark's date_trunc returns timestamp
-    "toStartOfYear": "to_date(date_trunc('year', {0}))",
-    "toStartOfQuarter": "to_date(date_trunc('quarter', {0}))",
-    "toStartOfMonth": "to_date(date_trunc('month', {0}))",
+    "toStartOfYear": "greatest(to_date(date_trunc('year', {0})), DATE '1970-01-01')",
+    "toStartOfQuarter": "greatest(to_date(date_trunc('quarter', {0})), DATE '1970-01-01')",
+    "toStartOfMonth": "greatest(to_date(date_trunc('month', {0})), DATE '1970-01-01')",
     "toStartOfDay": "date_trunc('day', {0})",
     "toStartOfHour": "date_trunc('hour', {0})",
     "toStartOfMinute": "date_trunc('minute', {0})",
-    "toMonday": "CAST(date_trunc('week', {0}) AS DATE)",
+    # saturates at the Date epoch (DateLUTImpl toFirstDayNumOfWeek on
+    # day 0 stays 1970-01-01)
+    "toMonday": "greatest(CAST(date_trunc('week', {0}) AS DATE), DATE '1970-01-01')",
     "toYYYYMM": "(year({0}) * 100 + month({0}))",
     "toYYYYMMDD": "(year({0}) * 10000 + month({0}) * 100 + dayofmonth({0}))",
     "toDayOfWeek": "(((dayofweek({0}) + 5) % 7) + 1)",  # ISO: Mon=1..Sun=7
     "DAYOFWEEK": "(((dayofweek({0}) + 5) % 7) + 1)",  # MySQL alias, same ISO rule
     "yesterday": "date_sub(current_date(), 1)",
+    # Spark 4's builtin monthname() abbreviates ('Jan'); the reference
+    # prints the full English name (DateLUTImpl months[])
+    "monthName": "date_format({0}, 'MMMM')",
+    # partition ID of a value (partitionId.cpp): numbers render decimal
+    "partitionId": "CAST({0} AS STRING)",
     "plus": "(({0}) + ({1}))",
     "minus": "(({0}) - ({1}))",
     "multiply": "(({0}) * ({1}))",
@@ -760,10 +767,10 @@ ARITY_TEMPLATES: dict[str, dict[int, str]] = {
     # functions/datetime.py:toStartOfWeek, returning Date as CH does.
     # Odd modes (1, 3) are Monday-start.
     "toStartOfWeek": {
-        1: "date_sub(next_day(CAST({0} AS DATE), 'Sun'), 7)",
+        1: "greatest(date_sub(next_day(CAST({0} AS DATE), 'Sun'), 7), DATE '1970-01-01')",
         2: (
-            "(CASE WHEN ({1}) % 2 = 1 THEN CAST(date_trunc('week', {0}) AS DATE)"
-            " ELSE date_sub(next_day(CAST({0} AS DATE), 'Sun'), 7) END)"
+            "greatest((CASE WHEN ({1}) % 2 = 1 THEN CAST(date_trunc('week', {0}) AS DATE)"
+            " ELSE date_sub(next_day(CAST({0} AS DATE), 'Sun'), 7) END), DATE '1970-01-01')"
         ),
     },
     # if() takes a UInt8 condition in ClickHouse (FunctionsConditional);
@@ -3052,6 +3059,15 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             # ClickHouse length() is polymorphic (lengthString/lengthArray);
             # when the argument is an obvious array producer, use size()
             out.append(f"size({arg_sql[0]})")
+            i = close + 1
+            continue
+
+        if tl == "length" and len(arg_sql) == 1 and not _LENGTH_AS_SIZE:
+            # String length counts BYTES in the reference (lengthString;
+            # lengthUTF8 is the character form) — Spark's length() counts
+            # characters. Arrays fail octet_length and fall back to the
+            # size() retry tier (_LENGTH_AS_SIZE).
+            out.append(f"octet_length({arg_sql[0]})")
             i = close + 1
             continue
 

@@ -460,9 +460,12 @@ def arrayStringConcat(arr, sep: str = "") -> Column:
 def ngrams(s, n: int) -> Column:
     """Character n-grams as an array (FunctionsStringSimilarity support)."""
     c = col(s)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0))),
-        lambda i: c.substr(i, F.lit(n)),
+    # sequence(1, 0) descends [1, 0] in Spark — guard the too-short case
+    return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        )
     )
 
 

@@ -1294,7 +1294,11 @@ def arrayEnumerateDense(arr) -> Column:
     """Rank of each element's first occurrence: [10,20,10] → [1,2,1]
     (src/Functions/array/arrayEnumerateDense... via first-position index)."""
     a = col(arr)
-    return F.transform(a, lambda v: F.array_position(a, v).cast("int"))
+    # rank among DISTINCT values in first-occurrence order: [5,5,7] must be
+    # [1,1,2], so position within array_distinct, not the raw array
+    return F.transform(
+        a, lambda v: F.array_position(F.array_distinct(a), v).cast("int")
+    )
 
 
 @chfn("arrayReverseFill")

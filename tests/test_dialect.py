@@ -38,7 +38,7 @@ from clickhouse_23_3_19_32_lts_spark.dialect import ChSqlError, ch_sql, translat
         ),
         (
             "SELECT toStartOfMonth(nested(fn(x))) FROM t",
-            "SELECT to_date(date_trunc('month', nested(fn(x)))) FROM t",
+            "SELECT greatest(to_date(date_trunc('month', nested(fn(x)))), DATE '1970-01-01') FROM t",
         ),
         # strings survive untouched, even containing function-looking text
         (

@@ -743,6 +743,98 @@ def _translate_create(stmt: str) -> tuple[str, str]:
 _UINT_BITS = {"UInt8": 8, "UInt16": 16, "UInt32": 32, "UInt64": 64}
 
 
+_VIRTUAL_RE = re.compile(r"(?<![\w.`])_(?:part|partition_id|partition_value|sample_factor)\b")
+
+
+def _sub_virtual_cols(spark, stmt: str, mem_tables: dict, table_meta: dict,
+                      created: list) -> str:
+    """When a statement references MergeTree virtual columns (_part,
+    _partition_id, _partition_value, _sample_factor — MergeTreeData
+    getVirtuals), swap the FROM table for a view that materializes them.
+    Part naming follows the reference: one part per (insert, partition),
+    block numbers table-global in partition order within each insert
+    (<partition_id>_<block>_<block>_0; 'all' when unpartitioned);
+    _partition_id is the rendered PARTITION BY value, _sample_factor 1."""
+    if not _VIRTUAL_RE.search(_blank(stmt)):
+        return stmt
+    if not re.search(r"(?<![\w.`])_(?:part|partition_id|partition_value)\b", _blank(stmt)):
+        # only _sample_factor referenced: it is constantly 1 here (no SAMPLE
+        # narrowing in flight) — no view swap needed, works through merge()
+        return re.sub(r"(?<![\w.`])_sample_factor\b", "CAST(1. AS DOUBLE)", stmt)
+    parts_store = mem_tables.get("__parts__") or {}
+    subbed = []
+
+    def _rep(mm):
+        tname = mm.group(2).split(".")[-1]
+        parts = parts_store.get(tname)
+        if not parts:
+            return mm.group(0)
+        from pyspark.sql import functions as F
+
+        meta = table_meta.get(tname) or (None, [], None, None)
+        part_expr = meta[3] if len(meta) > 3 else None
+        pid_sql = None
+        if part_expr:
+            try:
+                pid_sql = f"CAST(({_expr_sql(part_expr)}) AS STRING)"
+            except Exception:  # noqa: BLE001
+                pid_sql = None
+        dfs, block = [], 0
+        for p in parts:
+            if pid_sql:
+                pidc = F.expr(pid_sql)
+                pids = sorted(
+                    r[0] for r in p.select(pidc.alias("__p")).distinct().collect()
+                    if r[0] is not None
+                )
+                name_map = {}
+                for pv in pids:
+                    block += 1
+                    name_map[pv] = f"{pv}_{block}_{block}_0"
+                if name_map:
+                    kv = []
+                    for k, v in name_map.items():
+                        kv += [F.lit(k), F.lit(v)]
+                    pname = F.element_at(F.create_map(*kv), pidc)
+                else:
+                    pname = F.lit("all_0_0_0")
+            else:
+                block += 1
+                pidc = F.lit("all")
+                pname = F.lit(f"all_{block}_{block}_0")
+            dfs.append(
+                p.withColumn("_part", pname)
+                .withColumn("_partition_id", pidc)
+                .withColumn("_partition_value", pidc)
+                .withColumn("_sample_factor", F.lit(1.0))
+            )
+        aug = dfs[0]
+        for d in dfs[1:]:
+            aug = aug.unionAll(d)
+        vname = f"__virt_{tname}"
+        aug.createOrReplaceTempView(vname)
+        created.append(vname)
+        subbed.append(tname)
+        return mm.group(1) + vname + (mm.group(3) or "")
+
+    out = re.sub(
+        r"(?i)\b(FROM\s+)([A-Za-z_][\w.]*)(\s+(?:AS\s+)?(?!WHERE|GROUP|ORDER|"
+        r"LIMIT|SETTINGS|FORMAT|HAVING|UNION|JOIN|LEFT|RIGHT|INNER|FULL|CROSS|"
+        r"PREWHERE|SAMPLE|FINAL)[A-Za-z_]\w*)?",
+        _rep, stmt,
+    )
+    if subbed:
+        # the reference hides virtuals from `*` expansion
+        out = re.sub(
+            r"(^|[\s,(])\*(?=$|[\s,)])",
+            r"\1* EXCEPT(_part, _partition_id, _partition_value,"
+            r" _sample_factor)",
+            out,
+            count=1,
+        )
+    return out
+
+
 def _sub_file_tf(spark, stmt: str, file_store: dict, created: list) -> str:
     """Substitute `file(name, fmt, 'structure')` reads whose name was
     written by an earlier INSERT INTO FUNCTION file(...) in this test:
@@ -909,11 +1001,19 @@ def _parse_create_meta(stmt: str):
                 keys = [named[1]]  # (date, key, granularity) short form
     part_expr = None
     pm = re.search(
-        r"(?i)\bPARTITION\s+BY\s+(\(((?:[^()]|\([^()]*\))*)\)|[A-Za-z_]\w*(?:\(((?:[^()]|\([^()]*\))*)\))?)",
+        r"(?i)\bPARTITION\s+BY\s+(.+?)\s*"
+        r"(?=\b(?:ORDER|PRIMARY|SAMPLE|SETTINGS|TTL|AS\s+SELECT)\b|$)",
         stmt,
+        re.DOTALL,
     )
     if pm:
-        part_expr = pm.group(1).strip()
+        part_expr = pm.group(1).strip().rstrip(",")
+    elif engine and "MergeTree" in engine and eargs.strip():
+        # deprecated 3/4-arg syntax partitions by MONTH of the date column
+        # (MergeTreeData: old-style is implicitly PARTITION BY toYYYYMM(d))
+        args0 = [a.strip() for a in _split_top_level_commas(eargs)]
+        if args0 and re.fullmatch(r"[A-Za-z_]\w*", args0[0]):
+            part_expr = f"toYYYYMM({args0[0]})"
     version = None
     if engine and engine.startswith("Replacing") and eargs.strip():
         args = [a.strip() for a in _split_top_level_commas(eargs)]
@@ -1904,6 +2004,11 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
             pass
     mem_tables[name] = target.unionAll(new_rows)
     mem_tables[name].createOrReplaceTempView(name)
+    # part bookkeeping for the _part/_partition_id virtual columns: each
+    # INSERT is one part, named like an unpartitioned MergeTree block
+    # (MergeTreeData part naming all_<block>_<block>_0)
+    parts = mem_tables.setdefault("__parts__", {}).setdefault(name, [])
+    parts.append(new_rows)
 
 
 def _csv_cell(j, v, fmt_cell) -> str:
@@ -2628,6 +2733,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     if dm:
                         tname = dm.group(1).split(".")[-1]
                         mem_tables.pop(tname, None)
+                        (mem_tables.get("__parts__") or {}).pop(tname, None)
                         spark.catalog.dropTempView(tname)
                     continue
                 if up.startswith("CREATE"):
@@ -2667,6 +2773,12 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         df.createOrReplaceTempView(name)
                         mem_tables[name] = df
                         created.append(name)
+                        meta = _parse_create_meta(stmt)
+                        if meta:
+                            ch_schemas.setdefault(name, meta[0] or [])
+                            table_meta[name] = (meta[2], meta[3], meta[4], meta[5])
+                        # the AS SELECT rowset is the table's first part
+                        mem_tables.setdefault("__parts__", {})[name] = [df]
                         continue
                     clone_fn = re.match(
                         r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+"
@@ -2933,7 +3045,10 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                             for a in _split_top_level_commas(mm.group(2))
                         ]
                         rx = re.compile(parts[-1])
-                        names = sorted(t for t in mem_tables if rx.search(t))
+                        names = sorted(
+                            t for t in mem_tables
+                            if not t.startswith("__") and rx.search(t)
+                        )
                         if not names:
                             raise ChSqlError("merge(): no matching tables")
                         sel = " UNION ALL ".join(
@@ -2971,6 +3086,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 # (BSONEachRow/MsgPack/Native) through the spec codecs —
                 # and substitute a typed temp view
                 stmt = _sub_file_tf(spark, stmt, file_store, created)
+                stmt = _sub_virtual_cols(spark, stmt, mem_tables, table_meta, created)
                 if re.search(r"(?i)\bFROM\s+format\s*\(", stmt):
 
                     def _format_rep(mm):
@@ -3140,7 +3256,13 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                                 == "best_effort",
                             )
                         )
-                    if _null_producer_free(stmt, nullable_cols):
+                    if str(
+                        session_settings.get("join_use_nulls", "0")
+                    ) in ("1", "'1'") and re.search(r"(?i)\bJOIN\b", stmt):
+                        # join_use_nulls=1: outer-join misses really are
+                        # NULL (Core/Settings.h) — don't default-fill
+                        pass
+                    elif _null_producer_free(stmt, nullable_cols):
                         try:
                             df = _fill_null_defaults(
                                 df,
@@ -3161,8 +3283,12 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     # CH length()/empty() are polymorphic over arrays; the
                     # string-shaped translation failed on an array column
                     s = str(ex)
-                    return "UNEXPECTED_INPUT_TYPE" in s and (
+                    return (
+                        "UNEXPECTED_INPUT_TYPE" in s
+                        or "DATATYPE_MISMATCH" in s
+                    ) and (
                         "`length`" in s or '"length(' in s
+                        or "`octet_length`" in s or '"octet_length(' in s
                     )
 
                 def _bool_err(ex) -> bool:
