@@ -150,7 +150,7 @@ TEMPLATES: dict[str, str] = {
     "intDiv": "(({0}) div ({1}))",
     "intDivOrZero": "(CASE WHEN ({1}) = 0 THEN 0 ELSE ({0}) div ({1}) END)",
     "modulo": "(({0}) % ({1}))",
-    "positiveModulo": "pmod({0}, {1})",
+    "positiveModulo": "pmod({0}, abs({1}))",
     "negate": "(-({0}))",
     "toString": "CAST({0} AS STRING)",
     "toInt8": "CAST({0} AS TINYINT)",
@@ -255,6 +255,10 @@ TEMPLATES: dict[str, str] = {
     # Spark 4's builtin monthname() abbreviates ('Jan'); the reference
     # prints the full English name (DateLUTImpl months[])
     "monthName": "date_format({0}, 'MMMM')",
+    # NULL on empty/invalid/non-array input (JSONArrayLength.cpp returns
+    # Nullable; the registry builder's 0-default diverges)
+    "JSONArrayLength": "json_array_length({0})",
+    "JSON_ARRAY_LENGTH": "json_array_length({0})",
     # partition ID of a value (partitionId.cpp): numbers render decimal
     "partitionId": "CAST({0} AS STRING)",
     "plus": "(({0}) + ({1}))",
@@ -361,8 +365,10 @@ TEMPLATES: dict[str, str] = {
     "protocol": "coalesce(parse_url({0}, 'PROTOCOL'), '')",
     # string semantics; for arrays use size()/cardinality (Spark type-checks
     # every branch, so a both-types coalesce can't analyze)
-    "empty": "(coalesce(length({0}), 0) = 0)",
-    "notEmpty": "(coalesce(length({0}), 0) > 0)",
+    # zero bytes don't count: empty(FixedString '\0…') is 1 (EmptyImpl
+    # skips trailing zeros for FixedString)
+    "empty": "(coalesce(length(replace({0}, char(0), '')), 0) = 0)",
+    "notEmpty": "(coalesce(length(replace({0}, char(0), '')), 0) > 0)",
     "has": "array_contains({0}, {1})",
     "indexOf": "array_position({0}, {1})",
     "arrayElement": "element_at({0}, {1})",
@@ -3882,6 +3888,15 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
+        if t == "toFixedString" and len(arg_sql) == 2 and re.match(
+            r"(?i)(unhex|aes_|to_binary|sha1|sha2|md5)\s*\(", arg_sql[0].strip()
+        ):
+            # binary input: rpad's string pad would force a lossy UTF-8
+            # cast; the bytes already have the exact width
+            out.append(arg_sql[0])
+            i = close + 1
+            continue
+
         if t == "intDivOrZero" and len(arg_sql) == 2:
             # OrZero also covers the overflow case min_int / -1
             # (src/Functions/DivisionUtils.h checkedDivision): guard it when
@@ -3899,6 +3914,20 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                     f"(CASE WHEN ({a1}) = 0 THEN 0"
                     f" WHEN ({a0}) = {_mins[_dty]} AND ({a1}) = -1 THEN 0"
                     f" ELSE ({a0}) div ({a1}) END)"
+                )
+                i = close + 1
+                continue
+
+        if t == "toString" and len(arg_sql) == 1:
+            from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
+
+            _sty = static_type(list(args[0]), _COL_CH_TYPES)
+            if _sty is not None and _sty.startswith("FixedString"):
+                # FixedStringToString drops the zero padding
+                # (FunctionsConversion.h ConvertImplFixedStringToString)
+                out.append(
+                    f"regexp_replace(CAST({arg_sql[0]} AS STRING),"
+                    f" concat(char(0), '+$'), '')"
                 )
                 i = close + 1
                 continue

@@ -87,7 +87,9 @@ def moduloOrZero(a, b) -> Column:
 
 @chfn("positiveModulo", "positive_modulo", "pmod")
 def positiveModulo(a, b) -> Column:
-    return F.pmod(col(a), col(b))
+    """Always non-negative: a mod |b| (FunctionsModulo positiveModuloImpl) —
+    Spark's pmod follows the divisor's sign instead."""
+    return F.pmod(col(a), F.abs(col(b)))
 
 
 @chfn("negate")

@@ -145,8 +145,10 @@ def _geohashes_in_box(
     return pd.Series(out)
 
 
-@pandas_udf("string")
+@pandas_udf("binary")
 def _fuzz_bits(s: pd.Series, prob: pd.Series) -> pd.Series:
+    # BINARY return type: fuzzed bytes are arbitrary (fuzzBits.cpp flips
+    # random bits) and Arrow rejects surrogate-escaped strings
     import numpy as np
 
     out = []
@@ -154,14 +156,17 @@ def _fuzz_bits(s: pd.Series, prob: pd.Series) -> pd.Series:
         if v is None or p is None:
             out.append(None)
             continue
-        b = bytearray(v.encode("utf-8", "surrogateescape"))
+        b = bytearray(
+            v if isinstance(v, (bytes, bytearray))
+            else v.encode("utf-8", "surrogateescape")
+        )
         p = float(p)
         if p > 0 and b:
             mask = np.packbits(
                 np.random.random(len(b) * 8) < p  # noqa: NPY002 — fuzzing is meant to be random
             )[: len(b)]
             b = bytearray(x ^ m for x, m in zip(b, mask.tobytes()))
-        out.append(bytes(b).decode("utf-8", "surrogateescape"))
+        out.append(bytes(b))
     return pd.Series(out)
 
 

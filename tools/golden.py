@@ -1710,6 +1710,9 @@ def _null_producer_free(stmt: str, nullable_cols: dict) -> bool:
     a site and must render as the default, not \\N."""
     if re.search(r"null", stmt, re.IGNORECASE):
         return False
+    # Nullable-returning functions whose names don't contain 'null'
+    if re.search(r"(?i)\bJSON_?Array_?Length\b", stmt):
+        return False
     # CASE without ELSE yields NULL for unmatched rows in ClickHouse too
     if re.search(r"\bCASE\b", stmt, re.IGNORECASE) and not re.search(
         r"\bELSE\b", stmt, re.IGNORECASE
@@ -2522,7 +2525,14 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 chunk = raw.strip("\n")
                 while chunk.startswith("\n"):
                     chunk = chunk[1:]
-                blocks.append(([ln for ln in (chunk + ";").split("\n")], False))
+                # the client prints the ';' where it sat in the input: before
+                # any trailing same-line comment
+                cm = re.match(r"(?s)^(.*?)(\s*--[^\n]*)$", chunk)
+                if cm and cm.group(1).strip():
+                    chunk = cm.group(1).rstrip() + ";" + cm.group(2)
+                else:
+                    chunk = chunk + ";"
+                blocks.append((chunk.split("\n"), False))
             if re.search(r"(?i)\bgenerateRandom\s*\(", stmt):
                 try:
                     stmt = _rewrite_generate_random(spark, stmt, ch_schemas)
@@ -3473,6 +3483,14 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     ]
                     return tmp2.select(*sel2).collect(), mcols
 
+                # SET limit/offset session settings cap the result set on
+                # top of the query's own LIMIT (LimitsMode in the reference)
+                _lim = session_settings.get("limit")
+                _off = session_settings.get("offset")
+                if _off and str(_off).strip("'").isdigit() and int(str(_off).strip("'")):
+                    res_df = res_df.offset(int(str(_off).strip("'")))
+                if _lim and str(_lim).strip("'").isdigit() and int(str(_lim).strip("'")):
+                    res_df = res_df.limit(int(str(_lim).strip("'")))
                 try:
                     rows, map_cols = _collect_ordered(res_df)
                 except Exception as ex:

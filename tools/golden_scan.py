@@ -72,6 +72,11 @@ _WONTFIX_PATTERNS: list[tuple[str, str]] = [
     (r"(?i)\bDecimal256\b", "wide-integers"),
     # server-internals introspection
     (r"(?i)\bsystem\.(parts|metrics|events|asynchronous_metrics|processes|query_log|text_log|stack_trace)\b", "system-internals"),
+    # ICU collation ordering (src/Columns/Collator.cpp): the environment has
+    # neither PyICU nor CLDR locale data (setlocale(ru_RU.UTF-8) fails), so
+    # COLLATE sort orders cannot be reproduced bit-exact — documented
+    # round-7 decision per the advisor's ask
+    (r"(?i)\bCOLLATE\s+'", "icu-collation"),
 ]
 
 
