@@ -374,7 +374,9 @@ TEMPLATES: dict[str, str] = {
     "arrayElement": "element_at({0}, {1})",
     "arraySlice": "slice({0}, {1}, {2})",
     # consecutive-duplicate removal (arrayCompact.cpp), NOT array_distinct:
-    # [1,2,1] keeps all three; null-safe compare collapses NULL/NaN runs
+    # [1,2,1] keeps all three; the reference compares binary reps, so
+    # same-bit nan runs collapse too — Spark's <=> matches except for the
+    # -nan/nan sign distinction, which Spark cannot represent
     "arrayCompact": (
         "filter({0}, (__x, __i) -> __i = 0"
         " OR NOT (__x <=> element_at({0}, greatest(__i, 1))))"
@@ -3917,6 +3919,17 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 )
                 i = close + 1
                 continue
+
+        if (
+            t == "toString"
+            and len(arg_sql) == 2
+            and arg_sql[1].strip().upper() == "NULL"
+        ):
+            # a NULL timezone argument nulls the result (default
+            # NULL-propagation of ordinary functions)
+            out.append("CAST(NULL AS STRING)")
+            i = close + 1
+            continue
 
         if t == "toString" and len(arg_sql) == 1:
             from clickhouse_23_3_19_32_lts_spark.chtypes import static_type

