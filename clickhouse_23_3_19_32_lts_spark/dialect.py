@@ -336,7 +336,8 @@ TEMPLATES: dict[str, str] = {
         "(CASE typeof({0}) WHEN 'bigint' THEN 'Int64' WHEN 'int' THEN 'Int32'"
         " WHEN 'smallint' THEN 'Int16' WHEN 'tinyint' THEN 'Int8'"
         " WHEN 'double' THEN 'Float64' WHEN 'float' THEN 'Float32'"
-        " WHEN 'string' THEN 'String' WHEN 'date' THEN 'Date'"
+        " WHEN 'string' THEN 'String' WHEN 'binary' THEN 'String'"
+        " WHEN 'date' THEN 'Date'"
         " WHEN 'timestamp' THEN 'DateTime' WHEN 'boolean' THEN 'Bool'"
         " ELSE typeof({0}) END)"
     ),
@@ -3890,6 +3891,28 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
+        if (
+            t in ("startsWith", "endsWith")
+            and len(arg_sql) == 2
+            and any(a.strip().startswith(("array(", "[")) for a in arg_sql)
+        ):
+            # array form (FunctionStartsEndsWith): prefix/suffix slice
+            # equality; NULL elements compare positionally (<=> per slot)
+            a0, a1 = arg_sql
+            if t == "startsWith":
+                sl = f"slice({a0}, 1, size({a1}))"
+            else:
+                sl = (
+                    f"(CASE WHEN size({a1}) = 0 THEN array()"
+                    f" ELSE slice({a0}, -size({a1}), size({a1})) END)"
+                )
+            out.append(
+                f"(size({a0}) >= size({a1}) AND size(filter(zip_with({sl},"
+                f" {a1}, (__p, __q) -> NOT (__p <=> __q)), __b -> __b)) = 0)"
+            )
+            i = close + 1
+            continue
+
         if t == "toFixedString" and len(arg_sql) == 2 and re.match(
             r"(?i)(unhex|aes_|to_binary|sha1|sha2|md5)\s*\(", arg_sql[0].strip()
         ):
@@ -6031,7 +6054,7 @@ def _rewrite_fromless_dummy(s: str) -> str:
     return s
 
 
-def _inline_select_aliases_fn(s: str) -> str:
+def _inline_select_aliases_fn(s: str, only_shadowing: bool = False) -> str:
     """Macro-substitute each top-level select-item alias into the OTHER
     items of the same SELECT list. ClickHouse lets any select item (e.g. a
     window expression) reference a sibling alias; Spark rejects lateral
@@ -6077,6 +6100,16 @@ def _inline_select_aliases_fn(s: str) -> str:
                 and re.fullmatch(r"[A-Za-z_]\w*", it[-1])
             ):
                 aliases[it[-1]] = it[:-2]
+        if only_shadowing:
+            # keep only aliases that SHADOW a real identifier: either the
+            # defining expression references its own name (number * 2 AS
+            # number) or the name is a declared source column — the cases
+            # where Spark binds the column while ClickHouse binds the alias
+            # (IdentifierSemantic: alias wins, prefer_column_name_to_alias=0)
+            aliases = {
+                k: v for k, v in aliases.items()
+                if v != [k] and (k in v or k in _COL_CH_TYPES)
+            }
         new_items = []
         for it in items:
             own = it[-1] if len(it) >= 3 and it[-2].lower() == "as" else None
@@ -7011,6 +7044,11 @@ def _translate_impl(ch_sql: str) -> str:
     s = _expand_aliases_scoped(s)
     if _INLINE_SELECT_ALIASES:
         s = _inline_select_aliases_fn(s)
+    else:
+        # always-on narrow pass: only column-shadowing aliases, where
+        # Spark's column-first resolution silently disagrees with the
+        # reference's alias-first rule
+        s = _inline_select_aliases_fn(s, only_shadowing=True)
     s = _rewrite_prewhere_clause(s)
     s = _rewrite_array_join_clause(s)
     s = _inline_expr_aliases(s)
