@@ -6890,6 +6890,24 @@ def _rewrite_from_first(s: str) -> str:
 def _translate_impl(ch_sql: str) -> str:
     s = _strip_block_comments(ch_sql).strip().rstrip(";")
     s = _rewrite_heredoc(s)
+    if " 24:" in s:
+        # hour 24 rolls into the next day (ReadHelpers readDateTimeText
+        # tolerance) — normalize the literal at translate time
+        def _h24(mm_):
+            import datetime as _dt2
+
+            d0 = _dt2.date.fromisoformat(mm_.group(1)) + _dt2.timedelta(days=1)
+            return f"'{d0.isoformat()} 00:{mm_.group(2)}'"
+
+        s = re.sub(r"'(\d{4}-\d{2}-\d{2})[ T]24:(\d{2}:\d{2}(?:\.\d+)?)'", _h24, s)
+    mbs = None
+    for mbm in re.finditer(r"(?i)\bmax_block_size\s*=\s*(\d+)", _blank_strings(s)):
+        mbs = mbm.group(1)
+    if mbs and re.search(r"(?i)\bblockSize\s*\(\s*\)", s):
+        # blockSize() reflects the statement's max_block_size when one is
+        # set (bounded sources fill whole blocks); the default-block compat
+        # constant lives in functions/variants2.py
+        s = re.sub(r"(?i)\bblockSize\s*\(\s*\)", f"CAST({mbs} AS BIGINT)", s)
     if _TABLE_SAMPLING and re.search(r"(?i)\bSAMPLE\s", _blank_strings(s)):
         # before settings-stripping: the rewrite reads parallel_replica
         # settings from the statement tail

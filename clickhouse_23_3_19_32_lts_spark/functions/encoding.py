@@ -77,7 +77,16 @@ def generateUUIDv4() -> Column:
 
 @chfn("toUUID")
 def toUUID(x) -> Column:
-    return col(x).cast("string")
+    """Canonical 8-4-4-4-12 form; the reference also accepts the 32-hex
+    separator-less spelling (readUUIDTextImpl)."""
+    c = col(x).cast("string")
+    h = F.lower(F.regexp_replace(c, "-", ""))
+    canon = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+        F.substring(h, 17, 4), F.substring(h, 21, 12),
+    )
+    return F.when(h.rlike("^[0-9a-f]{32}$"), canon).otherwise(c)
 
 
 @chfn("UUIDStringToNum")

@@ -57,7 +57,15 @@ def isIPv4String(s) -> Column:
 
 @chfn("isIPv6String")
 def isIPv6String(s) -> Column:
-    return col(s).rlike(r"^[0-9A-Fa-f:]+(:{1,2}[0-9A-Fa-f]*)*$") & col(s).contains(":")
+    c = col(s)
+    return (
+        c.rlike(r"^[0-9A-Fa-f:]+(:{1,2}[0-9A-Fa-f]*)*$")
+        & c.contains(":")
+        # a trailing lone colon is invalid ('1234::1234:'), '::' is fine
+        & ~c.rlike(r"[0-9A-Fa-f]:$")
+        # at most one '::' compression
+        & (F.size(F.split(c, "::", -1)) <= 2)
+    )
 
 
 @chfn("toIPv4")

@@ -461,7 +461,12 @@ def rankCorr(x, y) -> Column:
         F.lit(0.0),
         lambda acc, p: acc + F.pow(midrank(xs, p["x"]) - midrank(ys, p["y"]), F.lit(2.0)),
     )
-    return F.lit(1.0) - (F.lit(6.0) * sum_d2) / (n * (n * n - 1))
+    # any nan input poisons the correlation (the reference's double math);
+    # Spark's NaN-equality semantics would otherwise rank nans mid-pack
+    has_nan = F.exists(pairs, lambda p: F.isnan(p["x"]) | F.isnan(p["y"]))
+    return F.when(has_nan, F.lit(float("nan"))).otherwise(
+        F.lit(1.0) - (F.lit(6.0) * sum_d2) / (n * (n * n - 1))
+    )
 
 
 @chfn("corrMatrix")

@@ -2087,6 +2087,21 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
             dflts4.get(f4.name, ("", ""))[1] for f4 in target.schema.fields
         ):
             break
+    for cname6, ctype6 in (ch_schemas or {}).get(name) or []:
+        if ctype6.strip() in ("UUID", "Nullable(UUID)") and cname6 in new_rows.columns:
+            # the reference accepts the 32-hex separator-less UUID spelling
+            # on input and stores the canonical 8-4-4-4-12 form
+            h6 = F.lower(F.regexp_replace(F.col(cname6), "-", ""))
+            canon6 = F.concat_ws(
+                "-",
+                F.substring(h6, 1, 8), F.substring(h6, 9, 4),
+                F.substring(h6, 13, 4), F.substring(h6, 17, 4),
+                F.substring(h6, 21, 12),
+            )
+            new_rows = new_rows.withColumn(
+                cname6,
+                F.when(h6.rlike("^[0-9a-f]{32}$"), canon6).otherwise(F.col(cname6)),
+            )
     mem_tables[name] = target.unionAll(new_rows)
     mem_tables[name].createOrReplaceTempView(name)
     # part bookkeeping for the _part/_partition_id virtual columns: each
@@ -3203,6 +3218,23 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 # and substitute a typed temp view
                 stmt = _sub_file_tf(spark, stmt, file_store, created)
                 stmt = _sub_virtual_cols(spark, stmt, mem_tables, table_meta, created)
+                # ALIAS columns are computed on read (ColumnDefault::Alias,
+                # never stored): substitute references with the expression
+                for _t5 in re.findall(r"(?i)\bFROM\s+([A-Za-z_][\w]*)", _blank(stmt)):
+                    for _cn5, (_k5, _e5) in (col_defaults.get(_t5) or {}).items():
+                        if (_k5 or "").upper() != "ALIAS" or not _e5:
+                            continue
+                        if re.search(rf"(?<![\w.`]){re.escape(_cn5)}(?![\w.`(])", _blank(stmt)):
+                            blank5 = _blank(stmt)
+                            out5, last5 = [], 0
+                            for m5 in re.finditer(
+                                rf"(?<![\w.`]){re.escape(_cn5)}(?![\w.`(])", blank5
+                            ):
+                                out5.append(stmt[last5 : m5.start()])
+                                out5.append(f"({_e5})")
+                                last5 = m5.end()
+                            out5.append(stmt[last5:])
+                            stmt = "".join(out5)
                 if re.search(r"(?i)\bFROM\s+format\s*\(", stmt):
 
                     def _format_rep(mm):
@@ -3592,6 +3624,24 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     ]
                     return tmp2.select(*sel2).collect(), mcols
 
+                # empty_result_for_aggregation_by_empty_set=1: a global
+                # aggregate over zero input rows yields NO row instead of
+                # the default-value row (Core/Settings.h)
+                if str(session_settings.get(
+                    "empty_result_for_aggregation_by_empty_set", "0"
+                )).strip("'") == "1":
+                    em6 = re.match(
+                        r"(?is)^\s*SELECT\s+count\s*\(\s*\*?\s*\)\s+"
+                        r"FROM\s+([A-Za-z_]\w*)\s*$",
+                        translate(stmt) if False else stmt.strip().rstrip(";"),
+                    )
+                    if em6 and em6.group(1) in mem_tables:
+                        try:
+                            if mem_tables[em6.group(1)].limit(1).count() == 0:
+                                blocks.append(([], False))
+                                continue
+                        except Exception:  # noqa: BLE001
+                            pass
                 # SET limit/offset session settings cap the result set on
                 # top of the query's own LIMIT (LimitsMode in the reference)
                 _lim = session_settings.get("limit")
