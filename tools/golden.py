@@ -3224,6 +3224,15 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     for _cn5, (_k5, _e5) in (col_defaults.get(_t5) or {}).items():
                         if (_k5 or "").upper() != "ALIAS" or not _e5:
                             continue
+                        rep5 = f"({_e5})"
+                        for _cn6, _ct6 in ch_schemas.get(_t5) or []:
+                            if _cn6 == _cn5:
+                                t6 = _ct6.split(" ALIAS ")[0].split(" alias ")[0].strip()
+                                if re.fullmatch(r"[A-Za-z_][\w() ,]*", t6):
+                                    # the declared alias TYPE wins over the
+                                    # expression's inferred type
+                                    rep5 = f"CAST(({_e5}), '{t6}')"
+                                break
                         if re.search(rf"(?<![\w.`]){re.escape(_cn5)}(?![\w.`(])", _blank(stmt)):
                             blank5 = _blank(stmt)
                             out5, last5 = [], 0
@@ -3231,7 +3240,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                                 rf"(?<![\w.`]){re.escape(_cn5)}(?![\w.`(])", blank5
                             ):
                                 out5.append(stmt[last5 : m5.start()])
-                                out5.append(f"({_e5})")
+                                out5.append(rep5)
                                 last5 = m5.end()
                             out5.append(stmt[last5:])
                             stmt = "".join(out5)
