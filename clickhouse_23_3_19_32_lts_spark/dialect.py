@@ -3993,6 +3993,16 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 i = close + 1
                 continue
 
+        if t == "finalizeAggregation" and len(arg_sql) == 1 and re.match(
+            r"array_sort\(\s*(array_distinct|collect_set)\(",
+            arg_sql[0].strip(),
+        ):
+            # a uniq-family state carrier (sorted distinct array):
+            # finalizing it produces the COUNT (finalizeAggregation.cpp)
+            out.append(f"CAST(size({arg_sql[0]}) AS BIGINT)")
+            i = close + 1
+            continue
+
         if t in TEMPLATES and TEMPLATES[t] is not None and not _has_lambda:
             if t in (
                 "plus", "minus", "multiply", "negate", "intDiv",
