@@ -309,7 +309,16 @@ TEMPLATES: dict[str, str] = {
     "toLowCardinality": "{0}",
     # toFixedString pads to N with NUL bytes (FunctionToFixedString);
     # the golden TSV escaper prints them as \0 like writeEscapedString
-    "toFixedString": "rpad({0}, {1}, char(0))",
+    # byte-exact pad (CH pads bytes, rpad counts chars). Too-long input
+    # throws TOO_LARGE_STRING_SIZE in the reference (toFixedString.h:101):
+    # constant args get a translate-time check (rewriter special-case); a
+    # runtime raise_error here would fire on rows past a streaming LIMIT
+    # that the reference never materializes, so non-constant input
+    # truncates instead
+    "toFixedString": (
+        "(CASE WHEN octet_length({0}) > ({1}) THEN substr({0}, 1, {1})"
+        " ELSE concat({0}, repeat(char(0), ({1}) - octet_length({0}))) END)"
+    ),
     # regexp replace (One-variant: Spark replaces all; documented divergence)
     "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
     "replaceRegexpOne": "regexp_replace({0}, {1}, {2})",
@@ -366,10 +375,11 @@ TEMPLATES: dict[str, str] = {
     "protocol": "coalesce(parse_url({0}, 'PROTOCOL'), '')",
     # string semantics; for arrays use size()/cardinality (Spark type-checks
     # every branch, so a both-types coalesce can't analyze)
-    # zero bytes don't count: empty(FixedString '\0…') is 1 (EmptyImpl
-    # skips trailing zeros for FixedString)
-    "empty": "(coalesce(length(replace({0}, char(0), '')), 0) = 0)",
-    "notEmpty": "(coalesce(length(replace({0}, char(0), '')), 0) > 0)",
+    # plain String is size-only (EmptyImpl::vector); the zero-byte-blind
+    # form applies ONLY to FixedString and is emitted by the static-typed
+    # rewrite below — empty(unhex('00')) must be 0 here
+    "empty": "(coalesce(length({0}), 0) = 0)",
+    "notEmpty": "(coalesce(length({0}), 0) > 0)",
     "has": "array_contains({0}, {1})",
     "indexOf": "array_position({0}, {1})",
     "arrayElement": "element_at({0}, {1})",
@@ -3575,8 +3585,14 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 continue
             fsm = re.match(r"(?i)FixedString\s*\(\s*(\d+)\s*\)$", ch_type)
             if fsm:
+                _n = fsm.group(1)
+                _s0 = f"CAST({arg_sql[0]} AS STRING)"
                 out.append(
-                    f"rpad(CAST({arg_sql[0]} AS STRING), {fsm.group(1)}, char(0))"
+                    f"(CASE WHEN octet_length({_s0}) > {_n} THEN"
+                    f" CAST(raise_error('TOO_LARGE_STRING_SIZE: string too"
+                    f" long for FixedString({_n})') AS STRING)"
+                    f" ELSE concat({_s0}, repeat(char(0),"
+                    f" {_n} - octet_length({_s0}))) END)"
                 )
                 i = close + 1
                 continue
@@ -3913,6 +3929,24 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
+        if t == "toFixedString" and len(arg_sql) == 2:
+            # constant too-long input: TOO_LARGE_STRING_SIZE at translate
+            # time (toFixedString.h:101) — checked here so non-constant
+            # rows past a streaming LIMIT never trip a runtime error
+            _lm = re.fullmatch(r"'((?:[^'\\]|\\.)*)'", arg_sql[0].strip())
+            _nm = re.fullmatch(r"\d+", arg_sql[1].strip())
+            if _lm and _nm and "\\" not in _lm.group(1) and len(
+                _lm.group(1).encode("utf-8", "surrogateescape")
+            ) > int(_nm.group(0)):
+                # runtime raise (Spark keeps never-taken CASE/IF branches
+                # lazy, preserving CH short-circuit: 02408)
+                out.append(
+                    f"CAST(raise_error('TOO_LARGE_STRING_SIZE: string too"
+                    f" long for FixedString({_nm.group(0)})') AS STRING)"
+                )
+                i = close + 1
+                continue
+
         if t == "toFixedString" and len(arg_sql) == 2 and re.match(
             r"(?i)(unhex|aes_|to_binary|sha1|sha2|md5)\s*\(", arg_sql[0].strip()
         ):
@@ -3954,6 +3988,20 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
+        if t in ("empty", "notEmpty") and len(arg_sql) == 1:
+            # FixedString only: zero bytes don't count (EmptyImpl
+            # vectorFixedToVector skips zeros); plain String stays size-only
+            from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
+
+            _ety = static_type(list(args[0]), _COL_CH_TYPES)
+            if _ety is not None and _ety.replace("Nullable(", "").startswith(
+                "FixedString"
+            ):
+                _z = f"coalesce(length(replace({arg_sql[0]}, char(0), '')), 0)"
+                out.append(f"({_z} = 0)" if t == "empty" else f"({_z} > 0)")
+                i = close + 1
+                continue
+
         if t == "toString" and len(arg_sql) == 1:
             from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
 
@@ -3994,7 +4042,7 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 continue
 
         if t == "finalizeAggregation" and len(arg_sql) == 1 and re.match(
-            r"array_sort\(\s*(array_distinct|collect_set)\(",
+            r"(array_sort\(\s*)?(array_distinct|collect_set)\(",
             arg_sql[0].strip(),
         ):
             # a uniq-family state carrier (sorted distinct array):
@@ -6898,18 +6946,59 @@ def _rewrite_from_first(s: str) -> str:
 
 
 def _translate_impl(ch_sql: str) -> str:
+    global _COL_CH_TYPES
     s = _strip_block_comments(ch_sql).strip().rstrip(";")
     s = _rewrite_heredoc(s)
-    if " 24:" in s:
+    if re.search(r"(?i)toFixedString", s):
+        # select-item aliases of toFixedString(..., N) carry FixedString(N)
+        # so downstream type-gated rewrites (empty/toString NUL handling)
+        # see the alias as FixedString, like the reference's typed header
+        blank_fs = _blank_strings(s)
+        extra_fs: dict[str, str] = {}
+        for fm_ in re.finditer(r"(?i)\btoFixedString\s*\(", blank_fs):
+            d_, j_ = 1, fm_.end()
+            last_comma = None
+            while j_ < len(blank_fs) and d_:
+                c_ = blank_fs[j_]
+                if c_ == "(":
+                    d_ += 1
+                elif c_ == ")":
+                    d_ -= 1
+                elif c_ == "," and d_ == 1:
+                    last_comma = j_
+                j_ += 1
+            if not d_ and last_comma is not None:
+                narg = blank_fs[last_comma + 1 : j_ - 1].strip()
+                am_ = re.match(
+                    r"(?i)\s+AS\s+([A-Za-z_]\w*)", blank_fs[j_:]
+                )
+                if am_ and re.fullmatch(r"\d+", narg):
+                    extra_fs[am_.group(1)] = f"FixedString({narg})"
+        if extra_fs:
+            _COL_CH_TYPES = {**extra_fs, **_COL_CH_TYPES}
+    if " 24:" in s or "T24:" in s:
         # hour 24 rolls into the next day (ReadHelpers readDateTimeText
-        # tolerance) — normalize the literal at translate time
-        def _h24(mm_):
+        # tolerance) — but ONLY when the literal is actually parsed as a
+        # DateTime (toDateTime*/parseDateTime*/CAST .. AS DateTime/::DateTime);
+        # a bare string literal prints verbatim in the reference
+        def _h24(mm_, _pre="", _post=""):
             import datetime as _dt2
 
             d0 = _dt2.date.fromisoformat(mm_.group(1)) + _dt2.timedelta(days=1)
-            return f"'{d0.isoformat()} 00:{mm_.group(2)}'"
+            return (
+                mm_.group(0)[: mm_.start(1) - mm_.start(0) - 1]
+                + f"'{d0.isoformat()} 00:{mm_.group(2)}'"
+                + mm_.group(0)[mm_.end(2) - mm_.start(0) + 1 :]
+            )
 
-        s = re.sub(r"'(\d{4}-\d{2}-\d{2})[ T]24:(\d{2}:\d{2}(?:\.\d+)?)'", _h24, s)
+        _lit24 = r"'(\d{4}-\d{2}-\d{2})[ T]24:(\d{2}:\d{2}(?:\.\d+)?)'"
+        s = re.sub(
+            r"(?i)\b(?:to|parse)DateTime\w*\s*\(\s*" + _lit24, _h24, s
+        )
+        s = re.sub(
+            r"(?i)\bCAST\s*\(\s*" + _lit24 + r"(?=\s+AS\s+DateTime)", _h24, s
+        )
+        s = re.sub(_lit24 + r"(?=\s*::\s*DateTime)", _h24, s)
     mbs = None
     for mbm in re.finditer(r"(?i)\bmax_block_size\s*=\s*(\d+)", _blank_strings(s)):
         mbs = mbm.group(1)

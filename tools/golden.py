@@ -26,6 +26,22 @@ from clickhouse_23_3_19_32_lts_spark.dialect import (
 _BOOL_AS_TEXT = False
 
 
+def _sub_ident(name: str, rep: str, expr: str) -> str:
+    """Replace bare identifier `name` with `rep` in `expr`, locating matches
+    on a string-literal-blanked copy so a column name inside another
+    column's DEFAULT string literal ('n/a' vs column n) is never touched —
+    same protocol as dialect._sub_blank."""
+    pat = re.compile(rf"(?<![\w.`]){re.escape(name)}(?![\w.`(])")
+    blank = _blank(expr)
+    out, last = [], 0
+    for m in pat.finditer(blank):
+        out.append(expr[last : m.start()])
+        out.append(rep)
+        last = m.end()
+    out.append(expr[last:])
+    return "".join(out)
+
+
 def _fmt_float(f: float) -> str:
     if math.isnan(f):
         return "nan"
@@ -1883,7 +1899,7 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
                         f"({_expr_sql(ed2)})" if ed2
                         else _sql_default_lit(g.dataType)
                     )
-                    esql = re.sub(rf"(?<![\w.`]){re.escape(g.name)}(?![\w.`(])", rep, esql)
+                    esql = _sub_ident(g.name, rep, esql)
                 return f"CAST(({esql}) AS {f.dataType.simpleString()})"
 
             sel = []
@@ -2047,10 +2063,7 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
             # DEFAULT exprs may reference ALIAS columns (virtual — not in
             # the stored schema): inline their expressions first
             for an3, ae3 in _aliases.items():
-                expr2 = re.sub(
-                    rf"(?<![\w.`]){re.escape(an3)}(?![\w.`(])",
-                    f"({ae3})", expr2,
-                )
+                expr2 = _sub_ident(an3, f"({ae3})", expr2)
         try:
             dtype2 = target.schema[cname2].dataType.simpleString()
             new_rows = new_rows.withColumn(
