@@ -4675,29 +4675,49 @@ def _rewrite_asof_join(s: str) -> str:
     if m is None:
         return s
     kind = (m.group(1) or "INNER").strip().upper()
-    # left alias = the identifier immediately preceding ASOF
-    lm = None
-    for lm2 in re.finditer(r"[A-Za-z_][\w.]*", blank[: m.start()]):
-        lm = lm2
-    if lm is None or blank[lm.end() : m.start()].strip():
-        return s
-    # the identifier must BE a relation/alias, i.e. directly follow a
-    # FROM/JOIN item — if the text since the last same-depth FROM/JOIN
-    # contains an ON/USING clause, it is a condition column (e.g.
-    # `... ON a.id = b.id ASOF JOIN c`) and qualifying with it would
-    # produce an unresolvable alias: bail instead
+    # left alias: normally the identifier immediately preceding ASOF; when
+    # a prior join's ON/USING clause sits between the last FROM/JOIN item
+    # and ASOF (`... ON a.id = b.id ASOF JOIN c`), that identifier is a
+    # condition column — recover the last relation's alias via
+    # _read_relation instead (Joins.h: the ASOF left side is the
+    # accumulated join tree; an unqualified USING key is resolved against
+    # the most recent relation carrying it)
+    lalias = None
     jd = _depth_at(blank, m.start())
     lseg_start = None
-    for kw in re.finditer(r"(?i)\b(?:FROM|JOIN)\b", blank[: lm.start()]):
+    lrels: list[tuple[str, frozenset | None]] = []  # (alias, known columns)
+    for kw in re.finditer(r"(?i)\b(?:FROM|JOIN)\b", blank[: m.start()]):
         if _depth_at(blank, kw.start()) == jd:
             lseg_start = kw.end()
+            _ws0 = re.match(r"\s*", s[lseg_start:]).end()
+            rel_i, al_i, _ei = _read_relation(s, lseg_start + _ws0)
+            if rel_i:
+                al_i2 = al_i or (
+                    rel_i.split(".")[-1]
+                    if re.fullmatch(r"[A-Za-z_][\w.]*", rel_i)
+                    else None
+                )
+                if al_i2:
+                    sch_i = _TABLE_SCHEMAS.get(rel_i)
+                    lrels.append((
+                        al_i2,
+                        frozenset(c.lower() for c, _t in sch_i) if sch_i else None,
+                    ))
     if lseg_start is not None:
-        seg = blank[lseg_start : lm.start()]
+        seg = blank[lseg_start : m.start()]
         while re.search(r"\([^()]*\)", seg):
             seg = re.sub(r"\([^()]*\)", " ", seg)
         if re.search(r"(?i)\bON\b|\bUSING\b|=", seg):
+            lalias = lrels[-1][0] if lrels else None
+            if lalias is None:
+                return s
+    if lalias is None:
+        lm = None
+        for lm2 in re.finditer(r"[A-Za-z_][\w.]*", blank[: m.start()]):
+            lm = lm2
+        if lm is None or blank[lm.end() : m.start()].strip():
             return s
-    lalias = lm.group(0).split(".")[-1]
+        lalias = lm.group(0).split(".")[-1]
     rel, ralias, end = _read_relation(s, m.end())
     if not rel:
         return s
@@ -4719,10 +4739,18 @@ def _rewrite_asof_join(s: str) -> str:
             # (HashJoin.cpp: "ASOF join needs at least one equi-condition",
             # serverError 62)
             raise ChSqlError("ASOF join USING requires at least two columns")
-        conds = [f"{name}.{k} = {lalias}.{k}" for k in keys[:-1]]
+        def _lq(k: str) -> str:
+            # qualify a USING key with the LAST left relation that is known
+            # to carry it (CH resolves USING against the whole left tree)
+            for al_q, cols_q in reversed(lrels):
+                if cols_q is not None and k.lower() in cols_q:
+                    return al_q
+            return lalias
+
+        conds = [f"{name}.{k} = {_lq(k)}.{k}" for k in keys[:-1]]
         tcol = keys[-1]
         # ASOF USING default inequality: left.t >= right.t (join.md docs)
-        conds.append(f"{name}.{tcol} <= {lalias}.{tcol}")
+        conds.append(f"{name}.{tcol} <= {_lq(tcol)}.{tcol}")
         order = f"{name}.{tcol} DESC"
         using_keys = keys
         tail = rest[um.end() :]
@@ -4832,7 +4860,7 @@ def _rewrite_asof_join(s: str) -> str:
             outp, last2 = [], 0
             for bm in bare.finditer(tb):
                 outp.append(txt[last2 : bm.start()])
-                outp.append(f"{lalias}.{txt[bm.start() : bm.end()]}")
+                outp.append(f"{_lq(bm.group(1))}.{txt[bm.start() : bm.end()]}")
                 last2 = bm.end()
             outp.append(txt[last2:])
             return "".join(outp)
@@ -4894,12 +4922,16 @@ def _rewrite_anti_join(s: str) -> str:
     lrel, _lalias, lend = _read_relation(s, fm.end())
     if not lrel or lend > m.start():
         return s
-    if s[lend : m.start()].strip():
-        # intervening joins between the FROM relation and the ANTI RIGHT —
-        # swapping just the first relation would silently drop them; bail
-        # so the retry cascade surfaces a translate failure instead
-        return s
-    lpart, rpart = s[fm.end() : lend], s[m.end() : end]
+    mid = s[lend : m.start()].strip()
+    if mid:
+        # intervening joins between the FROM relation and the ANTI RIGHT:
+        # the ANTI's left side is the WHOLE accumulated join tree
+        # (Joins.h kind-first strictness) — carry it through the relation
+        # swap as a parenthesized join so its aliases stay in scope
+        lpart = "(" + s[fm.end() : m.start()].strip() + ")"
+    else:
+        lpart = s[fm.end() : lend]
+    rpart = s[m.end() : end]
     return _rewrite_anti_join(
         s[: fm.end()] + rpart + " LEFT ANTI JOIN " + lpart + " " + s[end:]
     )
