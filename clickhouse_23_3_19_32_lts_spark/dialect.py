@@ -2686,6 +2686,45 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
 
         close = _find_call_end(tokens, i + 1)
         args = _split_args(tokens[i + 2 : close])
+        if tl == "grouping" and not (
+            i + 1 < len(tokens)
+            and tokens[i + 1] == "("
+            and i + 2 < len(tokens)
+            and tokens[i + 2].lower() == "sets"
+        ) and not (close == i + 2):
+            # GROUPING(keys...) (FunctionGrouping): multi-arg form is
+            # Spark's grouping_id bitmask; force_grouping_standard_
+            # compatibility=0 inverts every bit (1 = used as a key)
+            arg_sql0 = [_rewrite(a) for a in args]
+            if arg_sql0:
+                gid = (
+                    f"grouping_id({', '.join(arg_sql0)})"
+                    if len(arg_sql0) > 1
+                    else f"grouping({arg_sql0[0]})"
+                )
+                if _GROUPING_LEGACY:
+                    out.append(
+                        f"({(1 << len(arg_sql0)) - 1} - {gid})"
+                    )
+                else:
+                    out.append(gid)
+                i = close + 1
+                continue
+
+        if tl == "sets" and out and out[-1].lower() == "grouping":
+            # GROUPING SETS((a, b), ()) — each set is a key LIST, not a
+            # tuple literal: keep the parens as grouping parens
+            parts = []
+            for a in args:
+                if a and a[0] == "(" and _find_call_end(a, 0) == len(a) - 1:
+                    parts.append("(" + _rewrite(a[1:-1]) + ")")
+                elif a:
+                    parts.append(_rewrite(a))
+                else:
+                    parts.append("()")
+            out.append("SETS(" + ", ".join(parts) + ")")
+            i = close + 1
+            continue
         if (
             t in ("toDateTime", "toDateTime32")
             and len(args) >= 2
@@ -4513,7 +4552,188 @@ def _split_top_commas(s: str) -> list[str]:
 _TOTALS_RE = re.compile(r"\bGROUP\s+BY\s+(.+?)\s+WITH\s+TOTALS\b", re.IGNORECASE | re.DOTALL)
 
 
+def _totals_sets(keys: str) -> list[str] | None:
+    """Explicit grouping-set list for a ROLLUP/CUBE/GROUPING SETS GROUP BY
+    under WITH TOTALS, or None for a plain key list. Each returned element
+    is the parenthesized-set BODY (comma-joined columns, may be empty)."""
+    keys = keys.strip()
+    km = re.match(r"(?is)^ROLLUP\s*\((.*)\)$", keys) or re.match(
+        r"(?is)^(.*?)\s+WITH\s+ROLLUP$", keys
+    )
+    if km:
+        cols = [c.strip() for c in _split_top_commas(km.group(1)) if c.strip()]
+        return [", ".join(cols[:i]) for i in range(len(cols), -1, -1)]
+    km = re.match(r"(?is)^CUBE\s*\((.*)\)$", keys) or re.match(
+        r"(?is)^(.*?)\s+WITH\s+CUBE$", keys
+    )
+    if km:
+        cols = [c.strip() for c in _split_top_commas(km.group(1)) if c.strip()]
+        if len(cols) > 6:
+            return None
+        sets = []
+        for mask in range((1 << len(cols)) - 1, -1, -1):
+            sets.append(
+                ", ".join(c for i, c in enumerate(cols) if mask & (1 << i))
+            )
+        return sets
+    km = re.match(r"(?is)^GROUPING\s+SETS\s*\((.*)\)$", keys)
+    if km:
+        return [
+            p.strip().strip("()").strip()
+            for p in _split_top_commas(km.group(1))
+        ]
+    return None
+
+
+def _split_top_commas(s: str) -> list[str]:
+    out, last, d = [], 0, 0
+    b = _blank_strings(s)
+    for i, ch in enumerate(b):
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        elif ch == "," and d == 0:
+            out.append(s[last:i])
+            last = i + 1
+    out.append(s[last:])
+    return out
+
+
+def _rewrite_rollup_key_defaults(s: str) -> str:
+    """ROLLUP/CUBE/GROUPING SETS key misses are TYPE DEFAULTS, not NULLs,
+    under the default group_by_use_nulls=0 (Core/Settings.h; the rollup
+    transform re-aggregates with missing keys removed and the column filled
+    with its default) — and ORDER BY sees the filled value, so the fill
+    must happen in the SELECT list, not at render time."""
+    if re.search(r"(?i)group_by_use_nulls\s*=\s*'?1", s):
+        return s
+    if not _COL_CH_TYPES:
+        return s
+    blank = _blank_strings(s)
+    keys: list[str] = []
+    gm = None
+    for gm2 in re.finditer(
+        r"(?i)\bGROUP\s+BY\s+(?:GROUPING\s+)?(ROLLUP|CUBE|SETS)\s*\(", blank
+    ):
+        if _depth_at(blank, gm2.start()) == 0:
+            gm = gm2
+    if gm is not None:
+        d, j = 1, gm.end()
+        while j < len(blank) and d:
+            if blank[j] == "(":
+                d += 1
+            elif blank[j] == ")":
+                d -= 1
+            j += 1
+        inner = s[gm.end() : j - 1]
+        for part in _split_top_commas(inner):
+            part = part.strip()
+            if part.startswith("(") and part.endswith(")"):
+                part = part[1:-1]
+            for c in _split_top_commas(part):
+                c = c.strip()
+                if re.fullmatch(r"[A-Za-z_]\w*", c) and c not in keys:
+                    keys.append(c)
+    else:
+        wm = None
+        for wm2 in re.finditer(
+            r"(?i)\bGROUP\s+BY\s+(.+?)\s+WITH\s+(?:ROLLUP|CUBE)\b", blank
+        ):
+            if _depth_at(blank, wm2.start()) == 0:
+                wm = wm2
+        if wm is None:
+            return s
+        for c in _split_top_commas(s[wm.start(1) : wm.end(1)]):
+            c = c.strip()
+            if re.fullmatch(r"[A-Za-z_]\w*", c) and c not in keys:
+                keys.append(c)
+    keys = [k for k in keys if k in _COL_CH_TYPES]
+    if not keys:
+        return s
+    sm = re.match(r"(?i)\s*SELECT\s+(DISTINCT\s+)?", blank)
+    if sm is None:
+        return s
+    fpos = None
+    for fm in re.finditer(r"(?i)\bFROM\b", blank):
+        if _depth_at(blank, fm.start()) == 0:
+            fpos = fm.start()
+            break
+    if fpos is None:
+        return s
+    items = _split_top_commas(s[sm.end() : fpos])
+    changed = False
+    for ix, it in enumerate(items):
+        k = it.strip()
+        if k in keys:
+            dflt = _ch_join_default_sql(_COL_CH_TYPES[k])
+            items[ix] = (
+                f" CASE WHEN __ch_grouping__({k}) = 1 THEN {dflt}"
+                f" ELSE {k} END AS {k} "
+            )
+            changed = True
+    if not changed:
+        return s
+    return s[: sm.end()] + ",".join(items) + s[fpos:]
+
+
 def _rewrite_totals_clause(s: str) -> str:
+    # WITH TOTALS without GROUP BY (implicit global aggregation,
+    # InterpreterSelectQuery: totals row == the single data row): give it
+    # an explicit grouping-sets GROUP BY so the marker machinery applies
+    bt = _blank_strings(s)
+    if re.search(r"(?i)\bWITH\s+TOTALS\b", bt) and not re.search(
+        r"(?i)\bGROUP\s+BY\b", bt
+    ):
+        wt = None
+        for wt2 in re.finditer(r"(?i)\bWITH\s+TOTALS\b", bt):
+            if _depth_at(bt, wt2.start()) == 0:
+                wt = wt2
+                break
+        if wt is not None:
+            # requires an implicit global aggregation; a plain projection
+            # with TOTALS is serverError 48 (InterpreterSelectQuery)
+            if not re.search(
+                r"(?i)\b(count|sum\w*|min|max|avg\w*|any\w*|uniq\w*|"
+                r"quantile\w*|median\w*|group\w+|arg(?:Min|Max)\w*|"
+                r"top[Kk]\w*|corr\w*|covar\w*|stddev\w*|var\w*|entropy|"
+                r"histogram|single[Vv]alue\w*|first_value|last_value|"
+                r"skew\w*|kurt\w*|delta\w*|bounding\w*|max[Ii]ntersections\w*|"
+                r"sequence\w*|window[Ff]unnel|retention|sumMap\w*|"
+                r"(?:min|max)Map\w*|exponential\w*|simpleLinear\w*|"
+                r"stochastic\w*|mannWhitney\w*|welch\w*|studentTTest\w*|"
+                r"rankCorr|aggThrow|nothing)\s*\(", bt[: wt.start()]
+            ):
+                raise ChSqlError(
+                    "NOT_IMPLEMENTED: WITH TOTALS without aggregation"
+                )
+            s = (
+                s[: wt.start()]
+                + "GROUP BY GROUPING SETS(()) WITH TOTALS"
+                + s[wt.end() :]
+            )
+    _sentinel_sets = None
+    m0 = _TOTALS_RE.search(s)
+    if m0 is not None:
+        blank0 = _blank_strings(s)
+        if blank0[: m0.start()].count("(") == blank0[: m0.start()].count(")"):
+            _sentinel_sets = _totals_sets(m0.group(1))
+    _marker = (
+        "__ch_grouping__('__ch_t')" if _sentinel_sets is not None else "grouping_id()"
+    )
+    if _sentinel_sets is not None and re.search(
+        r"(?i)^(ROLLUP|CUBE)\s*\(|\sWITH\s+(ROLLUP|CUBE)\s*$",
+        m0.group(1).strip(),
+    ):
+        hb = _blank_strings(s)
+        for hm0 in re.finditer(r"(?i)\bHAVING\b", hb):
+            if _depth_at(hb, hm0.start()) == 0:
+                # TotalsHavingTransform refuses ROLLUP/CUBE + TOTALS + HAVING
+                # (serverError 48, InterpreterSelectQuery.cpp)
+                raise ChSqlError(
+                    "NOT_IMPLEMENTED: WITH TOTALS and WITH ROLLUP or CUBE"
+                    " are not supported together in presence of HAVING"
+                )
     if _TOTALS_MARKER:
         m = _TOTALS_RE.search(s)
         if m is not None:
@@ -4534,7 +4754,7 @@ def _rewrite_totals_clause(s: str) -> str:
                 if fpos is not None:
                     s = (
                         s[:fpos]
-                        + ", grouping_id() AS __ch_totals "
+                        + f", {_marker} AS __ch_totals "
                         + s[fpos:]
                     )
                     # default totals_mode = before_having (Settings.h):
@@ -4559,7 +4779,7 @@ def _rewrite_totals_clause(s: str) -> str:
                         cond = s[hm.end():hend].strip()
                         s = (
                             s[:hm.start()]
-                            + f"HAVING (({cond}) OR grouping_id() <> 0) "
+                            + f"HAVING (({cond}) OR {_marker} <> 0) "
                             + s[hend:]
                         )
     # a subquery's totals row never reaches the outer query's data stream
@@ -4572,6 +4792,16 @@ def _rewrite_totals_clause(s: str) -> str:
         d = blank[:m.start()].count("(") - blank[:m.start()].count(")")
         if d > 0:
             return f"GROUP BY {m.group(1)}"
+        sets = _totals_sets(m.group(1))
+        if sets is not None:
+            # ROLLUP/CUBE/GROUPING SETS + TOTALS: a sentinel constant key
+            # marks every ORIGINAL set, so the rollup's own all-aggregated
+            # row stays in the data stream and only the appended () set is
+            # the totals row (grouping('__ch_t') splits them)
+            body = ", ".join(
+                f"('__ch_t', {st})" if st else "('__ch_t')" for st in sets
+            )
+            return f"GROUP BY GROUPING SETS ({body}, ())"
         return f"GROUP BY GROUPING SETS (({m.group(1)}), ())"
 
     return _TOTALS_RE.sub(_sub, s)
@@ -5042,6 +5272,74 @@ def _rewrite_semi_join(s: str) -> str:
             if strict == "ANY" and kind == "INNER":
                 out = _dedup_left_relation(out, m.start(), keys)
             return _rewrite_semi_join(out)
+        onm = re.match(r"\s*ON\b", s[end:], re.IGNORECASE)
+        if rel and onm:
+            # ON form: dedupe the right side by the right-table columns of
+            # the equality conjuncts (HashJoin any-strictness keeps one
+            # build row per key); bail to the plain join on non-equi ON
+            name = alias or (
+                rel if re.fullmatch(r"[A-Za-z_][\w.]*", rel) else None
+            )
+            if name:
+                name = name.split(".")[-1]
+                sblank = _blank_strings(s)
+                stop = re.compile(
+                    r"(?i)\b(WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS|UNION|"
+                    r"FORMAT|PREWHERE|INTERSECT|EXCEPT|SEMI|ANTI|INNER|LEFT|"
+                    r"RIGHT|FULL|CROSS|ASOF|ANY|JOIN|WINDOW)\b"
+                )
+                cstart = end + onm.end()
+                cend = len(s)
+                for sm2 in stop.finditer(sblank, cstart):
+                    if _depth_at(sblank, sm2.start()) == 0:
+                        cend = sm2.start()
+                        break
+                cond = s[cstart:cend]
+                cb = _blank_strings(cond)
+                conj, last2 = [], 0
+                for am2 in re.finditer(r"(?i)\bAND\b", cb):
+                    if _depth_at(cb, am2.start()) == 0:
+                        conj.append(cond[last2 : am2.start()])
+                        last2 = am2.end()
+                conj.append(cond[last2:])
+                rkeys, lkeys = [], []
+                for c2 in conj:
+                    em2 = re.fullmatch(
+                        r"\s*([\w.]+)\s*==?\s*([\w.]+)\s*", c2
+                    )
+                    if not em2:
+                        rkeys = None
+                        break
+                    rside = [
+                        g.split(".", 1)[1]
+                        for g in (em2.group(1), em2.group(2))
+                        if g.startswith(name + ".")
+                    ]
+                    if len(rside) != 1 or "." in rside[0]:
+                        rkeys = None
+                        break
+                    rkeys.append(rside[0])
+                    lref = next(
+                        g for g in (em2.group(1), em2.group(2))
+                        if not g.startswith(name + ".")
+                    )
+                    lkeys.append(lref.split(".")[-1])
+                if rkeys:
+                    lowered = (
+                        "INNER JOIN" if strict == "SEMI" or kind == "INNER"
+                        else "LEFT JOIN"
+                    )
+                    out = (
+                        s[: m.start()]
+                        + f"{lowered} {_dedup_by_keys(rel, ', '.join(rkeys))}"
+                        + f" AS {name} "
+                        + s[end:]
+                    )
+                    if strict == "ANY" and kind == "INNER":
+                        out = _dedup_left_relation(
+                            out, m.start(), ", ".join(lkeys)
+                        )
+                    return _rewrite_semi_join(out)
     m = _SEMI_RIGHT_RE.search(_blank_strings(s))
     if m:
         strict, kind = m.group(1).upper(), m.group(2).upper()
@@ -6239,6 +6537,9 @@ _DT_BEST_EFFORT = False
 # retry mode: render 1-arg length()/empty()/notEmpty() with size() — CH
 # length() is polymorphic over arrays; Spark's is string/binary-only
 _LENGTH_AS_SIZE = False
+# force_grouping_standard_compatibility=0 (Settings.h:681): GROUPING bits
+# invert (1 = used as an aggregation key), vs the standard/Spark sense
+_GROUPING_LEGACY = False
 # runner mode: tag the WITH TOTALS row with a grouping_id() marker column
 # so output formatting can split it out (TotalsHavingTransform renders the
 # totals row after a blank separator)
@@ -6293,6 +6594,9 @@ def translate(
     _TOTALS_MARKER = totals_marker
     try:
         res = _translate_impl(ch_sql)
+        # late placeholder: internal grouping() markers inserted by the
+        # totals/rollup rewrites, shielded from the GROUPING-compat pass
+        res = res.replace("__ch_grouping__(", "grouping(")
         if bool_ops:
             # retry mode: numeric-truthiness operands under infix AND/OR/NOT
             res = _wrap_logical_operands(res)
@@ -6978,9 +7282,12 @@ def _rewrite_from_first(s: str) -> str:
 
 
 def _translate_impl(ch_sql: str) -> str:
-    global _COL_CH_TYPES
+    global _COL_CH_TYPES, _GROUPING_LEGACY
     s = _strip_block_comments(ch_sql).strip().rstrip(";")
     s = _rewrite_heredoc(s)
+    _GROUPING_LEGACY = bool(
+        re.search(r"(?i)force_grouping_standard_compatibility\s*=\s*'?0", s)
+    )
     if re.search(r"(?i)toFixedString", s):
         # select-item aliases of toFixedString(..., N) carry FixedString(N)
         # so downstream type-gated rewrites (empty/toString NUL handling)
@@ -7203,6 +7510,7 @@ def _translate_impl(ch_sql: str) -> str:
     s = _inline_expr_aliases(s)
     s = _hoist_nested_array_join(s)
     s = _rewrite_totals_clause(s)
+    s = _rewrite_rollup_key_defaults(s)
     s = _rewrite_limit_by_clause(s)
     # LIMIT offset, count (ParserSelectQuery short form) → LIMIT n OFFSET o
     blank3 = _blank_strings(s)

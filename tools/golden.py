@@ -1590,6 +1590,29 @@ def _inline_format_rows(fmt: str, payload: str):
     raise ChSqlError(f"unsupported inline INSERT format {fmt!r}")
 
 
+def _sub_default_kw(
+    row: str, collist, target, col_defaults, tname: str
+) -> str:
+    """Replace the bare DEFAULT keyword in a VALUES row (ConstantExpression
+    with use_default flag, ValuesBlockInputFormat) with the column's DEFAULT
+    expression, or NULL so the insert_null_as_default pass fills the type
+    default."""
+    if not re.search(r"(?i)\bDEFAULT\b", _blank(row)):
+        return row
+    if collist:
+        listed = [c.strip().strip("`") for c in collist.strip("()").split(",")]
+    else:
+        listed = [f.name for f in target.schema.fields]
+    dflts = (col_defaults or {}).get(tname) or {}
+    parts = _split_top_level_commas(row)
+    for i, p in enumerate(parts):
+        if p.strip().upper() == "DEFAULT":
+            cn = listed[i] if i < len(listed) else None
+            kd, ed = dflts.get(cn) or ("", "") if cn else ("", "")
+            parts[i] = f"({ed})" if ed else "NULL"
+    return ", ".join(parts)
+
+
 def _values_rows(tail: str) -> list[str]:
     """Split a VALUES tail `(a, b), (c, d)` into per-row expression lists."""
     rows, depth, cur, in_str = [], 0, [], False
@@ -1848,7 +1871,9 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
         target = mem_tables[name]
         if kw == "VALUES":
             selects = " UNION ALL ".join(
-                f"SELECT {row}" for row in _values_rows(tail) if row
+                f"SELECT {_sub_default_kw(row, collist, target, col_defaults, name)}"
+                for row in _values_rows(tail)
+                if row
             )
             src = spark.sql(translate(selects))
         else:
@@ -1865,7 +1890,9 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
         target = mem_tables[name]
         if fmt.lower() == "values":
             selects = " UNION ALL ".join(
-                f"SELECT {row}" for row in _values_rows(payload) if row
+                f"SELECT {_sub_default_kw(row, collist, target, col_defaults, name)}"
+                for row in _values_rows(payload)
+                if row
             )
             src = spark.sql(translate(selects))
             rows = None
@@ -3375,6 +3402,22 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         _format_rep, stmt,
                     )
 
+                _jds = str(session_settings.get("join_default_strictness", ""))
+                _sm_jds = re.search(
+                    r"(?i)join_default_strictness\s*=\s*'?(\w+)'?", stmt
+                )
+                if _sm_jds:
+                    _jds = _sm_jds.group(1)
+                if _jds.upper() == "ANY" and re.search(r"(?i)\bJOIN\b", stmt):
+                    # join_default_strictness='ANY' (Core/Settings.h): a
+                    # strictness-less [LEFT|INNER] JOIN means ANY JOIN
+                    stmt = re.sub(
+                        r"(?i)(?<!ANY\s)(?<!ALL\s)(?<!SEMI\s)"
+                        r"(?<!ANTI\s)(?<!ASOF\s)(?<!CROSS\s)(?<!ARRAY\s)"
+                        r"\b((?:LEFT|INNER)\s+(?:OUTER\s+)?JOIN)\b",
+                        r"ANY \1", stmt,
+                    )
+
                 parsed = parse_fill_query(stmt)
 
                 # WITH TOTALS (TotalsHavingTransform): tag the totals row in
@@ -3400,13 +3443,14 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                         col_ch_types[_cn] = re.sub(r",\s*", ", ", _ct)
 
                 def _build(safe: bool = False, inline: bool = False,
-                           length_size: bool = False, boolw: bool = False):
+                           length_size: bool = False, boolw: bool = False,
+                           src: str | None = None):
                     if parsed is not None:
                         df = apply_fill(spark, parsed)
                     else:
                         df = spark.sql(
                             translate(
-                                stmt,
+                                src or stmt,
                                 safe_subscript=safe,
                                 inline_aliases=inline,
                                 length_as_size=length_size,
@@ -3521,6 +3565,59 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                             ex = ex2
                     raise ex
 
+                def _unres_fix(src: str, ex) -> str | None:
+                    # ClickHouse binds an unqualified column that exists in
+                    # several joined relations to the FIRST (left) one
+                    # (IdentifierSemantic); Spark reports it unresolved when
+                    # the bare name collides with a table alias or the join
+                    # was lowered away from USING — left-qualify and retry
+                    um = re.search(
+                        r"name `([\w]+)` cannot be resolved\. Did you mean"
+                        r" one of the following\? \[([^\]]*)\]", str(ex)
+                    )
+                    if not um:
+                        return None
+                    uname = um.group(1)
+                    if uname.startswith("__"):
+                        return None
+                    cands = re.findall(r"`([^`]+)`\.`([^`]+)`", um.group(2))
+                    quals = [
+                        q for q, c in cands
+                        if c == uname and not q.startswith("__")
+                        and re.fullmatch(r"[A-Za-z_]\w*", q)
+                    ]
+                    if not quals:
+                        return None
+                    blank0 = _blank(src)
+                    ordered = []
+                    for rm in re.finditer(
+                        r"(?i)\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)"
+                        r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?", blank0
+                    ):
+                        al0 = rm.group(2)
+                        if al0 and re.match(
+                            r"(?i)(ON|USING|LEFT|RIGHT|INNER|FULL|CROSS|"
+                            r"JOIN|WHERE|GROUP|ORDER|ANY|ALL|ASOF|SEMI|ANTI|"
+                            r"GLOBAL|SETTINGS|FINAL|SAMPLE|PREWHERE|HAVING|"
+                            r"LIMIT|UNION|ARRAY|AS)$", al0,
+                        ):
+                            al0 = None
+                        ordered.append(al0 or rm.group(1))
+                    pick = next((a for a in ordered if a in quals), quals[0])
+                    out_s, last, changed = [], 0, False
+                    for om in re.finditer(
+                        rf"(?<![\w.`])({re.escape(uname)})(?![\w(.`])", blank0
+                    ):
+                        head = blank0[: om.start()].rstrip()
+                        if re.search(r"(?i)\bAS$", head):
+                            continue  # alias definition, not a reference
+                        out_s.append(src[last : om.start()])
+                        out_s.append(f"{pick}.{uname}")
+                        last = om.end()
+                        changed = True
+                    out_s.append(src[last:])
+                    return "".join(out_s) if changed else None
+
                 def _retry_flags(ex) -> dict:
                     s2 = str(ex)
                     flags = {}
@@ -3602,7 +3699,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                             if k not in kwargs
                         }
                         if not new:
-                            raise ex
+                            break
                         kwargs.update(new)
                         try:
                             return _build(**kwargs)
@@ -3610,6 +3707,19 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                             if "AMBIGUOUS_REFERENCE" in str(ex2):
                                 return _build_ambig(ex2)
                             ex = ex2
+                    if "UNRESOLVED_COLUMN" in str(ex):
+                        cur = stmt
+                        for _ in range(4):
+                            cur2 = _unres_fix(cur, ex)
+                            if cur2 is None:
+                                break
+                            cur = cur2
+                            try:
+                                return _build(src=cur, **kwargs)
+                            except Exception as ex2:  # noqa: BLE001
+                                if "UNRESOLVED_COLUMN" not in str(ex2):
+                                    raise
+                                ex = ex2
                     raise ex
 
                 try:

@@ -26,6 +26,16 @@ def run_one(spark, name: str) -> None:
     print("=" * 70)
     print("--- SQL", name)
     print(open(sql_path, errors="replace").read()[:4000])
+    # hot-reload the dialect + runner so edits apply without losing the JVM
+    import importlib
+
+    import clickhouse_23_3_19_32_lts_spark.chtypes as _cht
+    import clickhouse_23_3_19_32_lts_spark.dialect as _dia
+    import tools.golden as _g
+
+    importlib.reload(_cht)
+    importlib.reload(_dia)
+    importlib.reload(_g)
     from tools.golden import run_golden
 
     try:
