@@ -79,6 +79,16 @@ def main() -> None:
     ).collect()
     calib = round(time.perf_counter() - t0, 4)
 
+    # IO calibration: a full cold-ish parquet scan of the largest table.
+    # The CPU-only job under-corrects when the machine is IO-contended
+    # (round-7 verdict: uniform 1.14x drift on unchanged queries); tracking
+    # both lets the judge normalize whichever resource actually moved.
+    t0 = time.perf_counter()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    calib_io = round(time.perf_counter() - t0, 4)
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -92,6 +102,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calib_sec": calib,
+        "calib_io_sec": calib_io,
         # round 6: queries materialize via the noop sink instead of
         # .count() — absolute timings include full projection cost now
         # (one-time ≈ +5-10% step vs rounds ≤5; same action every round

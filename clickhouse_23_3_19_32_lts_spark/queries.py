@@ -838,25 +838,28 @@ _load_query_modules()
 # still pass the full local gate (tests/test_queries_oracle.py runs ALL of
 # them); this only chooses which subset the driver re-proves first.
 _GATE_FIRST = [
-    # round-7 rotation (verdict r6 ask #8): the 50 queries whose newest
-    # driver CORRECTNESS row is round 5 (round 6 re-gated the other 50) go
-    # first so every proof stays <=1 round old.
-    "q01_pricing_summary", "q03_shipping_priority", "q_stats_moments",
-    "q_dedup_minhash_lsh", "q_ann_topk", "q_ann_ivf", "q_uniq_approx",
-    "q_delta_sum", "q_time_decayed_sum", "q_grouping_sets", "q_state_merge",
-    "q_compat_aggs", "q_categorical_iv", "q_sequence_next_node",
-    "q02_top_supplier_per_nation", "q04_order_priority", "q07_nation_volume",
-    "q08_market_share", "q09_product_profit", "q10_returned_items",
-    "q12_priority_shipping", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q19_discounted_revenue",
-    "q22_global_sales_opportunity", "q_window_ntile_nth",
-    "q_window_range_frame", "q_window_groups_emulation",
-    "q_nonnegative_derivative", "q_limit_offset", "q_set_ops_all",
-    "q_agg_array_combinator", "q_sum_map", "q_entropy", "q_moving_agg",
-    "q_max_intersections", "q_welch_ttest", "q_mann_whitney",
-    "q_linear_regression", "q_sequence_count", "q_cross_tab_stats",
-    "q_anova", "ssb_q1_1", "ssb_q1_2", "ssb_q2_1", "ssb_q3_1", "ssb_q4_1",
+    # round-8 rotation (verdict r7 asks #5/#7): first the 8 NEW SSB queries
+    # (no driver proof yet), then the 50-query r6 cohort whose newest
+    # driver row is two rounds old (r7 re-gated the other 50). If the
+    # driver gates exactly 50, the last 8 of the r6 cohort stay on their
+    # r6 proof for one more round — new-query coverage wins the tie.
+    "ssb_q1_3", "ssb_q2_2", "ssb_q2_3", "ssb_q3_2", "ssb_q3_3", "ssb_q3_4",
+    "ssb_q4_2", "ssb_q4_3",
+    "q11_important_stock", "q20_potential_promotion",
+    "q21_suppliers_kept_waiting", "q06_revenue_change", "q05_regional_revenue",
+    "q_join_semi", "q_join_anti", "q_window_order_rank", "q_limit_by",
+    "q_rollup", "q_cube", "q_count_distinct", "q_set_ops", "q_events_tumble",
+    "q_events_json", "q_events_datetime", "q_argminmax", "q_string_funcs",
+    "q_date_funcs", "q_math_funcs", "q_vector_distance", "q_array_funcs",
+    "q_asof_join", "q_any_join", "q_with_fill", "q_with_totals",
+    "q_sample_deterministic", "q_array_join", "q_final_replacing",
+    "q_session_window", "q_join_kinds", "q_point_in_polygon",
+    "q_with_fill_multi", "q_dedup_exact", "q_dedup_simhash",
+    "q_ngram_jaccard", "q_embedding_near_dup", "q_embedding_near_dup_exact",
+    "q_text_metrics", "q_quantiles", "q_group_array", "q_topk",
+    "q_agg_if_combinators", "q_avg_weighted_corr", "q_bitwise_aggs",
+    "q_histogram", "q_retention", "q_window_funnel", "q_sequence_match",
+    "q18_large_volume_customers",
 ]
 
 
