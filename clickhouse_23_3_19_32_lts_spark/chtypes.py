@@ -134,7 +134,8 @@ _FIXED = {
     "uniqExact": "UInt64", "lengthUTF8": "UInt64",
     "toUnixTimestamp": "UInt32", "toTimeZone": "DateTime",
     "toTimezone": "DateTime",
-    "rand": "UInt32", "rand64": "UInt64",
+    "rand": "UInt32", "rand64": "UInt64", "range": "Array(UInt64)",
+    "materialize": None, "identity": None,
     "e": "Float64", "pi": "Float64", "exp": "Float64", "log": "Float64",
     "sqrt": "Float64", "cbrt": "Float64", "sin": "Float64", "cos": "Float64",
     "tan": "Float64", "asin": "Float64", "acos": "Float64", "atan": "Float64",
@@ -269,6 +270,17 @@ def static_type(
             state["col"] = True
             return ct[t]
         return None
+
+    # qualified column reference tbl.col → the bare column's declared type
+    if (
+        len(toks) == 3
+        and toks[1] == "."
+        and re.fullmatch(r"[A-Za-z_]\w*", toks[0])
+        and re.fullmatch(r"[A-Za-z_]\w*", toks[2])
+        and toks[2] in ct
+    ):
+        state["col"] = True
+        return ct[toks[2]]
 
     # unary minus literal
     if toks[0] == "-" and len(toks) == 2:

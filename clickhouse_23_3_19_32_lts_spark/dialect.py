@@ -1408,6 +1408,71 @@ def _find_bracket_end(tokens: list[str], open_idx: int) -> int:
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
+def _ch_render_sql(expr: str, t: str, quoted: bool = False, depth: int = 0) -> str | None:
+    """Spark-SQL expression rendering `expr` of CH type `t` the way
+    ClickHouse stringifies it (FieldVisitorToString / text serialization in
+    composites): strings quote+escape INSIDE composites but print bare at
+    the top level, arrays as [..], tuples as (..), NULL as the word NULL.
+    Returns None when the type can't be rendered statically."""
+    t = t.strip()
+    lcm = re.match(r"(?i)^LowCardinality\((.*)\)$", t)
+    if lcm:
+        t = lcm.group(1).strip()
+    if t.startswith("Nullable("):
+        inner = _ch_render_sql(expr, t[9:-1], quoted, depth)
+        if inner is None:
+            return None
+        return f"(CASE WHEN ({expr}) IS NULL THEN 'NULL' ELSE {inner} END)"
+    if t == "String" or t.startswith("FixedString"):
+        if not quoted:
+            return expr
+        esc = (
+            f"replace(replace({expr}, char(92), concat(char(92),char(92))),"
+            f" char(39), concat(char(92),char(39)))"
+        )
+        return f"concat(char(39), {esc}, char(39))"
+    if t in ("Date", "Date32"):
+        base = f"CAST({expr} AS STRING)"
+        return f"concat(char(39), {base}, char(39))" if quoted else base
+    if t.startswith("DateTime"):
+        base = f"date_format({expr}, 'yyyy-MM-dd HH:mm:ss')"
+        return f"concat(char(39), {base}, char(39))" if quoted else base
+    if t.startswith(("UInt", "Int")) or t == "Bool":
+        return f"CAST({expr} AS STRING)"
+    if t in ("Float32", "Float64"):
+        return f"regexp_replace(CAST({expr} AS STRING), '\\\\.0$', '')"
+    if t.startswith("Array("):
+        el = t[6:-1]
+        v = f"__re{depth}"
+        inner = _ch_render_sql(v, el, True, depth + 1)
+        if inner is None:
+            return None
+        return (
+            f"concat('[', array_join(transform({expr}, {v} -> {inner}),"
+            f" ','), ']')"
+        )
+    if t.startswith("Tuple(") and t.endswith(")"):
+        elems = _split_top_commas(t[6:-1])
+        parts = []
+        for i, et in enumerate(elems):
+            et = et.strip()
+            nm = f"_{i + 1}"
+            em = re.match(r"([A-Za-z_]\w*)\s+(.+)$", et)
+            if em and not re.match(
+                r"(?i)(U?Int|Float|String|FixedString|Date|Bool|Decimal|"
+                r"Array|Tuple|Map|Nullable|LowCardinality|UUID|IPv|Enum)",
+                em.group(1),
+            ):
+                nm, et = em.group(1), em.group(2).strip()
+            inner = _ch_render_sql(f"({expr}).{nm}", et, True, depth)
+            if inner is None:
+                return None
+            parts.append(inner)
+        joined = ", ',', ".join(parts)
+        return f"concat('(', {joined}, ')')"
+    return None
+
+
 def _ch_default_sql(t: str) -> str | None:
     """Spark SQL literal for a CH type's default value
     (defaultValueOfArgumentType.cpp -> IDataType::getDefault)."""
@@ -1428,6 +1493,10 @@ def _ch_default_sql(t: str) -> str | None:
         return "TIMESTAMP '1970-01-01 00:00:00'"
     if t == "UUID":
         return "'00000000-0000-0000-0000-000000000000'"
+    if t == "IPv4":
+        return "'0.0.0.0'"
+    if t == "IPv6":
+        return "'::'"
     if t.startswith("Array("):
         return "array()"
     if t.startswith("Tuple(") and t.endswith(")"):
@@ -2686,6 +2755,52 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
 
         close = _find_call_end(tokens, i + 1)
         args = _split_args(tokens[i + 2 : close])
+        if (
+            t in ("toDateTime", "toDateTime64", "toDateTime32", "toDate",
+                  "toDate32", "toTimeZone", "toTimezone")
+            and len(args) in (2, 3)
+            and re.fullmatch(r"'[^']*'", " ".join(args[-1]).strip())
+            and (
+                len(args) == 2
+                or re.fullmatch(r"\d+", " ".join(args[1]).strip())
+            )
+        ):
+            # tz-arg form over an already-DateTime value: the instant is
+            # unchanged, only the DISPLAY timezone moves (FunctionsConversion
+            # ToDateTimeTransform keeps the unix value). The SOURCE zone is
+            # the value's own declared timezone when the column type carries
+            # one (DataTypeDateTime tz param), else the render default UTC.
+            _a0txt = " ".join(args[0])
+            _is_dt = bool(re.match(
+                r"(?i)\s*(toDateTime(64|32)?|now(64)?|"
+                r"toStartOf\w+|parseDateTime\w*)\s*\(", _a0txt
+            ))
+            _dty0 = None
+            if not _is_dt:
+                from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
+
+                _dty0 = static_type(list(args[0]), _COL_CH_TYPES)
+                _is_dt = bool(_dty0) and _dty0.replace(
+                    "Nullable(", ""
+                ).lower().startswith("datetime")
+            if _is_dt:
+                _srctz = "'UTC'"
+                if _dty0:
+                    _tzm = re.search(r"'([^']+)'", _dty0)
+                    if _tzm:
+                        _srctz = f"'{_tzm.group(1)}'"
+                _conv = (
+                    f"convert_timezone({_srctz}, {' '.join(args[-1]).strip()},"
+                    f" CAST({_rewrite(args[0])} AS TIMESTAMP))"
+                )
+                out.append(
+                    f"CAST({_conv} AS DATE)"
+                    if t in ("toDate", "toDate32")
+                    else _conv
+                )
+                i = close + 1
+                continue
+
         if tl == "grouping" and not (
             i + 1 < len(tokens)
             and tokens[i + 1] == "("
@@ -3601,6 +3716,33 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             i = close + 1
             continue
 
+        if t.upper() == "CAST" and len(args) == 1:
+            # SQL form CAST(x AS String) over a composite: CH text
+            # serialization, like the 2-arg form below
+            _asm = None
+            _d9 = 0
+            for _k9, _tk9 in enumerate(args[0]):
+                if _tk9 in ("(", "["):
+                    _d9 += 1
+                elif _tk9 in (")", "]"):
+                    _d9 -= 1
+                elif _d9 == 0 and _tk9.upper() == "AS":
+                    _asm = _k9
+            if _asm is not None and [
+                x.strip() for x in args[0][_asm + 1 :]
+            ] == ["String"]:
+                from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
+
+                _cty1 = static_type(list(args[0][:_asm]), _COL_CH_TYPES)
+                if _cty1 is not None and re.match(
+                    r"(?i)(Array|Tuple)\(", _cty1
+                ):
+                    _r1 = _ch_render_sql(_rewrite(args[0][:_asm]), _cty1)
+                    if _r1 is not None:
+                        out.append(_r1)
+                        i = close + 1
+                        continue
+
         if t.upper() == "CAST" and len(arg_sql) == 2 and re.fullmatch(
             r"'(?:[^'\\]|\\.)+'", arg_sql[1]
         ):
@@ -3635,6 +3777,18 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 )
                 i = close + 1
                 continue
+            if ch_type.strip() == "String":
+                # CAST(composite AS String) = CH text serialization, not
+                # Spark's bracket style (FunctionsConversion toString path)
+                from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
+
+                _cty0 = static_type(list(args[0]), _COL_CH_TYPES)
+                if _cty0 is not None and re.match(r"(?i)(Array|Tuple)\(", _cty0):
+                    _r0 = _ch_render_sql(arg_sql[0], _cty0)
+                    if _r0 is not None:
+                        out.append(_r0)
+                        i = close + 1
+                        continue
             try:
                 spark_type = ch_type_to_spark(ch_type)
             except ChSqlError:
@@ -3974,7 +4128,9 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             # rows past a streaming LIMIT never trip a runtime error
             _lm = re.fullmatch(r"'((?:[^'\\]|\\.)*)'", arg_sql[0].strip())
             _nm = re.fullmatch(r"\d+", arg_sql[1].strip())
-            if _lm and _nm and "\\" not in _lm.group(1) and len(
+            if _lm and _nm and "\\" not in _lm.group(1) and _lm.group(
+                1
+            ).isascii() and len(
                 _lm.group(1).encode("utf-8", "surrogateescape")
             ) > int(_nm.group(0)):
                 # runtime raise (Spark keeps never-taken CASE/IF branches
@@ -4045,6 +4201,15 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
 
             _sty = static_type(list(args[0]), _COL_CH_TYPES)
+            if _sty is not None and re.match(
+                r"(?i)(Array|Tuple)\(", _sty
+            ):
+                # CH-style composite stringification (FieldVisitorToString)
+                _r = _ch_render_sql(arg_sql[0], _sty)
+                if _r is not None:
+                    out.append(_r)
+                    i = close + 1
+                    continue
             if _sty is not None and _sty.startswith("FixedString"):
                 # FixedStringToString drops the zero padding
                 # (FunctionsConversion.h ConvertImplFixedStringToString)
@@ -4585,21 +4750,6 @@ def _totals_sets(keys: str) -> list[str] | None:
     return None
 
 
-def _split_top_commas(s: str) -> list[str]:
-    out, last, d = [], 0, 0
-    b = _blank_strings(s)
-    for i, ch in enumerate(b):
-        if ch == "(":
-            d += 1
-        elif ch == ")":
-            d -= 1
-        elif ch == "," and d == 0:
-            out.append(s[last:i])
-            last = i + 1
-    out.append(s[last:])
-    return out
-
-
 def _rewrite_rollup_key_defaults(s: str) -> str:
     """ROLLUP/CUBE/GROUPING SETS key misses are TYPE DEFAULTS, not NULLs,
     under the default group_by_use_nulls=0 (Core/Settings.h; the rollup
@@ -4674,10 +4824,35 @@ def _rewrite_rollup_key_defaults(s: str) -> str:
             changed = True
     if not changed:
         return s
-    return s[: sm.end()] + ",".join(items) + s[fpos:]
+    return s[: sm.end()] + ", ".join(items) + " " + s[fpos:]
 
 
 def _rewrite_totals_clause(s: str) -> str:
+    # a trivial `SELECT * FROM (sub WITH TOTALS)` passes the subquery's
+    # totals block through to the client (NullableTransform keeps the
+    # totals stream) — hoist the subquery so the marker machinery applies
+    if _TOTALS_MARKER:
+        while True:
+            mt = re.match(r"(?is)^\s*SELECT\s+\*\s+FROM\s*\(", s)
+            if not mt:
+                break
+            d, j = 1, mt.end()
+            while j < len(s) and d:
+                if s[j] == "(":
+                    d += 1
+                elif s[j] == ")":
+                    d -= 1
+                j += 1
+            tail9 = s[j:].strip()
+            inner9 = s[mt.end() : j - 1]
+            if d == 0 and (
+                not tail9 or re.fullmatch(r"(?i)(AS\s+)?[A-Za-z_]\w*", tail9)
+            ) and re.search(
+                r"(?i)\bWITH\s+TOTALS\b", _blank_strings(inner9)
+            ):
+                s = inner9
+                continue
+            break
     # WITH TOTALS without GROUP BY (implicit global aggregation,
     # InterpreterSelectQuery: totals row == the single data row): give it
     # an explicit grouping-sets GROUP BY so the marker machinery applies
@@ -7315,6 +7490,40 @@ def _translate_impl(ch_sql: str) -> str:
                     extra_fs[am_.group(1)] = f"FixedString({narg})"
         if extra_fs:
             _COL_CH_TYPES = {**extra_fs, **_COL_CH_TYPES}
+    # general select-alias type registration: `<statically-typed expr> AS x`
+    # gives downstream type-gated rewrites (composite toString, FixedString
+    # handling, tz propagation) the alias's CH type — mirrors the typed
+    # header the reference's analyzer carries
+    if re.search(r"(?i)\bAS\s+[A-Za-z_]", s):
+        blank_al = _blank_strings(s)
+        sm_al = re.match(r"(?i)\s*SELECT\s+(DISTINCT\s+)?", blank_al)
+        if sm_al:
+            fpos_al = len(s)
+            for fm_al in re.finditer(r"(?i)\bFROM\b", blank_al):
+                if _depth_at(blank_al, fm_al.start()) == 0:
+                    fpos_al = fm_al.start()
+                    break
+            extra_al: dict[str, str] = {}
+            for it_al in _split_top_commas(s[sm_al.end() : fpos_al]):
+                am_al = re.match(
+                    r"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)$", it_al.strip()
+                )
+                if not am_al or am_al.group(2) in _COL_CH_TYPES:
+                    continue
+                try:
+                    from clickhouse_23_3_19_32_lts_spark.chtypes import (
+                        static_type,
+                    )
+
+                    ty_al = static_type(
+                        _tokenize(am_al.group(1)), _COL_CH_TYPES
+                    )
+                except Exception:  # noqa: BLE001 — inference is best-effort
+                    ty_al = None
+                if ty_al:
+                    extra_al[am_al.group(2)] = ty_al
+            if extra_al:
+                _COL_CH_TYPES = {**extra_al, **_COL_CH_TYPES}
     if " 24:" in s or "T24:" in s:
         # hour 24 rolls into the next day (ReadHelpers readDateTimeText
         # tolerance) — but ONLY when the literal is actually parsed as a

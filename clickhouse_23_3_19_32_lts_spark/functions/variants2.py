@@ -1059,7 +1059,9 @@ def cutURLParameter(url, name) -> Column:
 
 @chfn("basename")
 def basename(p) -> Column:
-    return F.element_at(F.split(col(p), "/"), -1)
+    # both separators count (FunctionsStringArray.h ExtractBasename
+    # find_last_symbols_or_null<'/', '\\'>)
+    return F.element_at(F.split(col(p), r"[/\\]"), -1)
 
 
 # --------------------------------------------------------------------------

@@ -18,6 +18,7 @@ import re
 from clickhouse_23_3_19_32_lts_spark.dialect import (
     ChSqlError,
     _blank_strings as _blank,
+    _depth_at,
     ch_type_to_spark,
     translate,
 )
@@ -950,6 +951,50 @@ def _parse_sampling_key(stmt: str, cols: list) -> "tuple[str, int] | None":
     return None
 
 
+_SQL_TYPE_ALIASES = {
+    # DataTypesNumber.cpp / DataTypeString.cpp registerAlias (MySQL compat)
+    "TINYINT": "Int8", "INT1": "Int8", "BYTE": "Int8",
+    "SMALLINT": "Int16", "MEDIUMINT": "Int32", "INT": "Int32",
+    "INTEGER": "Int32", "BIGINT": "Int64",
+    "FLOAT": "Float32", "REAL": "Float32", "SINGLE": "Float32",
+    "DOUBLE": "Float64", "DOUBLE PRECISION": "Float64",
+    "TINYINT SIGNED": "Int8", "INT1 SIGNED": "Int8",
+    "SMALLINT SIGNED": "Int16", "MEDIUMINT SIGNED": "Int32",
+    "INT SIGNED": "Int32", "INTEGER SIGNED": "Int32",
+    "BIGINT SIGNED": "Int64",
+    "TINYINT UNSIGNED": "UInt8", "INT1 UNSIGNED": "UInt8",
+    "SMALLINT UNSIGNED": "UInt16", "MEDIUMINT UNSIGNED": "UInt32",
+    "INT UNSIGNED": "UInt32", "INTEGER UNSIGNED": "UInt32",
+    "BIGINT UNSIGNED": "UInt64",
+    "BIT": "UInt64", "YEAR": "UInt16", "TIME": "Int64",
+    "CHAR": "String", "NCHAR": "String", "CHARACTER": "String",
+    "VARCHAR": "String", "NVARCHAR": "String", "VARCHAR2": "String",
+    "TEXT": "String", "TINYTEXT": "String", "MEDIUMTEXT": "String",
+    "LONGTEXT": "String", "BLOB": "String", "TINYBLOB": "String",
+    "MEDIUMBLOB": "String", "LONGBLOB": "String", "CLOB": "String",
+    "BINARY LARGE OBJECT": "String", "BINARY VARYING": "String",
+    "CHAR LARGE OBJECT": "String", "CHAR VARYING": "String",
+    "CHARACTER LARGE OBJECT": "String", "CHARACTER VARYING": "String",
+    "NCHAR LARGE OBJECT": "String", "NCHAR VARYING": "String",
+    "NATIONAL CHAR": "String", "NATIONAL CHARACTER": "String",
+    "BOOLEAN": "Bool",
+}
+
+
+def _norm_sql_compat_type(ctype: str) -> str:
+    """Canonical CH spelling of SQL-compatibility type aliases
+    (DataTypeFactory registerAlias, case-insensitive), with a trailing
+    NOT NULL modifier dropped (ParserCreateQuery: non-Nullable default)."""
+    t = ctype.strip()
+    t = re.sub(r"(?i)\s+NOT\s+NULL$", "", t)
+    base = re.match(r"([A-Za-z][A-Za-z0-9 ]*?)(\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?$", t)
+    if base:
+        canon = _SQL_TYPE_ALIASES.get(re.sub(r"\s+", " ", base.group(1)).upper())
+        if canon:
+            return canon
+    return t
+
+
 def _parse_create_meta(stmt: str):
     """CREATE TABLE metadata for DDL statements that need more than the
     Spark schema: ordered (name, CH-type) pairs for DESCRIBE, the engine
@@ -982,6 +1027,7 @@ def _parse_create_meta(stmt: str):
             r"(?:^|\s+)(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC\s*\(|TTL|COMMENT)\b",
             rest, flags=re.IGNORECASE,
         )[0].strip()
+        ctype = _norm_sql_compat_type(ctype)
         if not ctype and dm:
             # typeless defaulted column: infer like the reference does
             # (ParserCreateQuery — literal/expression type deduction)
@@ -2151,11 +2197,12 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
     parts.append(new_rows)
 
 
-def _csv_cell(j, v, fmt_cell) -> str:
+def _csv_cell(j, v, fmt_cell, null_rep="\\N") -> str:
     """CSV output cell (CSVRowOutputFormat): strings/dates double-quoted
-    with \"\" doubling, numerics bare, NULL as \\N."""
+    with \"\" doubling, numerics bare, NULL as format_csv_null_representation
+    (default \\N, Settings.h)."""
     if v is None:
-        return "\\N"
+        return null_rep
     if isinstance(v, bool):
         return "1" if v else "0"
     import decimal as _dec
@@ -2434,15 +2481,24 @@ def _render_output(ofmt: str, rows, schema, fmt_cell, settings=None, ch_meta=Non
             ["\t".join(n for n, _ in meta), "\t".join(t for _, t in meta)]
             + ["\t".join(fmt_cell(j, v) for j, v in enumerate(r)) for r in rows]
         )
-    if low == "csv":
-        return [
-            ",".join(_csv_cell(j, v, fmt_cell) for j, v in enumerate(r))
+    if low in ("csv", "csvwithnames"):
+        st = settings or {}
+        nrep = str(st.get("format_csv_null_representation", "\\N"))
+        # the SET value is a CH string literal body: decode its escapes
+        nrep = nrep.replace("\\\\", "\\")
+        head = (
+            ['"' + '","'.join(n.replace('"', '""') for n in names) + '"']
+            if low == "csvwithnames"
+            else []
+        )
+        return head + [
+            ",".join(_csv_cell(j, v, fmt_cell, nrep) for j, v in enumerate(r))
             for r in rows
         ]
-    if low == "csvwithnames":
-        return ['"' + '","'.join(n.replace('"', '""') for n in names) + '"'] + [
-            ",".join(_csv_cell(j, v, fmt_cell) for j, v in enumerate(r))
-            for r in rows
+    if low == "lineasstring":
+        # raw value, no escaping (LineAsStringRowOutputFormat)
+        return [
+            "\t".join(str(v) for v in r) for r in rows
         ]
     if low == "jsoneachrow":
         st = settings or {}
@@ -2659,6 +2715,9 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 if not stmt.strip():
                     continue
             if echo:
+                # a ';' that sat on its own line in the source is echoed on
+                # its own line (the client prints the raw statement text)
+                semi_own_line = raw.rstrip(" \t").endswith("\n")
                 chunk = raw.strip("\n")
                 while chunk.startswith("\n"):
                     chunk = chunk[1:]
@@ -2685,6 +2744,8 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     k5 += 1
                 if cpos > 0 and chunk[:cpos].strip():
                     chunk = chunk[:cpos].rstrip() + ";" + " " + chunk[cpos:]
+                elif semi_own_line:
+                    chunk = chunk + "\n;"
                 else:
                     chunk = chunk + ";"
                 blocks.append((chunk.split("\n"), False))
@@ -3435,12 +3496,40 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                     )
                 )
 
+                # TOTALS + LIMIT: ClickHouse limits the DATA stream only,
+                # the totals row always ships (TotalsHavingTransform is
+                # upstream of LimitTransform) — strip the limit from the
+                # marker query and re-apply it to the data rows post-split
+                totals_limit = None
+                if want_totals:
+                    bl8 = _blank(stmt)
+                    for lm8 in re.finditer(
+                        r"(?i)\bLIMIT\s+(\d+)\s*"
+                        r"(?:,\s*(\d+)|OFFSET\s+(\d+))?"
+                        r"(?!\s*,?\s*(?:BY|WITH)\b)",
+                        bl8,
+                    ):
+                        if _depth_at(bl8, lm8.start()) != 0:
+                            continue
+                        if lm8.group(2) is not None:
+                            off8, n8 = int(lm8.group(1)), int(lm8.group(2))
+                        else:
+                            off8 = int(lm8.group(3) or 0)
+                            n8 = int(lm8.group(1))
+                        totals_limit = (off8, n8)
+                        stmt = stmt[: lm8.start()] + stmt[lm8.end():]
+                        break
+
                 # declared CH column types (canonical comma spacing) so
                 # toTypeName(column) folds statically in the dialect
                 col_ch_types: dict = {}
                 for _sch in ch_schemas.values():
                     for _cn, _ct in _sch:
                         col_ch_types[_cn] = re.sub(r",\s*", ", ", _ct)
+                # system-table columns every test can reference
+                col_ch_types.setdefault("number", "UInt64")
+                col_ch_types.setdefault("dummy", "UInt8")
+                col_ch_types.setdefault("zero", "UInt8")
 
                 def _build(safe: bool = False, inline: bool = False,
                            length_size: bool = False, boolw: bool = False,
@@ -3558,7 +3647,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                             raise ex
                         cur = cur2
                         try:
-                            return spark.sql(translate(cur))
+                            return _build(src=cur)
                         except Exception as ex2:  # noqa: BLE001
                             if "AMBIGUOUS_REFERENCE" not in str(ex2):
                                 raise
@@ -3683,7 +3772,7 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                                 break
                             cur = cur2
                             try:
-                                return spark.sql(translate(cur))
+                                return _build(src=cur)
                             except Exception as ex2:  # noqa: BLE001
                                 if (
                                     "GROUP_BY_POS" not in str(ex2)
@@ -3939,6 +4028,9 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 if tot_idx is not None:
                     data_rows = [r for r in rows if not r[tot_idx]]
                     tot_rows = [r for r in rows if r[tot_idx]]
+                    if totals_limit is not None:
+                        off8, n8 = totals_limit
+                        data_rows = data_rows[off8 : off8 + n8]
 
                     def _fmt_tot(j, v):
                         if v is None:

@@ -28,10 +28,10 @@ def main() -> None:
     out_path, names_path = sys.argv[3], sys.argv[4]
     os.chdir(tempfile.mkdtemp(prefix=f"golden_fd{shard}_"))
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
-    from clickhouse_23_3_19_32_lts_spark.session import get_spark
     from tools.golden import run_golden
+    from tools.golden_scan_shard import _fresh_spark, _healthy
 
-    spark = get_spark(app_name=f"golden-fd-{shard}", shuffle_partitions=4)
+    spark = _fresh_spark(shard)
     spark.sparkContext.setLogLevel("FATAL")
     names = [l.strip() for l in open(names_path) if l.strip()][shard::nshards]
     signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(_Timeout()))
@@ -51,6 +51,10 @@ def main() -> None:
             finally:
                 signal.alarm(0)
                 dog.cancel()
+            if not ok and msg.startswith("EXC") and not _healthy(spark):
+                print(f"shard {shard}: session died at {name}; rebuilding", flush=True)
+                spark = _fresh_spark(shard)
+                spark.sparkContext.setLogLevel("FATAL")
             if ok:
                 out.write(f"### {name} PASS\n")
                 out.flush()
