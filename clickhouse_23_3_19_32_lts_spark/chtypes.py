@@ -361,6 +361,18 @@ def static_type(
             return static_type(args[0], ct, state)
         if f in ("toTypeName", "toColumnTypeName"):
             return "String"
+        if f in ("avgWeighted", "avgWeightedIf"):
+            # Float64, Nullable when either the value or the weight is
+            # Nullable (AggregateFunctionAvgWeighted + Null combinator)
+            for part in args[:2]:
+                pt = static_type(part, ct, state)
+                if (pt and pt.startswith("Nullable(")) or any(
+                    tk.lower() in ("null", "tonullable")
+                    or tk.lower().endswith("ornull")
+                    for tk in part
+                ):
+                    return "Nullable(Float64)"
+            return "Float64"
         if f.endswith("OrNull") and f[:-6] in _FIXED and _FIXED[f[:-6]] is not None:
             return f"Nullable({_FIXED[f[:-6]]})"
         if f.endswith("OrZero") and f[:-6] in _FIXED and _FIXED[f[:-6]] is not None:

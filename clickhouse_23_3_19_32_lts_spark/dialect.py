@@ -422,7 +422,20 @@ TEMPLATES: dict[str, str] = {
     "any": "first({0}, true)",
     "countDistinct": "count(DISTINCT {0})",
     "uniqExact": "count(DISTINCT {0})",
-    "avgWeighted": "(sum({0} * {1}) / sum({1}))",
+    # rows where EITHER the value or the weight is NULL are skipped
+    # entirely (Nullable combinator wrapping); zero/absent total weight
+    # → nan (AggregateFunctionAvgWeighted: 0/0 division)
+    "avgWeighted": (
+        "(CASE WHEN sum(CASE WHEN ({0}) IS NULL OR ({1}) IS NULL"
+        " THEN NULL ELSE CAST(({1}) AS DOUBLE) END) IS NULL"
+        " THEN {EMPTY}"
+        " WHEN sum(CASE WHEN ({0}) IS NULL THEN NULL"
+        " ELSE CAST(({1}) AS DOUBLE) END) = 0e0"
+        " THEN CAST('NaN' AS DOUBLE)"
+        " ELSE CAST(sum(({0}) * ({1})) AS DOUBLE)"
+        " / sum(CASE WHEN ({0}) IS NULL THEN NULL"
+        " ELSE CAST(({1}) AS DOUBLE) END) END)"
+    ),
     # countIf counts non-zero (AggregateFunctionIf); CAST covers numeric args
     "sumIf": "sum(CASE WHEN {1} THEN {0} END)",
     "avgIf": "avg(CASE WHEN {1} THEN {0} END)",
@@ -2298,6 +2311,77 @@ def _rewrite_datetime_col_arith(tokens: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_ipv4_col_arith(tokens: list[str]) -> list[str]:
+    """IPv4 values under arithmetic use their UInt32 representation
+    (FunctionsCodingIP: IPv4 is a UInt32 domain type; `ip % n` operates on
+    the number) — our IPv4 carrier is the dotted STRING, so wrap typed
+    identifiers with IPv4StringToNum when an arithmetic op touches them."""
+    if not _COL_CH_TYPES:
+        return tokens
+    ip_cols = {
+        c
+        for c, t in _COL_CH_TYPES.items()
+        if re.fullmatch(r"(?i)(Nullable\()?IPv4\)?", t.strip())
+    }
+    if not ip_cols:
+        return tokens
+    ops = {"%", "*", "+", "-", "/"}
+    cmps = {"=", "==", ">", "<", ">=", "<=", "!=", "<>"}
+    ip_calls = {"toipv4", "toipv4ornull", "toipv4orzero", "toipv4ordefault"}
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        # expression unit: a typed identifier, or a toIPv4*(…) call
+        unit_end = None
+        if t in ip_cols and (i + 1 >= n or tokens[i + 1] != "("):
+            unit_end = i
+        elif t.lower() in ip_calls and i + 1 < n and tokens[i + 1] == "(":
+            d9 = 0
+            for k9 in range(i + 1, n):
+                if tokens[k9] == "(":
+                    d9 += 1
+                elif tokens[k9] == ")":
+                    d9 -= 1
+                    if d9 == 0:
+                        unit_end = k9
+                        break
+        elif t == "(" and i + 1 < n and tokens[i + 1].lower() in ip_calls:
+            # paren-wrapped call, the WITH-alias inlining shape
+            d9 = 0
+            for k9 in range(i, n):
+                if tokens[k9] == "(":
+                    d9 += 1
+                elif tokens[k9] == ")":
+                    d9 -= 1
+                    if d9 == 0:
+                        unit_end = k9
+                        break
+        if unit_end is not None:
+            nxt = tokens[unit_end + 1] if unit_end + 1 < n else ""
+            nxt2 = tokens[unit_end + 2] if unit_end + 2 < n else ""
+            prev = out[-1] if out else ""
+            prev2 = out[-2] if len(out) >= 2 else ""
+            if prev != "." and (
+                nxt in ops
+                or prev in ops
+                # comparison with a numeric operand compares UInt32 values
+                or (nxt in cmps and re.match(r"^\d", nxt2))
+                or (prev in cmps and re.match(r"^\d", prev2 or ""))
+            ):
+                out += (
+                    ["IPv4StringToNum", "("]
+                    + tokens[i : unit_end + 1]
+                    + [")"]
+                )
+                i = unit_end + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _rewrite_ternary_tokens(tokens: list[str], _guard: int = 0) -> list[str]:
     """cond ? a : b → if(cond, a, b) (ClickHouse C-style ternary,
     ParserTernaryOperatorExpression) — lowest precedence, so the condition
@@ -2800,6 +2884,70 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 )
                 i = close + 1
                 continue
+
+        if tl == "range" and args and 1 <= len(args) <= 3:
+            # range() over IPv4 values iterates the UInt32 representation
+            # (range.cpp takes unsigned ints) — convert dotted carriers
+            from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
+
+            _wr, _chg = [], False
+            for _a9 in args:
+                _r9 = _rewrite(_a9)
+                if static_type(list(_a9), _COL_CH_TYPES) == "IPv4":
+                    _r9 = _registry_bridge("IPv4StringToNum", [_r9]) or (
+                        f"aggregate(split({_r9}, '\\\\.'), CAST(0 AS BIGINT),"
+                        f" (__a, __x) -> __a * 256 + CAST(__x AS BIGINT))"
+                    )
+                    _chg = True
+                _wr.append(_r9)
+            if _chg:
+                out.append(
+                    _fill_template(
+                        ARITY_TEMPLATES["range"][len(_wr)], _wr, "range"
+                    )
+                )
+                i = close + 1
+                continue
+
+        if t == "avgWeightedIf" and len(args) == 3:
+            # the -If condition's own nullability does NOT make the result
+            # Nullable (AggregateFunctionIf wraps only the filter) — handle
+            # ahead of the generic combinator expansion
+            _cnd = _rewrite(args[2])
+            _aw0 = [_rewrite(args[0]), _rewrite(args[1])]
+            _nul = bool(re.search(
+                r"(?i)\bNULL\b|toNullable|OrNull|nullIf", _aw0[0] + _aw0[1]
+            ))
+            _wrapped = [
+                f"(CASE WHEN CAST(({_cnd}) AS BOOLEAN) THEN {a} END)"
+                for a in _aw0
+            ]
+            out.append(_fill_template(
+                TEMPLATES["avgWeighted"].replace(
+                    "{EMPTY}",
+                    "CAST(NULL AS DOUBLE)" if _nul else "CAST('NaN' AS DOUBLE)",
+                ),
+                _wrapped, t,
+            ))
+            i = close + 1
+            continue
+
+        if t == "avgWeighted" and len(args) == 2:
+            # empty valid-pair set: NULL when an argument is Nullable,
+            # nan otherwise (the Nullable combinator wraps the result)
+            _aw = [_rewrite(a) for a in args]
+            _nul = bool(re.search(
+                r"(?i)\bNULL\b|toNullable|OrNull|nullIf", _aw[0] + _aw[1]
+            ))
+            out.append(_fill_template(
+                TEMPLATES["avgWeighted"].replace(
+                    "{EMPTY}",
+                    "CAST(NULL AS DOUBLE)" if _nul else "CAST('NaN' AS DOUBLE)",
+                ),
+                _aw, t,
+            ))
+            i = close + 1
+            continue
 
         if tl == "grouping" and not (
             i + 1 < len(tokens)
@@ -7494,19 +7642,43 @@ def _translate_impl(ch_sql: str) -> str:
     # gives downstream type-gated rewrites (composite toString, FixedString
     # handling, tz propagation) the alias's CH type — mirrors the typed
     # header the reference's analyzer carries
-    if re.search(r"(?i)\bAS\s+[A-Za-z_]", s):
+    if re.search(r"(?i)\bAS\s+[A-Za-z_]|[)']\s+[A-Za-z_]\w*\s*[,\s]", s):
         blank_al = _blank_strings(s)
-        sm_al = re.match(r"(?i)\s*SELECT\s+(DISTINCT\s+)?", blank_al)
-        if sm_al:
-            fpos_al = len(s)
-            for fm_al in re.finditer(r"(?i)\bFROM\b", blank_al):
-                if _depth_at(blank_al, fm_al.start()) == 0:
-                    fpos_al = fm_al.start()
+        extra_al: dict[str, str] = {}
+        scopes_al = []
+        for wm_al in re.finditer(
+            r"(?i)\bWITH\s+(?!TOTALS\b|FILL\b|ROLLUP\b|CUBE\b|TIES\b)",
+            blank_al,
+        ):
+            d_w = _depth_at(blank_al, wm_al.start())
+            end_w = None
+            for sm_w in re.finditer(r"(?i)\bSELECT\b", blank_al[wm_al.end():]):
+                if _depth_at(blank_al, wm_al.end() + sm_w.start()) == d_w:
+                    end_w = wm_al.end() + sm_w.start()
                     break
-            extra_al: dict[str, str] = {}
-            for it_al in _split_top_commas(s[sm_al.end() : fpos_al]):
+            if end_w is not None:
+                scopes_al.append((wm_al.end(), end_w))
+        for sm_al in re.finditer(r"(?i)\bSELECT\s+(DISTINCT\s+)?", blank_al):
+            d_al = _depth_at(blank_al, sm_al.start())
+            fpos_al = None
+            for fm_al in re.finditer(
+                r"(?i)\b(FROM|WHERE|GROUP|ORDER|LIMIT|SETTINGS|FORMAT|"
+                r"UNION|HAVING)\b",
+                blank_al[sm_al.end():],
+            ):
+                if _depth_at(blank_al, sm_al.end() + fm_al.start()) == d_al:
+                    fpos_al = sm_al.end() + fm_al.start()
+                    break
+            if fpos_al is None:
+                fpos_al = len(s)
+            scopes_al.append((sm_al.end(), fpos_al))
+        for seg_start, seg_end in scopes_al:
+            for it_al in _split_top_commas(s[seg_start:seg_end]):
                 am_al = re.match(
                     r"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)$", it_al.strip()
+                ) or re.match(
+                    # bare alias directly after a call/quoted literal
+                    r"(?is)^(.*[)'])\s+([A-Za-z_]\w*)$", it_al.strip()
                 )
                 if not am_al or am_al.group(2) in _COL_CH_TYPES:
                     continue
@@ -7522,8 +7694,8 @@ def _translate_impl(ch_sql: str) -> str:
                     ty_al = None
                 if ty_al:
                     extra_al[am_al.group(2)] = ty_al
-            if extra_al:
-                _COL_CH_TYPES = {**extra_al, **_COL_CH_TYPES}
+        if extra_al:
+            _COL_CH_TYPES = {**extra_al, **_COL_CH_TYPES}
     if " 24:" in s or "T24:" in s:
         # hour 24 rolls into the next day (ReadHelpers readDateTimeText
         # tolerance) — but ONLY when the literal is actually parsed as a
@@ -7547,6 +7719,44 @@ def _translate_impl(ch_sql: str) -> str:
             r"(?i)\bCAST\s*\(\s*" + _lit24 + r"(?=\s+AS\s+DateTime)", _h24, s
         )
         s = re.sub(_lit24 + r"(?=\s*::\s*DateTime)", _h24, s)
+    if re.search(r"\d_\d|_\d|\d_", _blank_strings(s)):
+        # numeric literals with underscores (ParserNumber allows 1_000)
+        blank_us = _blank_strings(s)
+        out_us, last_us = [], 0
+        for um_us in re.finditer(
+            r"(?<![\w.])(?:0[xX][0-9a-fA-F_]*[0-9a-fA-F]|"
+            r"\d[\d_]*(?:\.[\d_]+)?(?:[eE][+-]?[\d_]+)?)(?![\w])",
+            blank_us,
+        ):
+            if "_" not in um_us.group(0):
+                continue
+            out_us.append(s[last_us : um_us.start()])
+            out_us.append(um_us.group(0).replace("_", ""))
+            last_us = um_us.end()
+        out_us.append(s[last_us:])
+        s = "".join(out_us)
+    if re.search(r"(?<![\w.])0[bB][01_]|(?<![\w.])0[xX][0-9a-fA-F_.]+[pP]", _blank_strings(s)):
+        # binary literals and hex floats (ParserNumber binary/p-notation),
+        # underscores tolerated inside the digits
+        blank_bb = _blank_strings(s)
+        out_bb, last_bb = [], 0
+        for bm_bb in re.finditer(
+            r"(?<![\w.])(?:0[bB]([01_]+)|0[xX]([0-9a-fA-F_]+(?:\.[0-9a-fA-F_]+)?)[pP]([+-]?\d+))(?![\w])",
+            blank_bb,
+        ):
+            out_bb.append(s[last_bb : bm_bb.start()])
+            if bm_bb.group(1) is not None:
+                out_bb.append(str(int(bm_bb.group(1).replace("_", ""), 2)))
+            else:
+                v_bb = float.fromhex(
+                    "0x" + bm_bb.group(2).replace("_", "") + "p" + bm_bb.group(3)
+                )
+                out_bb.append(
+                    str(int(v_bb)) if v_bb == int(v_bb) else repr(v_bb)
+                )
+            last_bb = bm_bb.end()
+        out_bb.append(s[last_bb:])
+        s = "".join(out_bb)
     mbs = None
     for mbm in re.finditer(r"(?i)\bmax_block_size\s*=\s*(\d+)", _blank_strings(s)):
         mbs = mbm.group(1)
@@ -7736,7 +7946,9 @@ def _translate_impl(ch_sql: str) -> str:
             "bare ARRAY JOIN needs the library operator (use operators.arrayjoin.array_join / explode())"
         )
     out = _rewrite(
-        _rewrite_datetime_col_arith(_rewrite_ternary_tokens(_tokenize(s)))
+        _rewrite_ipv4_col_arith(
+            _rewrite_datetime_col_arith(_rewrite_ternary_tokens(_tokenize(s)))
+        )
     )
 
     # single-parameter lambda with parens `(a) -> body` (ParserLambda

@@ -37,12 +37,15 @@ def IPv4NumToString(n) -> Column:
 @chfn("IPv4StringToNum", "INET_ATON")
 def IPv4StringToNum(s) -> Column:
     parts = F.split(col(s), r"\.")
-    return (
+    n = (
         parts[0].cast("long") * 16777216
         + parts[1].cast("long") * 65536
         + parts[2].cast("long") * 256
         + parts[3].cast("long")
     )
+    # invalid input parses as 0 (FunctionsCodingIP.cpp parseIPv4 default;
+    # the OrNull variant keeps the NULL distinction)
+    return F.coalesce(F.when(isIPv4String(s), n), F.lit(0).cast("long"))
 
 
 @chfn("IPv4StringToNumOrNull")
@@ -70,7 +73,13 @@ def isIPv6String(s) -> Column:
 
 @chfn("toIPv4")
 def toIPv4(s) -> Column:
-    return IPv4StringToNum(s)
+    # IPv4 carrier is the dotted string (matches table-column storage and
+    # the toIPv4OrNull/OrZero family); numeric contexts convert via
+    # IPv4StringToNum at translate time (dialect._rewrite_ipv4_col_arith)
+    return F.when(
+        col(s).cast("string").rlike(r"^\d+$"),
+        IPv4NumToString(col(s).cast("long")),
+    ).otherwise(col(s).cast("string"))
 
 
 @chfn("IPv4CIDRToRange")

@@ -436,6 +436,10 @@ def splitByString(sep: str, s) -> Column:
 
 @chfn("splitByRegexp")
 def splitByRegexp(pattern: str, s) -> Column:
+    if isinstance(pattern, str) and pattern == "":
+        # empty pattern = split into characters, no empties
+        # (SplitByRegexpImpl: empty regex falls back to per-char)
+        return F.filter(F.split(col(s), "", -1), lambda t: t != "")
     return F.split(col(s), pattern, -1)
 
 

@@ -2173,6 +2173,23 @@ def _exec_insert(spark, stmt: str, mem_tables: dict, nullable_cols: dict | None 
             dflts4.get(f4.name, ("", ""))[1] for f4 in target.schema.fields
         ):
             break
+    for cname7, ctype7 in (ch_schemas or {}).get(name) or []:
+        if ctype7.strip() in ("IPv4", "Nullable(IPv4)") and cname7 in new_rows.columns:
+            # numeric input into an IPv4 column stores the UInt32 value
+            # (implicit conversion, FunctionsCodingIP) — render dotted
+            c7 = F.col(cname7).cast("string")
+            n7 = c7.cast("long").bitwiseAND(F.lit(4294967295))
+            dotted7 = F.concat_ws(
+                ".",
+                F.shiftrightunsigned(n7, 24).bitwiseAND(F.lit(255)).cast("string"),
+                F.shiftrightunsigned(n7, 16).bitwiseAND(F.lit(255)).cast("string"),
+                F.shiftrightunsigned(n7, 8).bitwiseAND(F.lit(255)).cast("string"),
+                n7.bitwiseAND(F.lit(255)).cast("string"),
+            )
+            new_rows = new_rows.withColumn(
+                cname7,
+                F.when(c7.rlike("^[0-9]+$"), dotted7).otherwise(F.col(cname7)),
+            )
     for cname6, ctype6 in (ch_schemas or {}).get(name) or []:
         if ctype6.strip() in ("UUID", "Nullable(UUID)") and cname6 in new_rows.columns:
             # the reference accepts the 32-hex separator-less UUID spelling

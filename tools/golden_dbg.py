@@ -31,11 +31,15 @@ def run_one(spark, name: str) -> None:
 
     import clickhouse_23_3_19_32_lts_spark.chtypes as _cht
     import clickhouse_23_3_19_32_lts_spark.dialect as _dia
+    import clickhouse_23_3_19_32_lts_spark.functions.arrays as _fa
+    import clickhouse_23_3_19_32_lts_spark.functions.conversion as _fc
+    import clickhouse_23_3_19_32_lts_spark.functions.ipfns as _fi
+    import clickhouse_23_3_19_32_lts_spark.functions.variants2 as _fv2
+    import clickhouse_23_3_19_32_lts_spark.functions.variants3 as _fv3
     import tools.golden as _g
 
-    importlib.reload(_cht)
-    importlib.reload(_dia)
-    importlib.reload(_g)
+    for _m in (_cht, _fa, _fc, _fi, _fv2, _fv3, _dia, _g):
+        importlib.reload(_m)
     from tools.golden import run_golden
 
     try:
