@@ -6819,7 +6819,7 @@ def _inline_select_aliases_fn(s: str, only_shadowing: bool = False) -> str:
             # (IdentifierSemantic: alias wins, prefer_column_name_to_alias=0)
             aliases = {
                 k: v for k, v in aliases.items()
-                if v != [k] and (k in v or k in _COL_CH_TYPES)
+                if v != [k] and (k in v or k in _DECLARED_CH_TYPES)
             }
         new_items = []
         for it in items:
@@ -6849,6 +6849,9 @@ _NULLABLE_COLS: frozenset = frozenset()
 # CH-declared column types of the statement's tables (name -> CH type),
 # threaded by the golden runner so toTypeName(column) can fold statically
 _COL_CH_TYPES: dict = {}
+# the DECLARED (table-schema) column types only — never polluted by the
+# select-alias type registration; shadowing decisions use this
+_DECLARED_CH_TYPES: dict = {}
 _TABLE_SCHEMAS: dict = {}  # table → ordered [(col, CH type)] (ASOF defaults)
 # table → (sampling key column, domain bits): SAMPLE k rewrites into a
 # deterministic range predicate over the key's type domain
@@ -6898,17 +6901,20 @@ def translate(
     ClickHouse returns NULL, not NaN, for Nullable empty sets."""
     global _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
     global _LENGTH_AS_SIZE, _TOTALS_MARKER, _COL_CH_TYPES, _DT_BEST_EFFORT
+    global _DECLARED_CH_TYPES
     global _TABLE_SCHEMAS, _TABLE_SAMPLING
     prev, prev2, prev3 = _SAFE_SUBSCRIPT, _INLINE_SELECT_ALIASES, _NULLABLE_COLS
     prev4 = _LENGTH_AS_SIZE
     prev5 = _TOTALS_MARKER
     prev6 = _COL_CH_TYPES
+    prev6d = _DECLARED_CH_TYPES
     prev7 = _DT_BEST_EFFORT
     prev8 = _TABLE_SCHEMAS
     prev9 = _TABLE_SAMPLING
     _TABLE_SCHEMAS = table_schemas or {}
     _TABLE_SAMPLING = table_sampling or {}
     _COL_CH_TYPES = col_ch_types or {}
+    _DECLARED_CH_TYPES = dict(_COL_CH_TYPES)
     _DT_BEST_EFFORT = dt_best_effort
     _SAFE_SUBSCRIPT = safe_subscript
     _INLINE_SELECT_ALIASES = inline_aliases
@@ -6934,6 +6940,7 @@ def translate(
         _LENGTH_AS_SIZE = prev4
         _TOTALS_MARKER = prev5
         _COL_CH_TYPES = prev6
+        _DECLARED_CH_TYPES = prev6d
         _DT_BEST_EFFORT = prev7
         _TABLE_SCHEMAS = prev8
         _TABLE_SAMPLING = prev9
