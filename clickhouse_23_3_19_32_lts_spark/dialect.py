@@ -825,8 +825,11 @@ ARITY_TEMPLATES: dict[str, dict[int, str]] = {
             " 1, CAST(greatest(CAST(({1}) AS BIGINT) - CAST(({0}) AS BIGINT), 0) AS INT))"
         ),
         3: (
-            "filter(sequence({0}, greatest(CAST(({1}) AS BIGINT) - 1, CAST(({0}) AS BIGINT)), {2}),"
-            " x -> x < ({1}))"
+            "(CASE WHEN ({2}) < 0 THEN"
+            " filter(sequence({0}, least(CAST(({1}) AS BIGINT) + 1,"
+            " CAST(({0}) AS BIGINT)), {2}), x -> x > ({1}))"
+            " ELSE filter(sequence({0}, greatest(CAST(({1}) AS BIGINT) - 1,"
+            " CAST(({0}) AS BIGINT)), {2}), x -> x < ({1})) END)"
         ),
     },
 }
@@ -3665,7 +3668,13 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             try:
                 spark_t2 = ch_type_to_spark(ch_t2)
             except ChSqlError:
-                spark_t2 = None
+                # wide integers: carry in DECIMAL(38,0), bounds below
+                spark_t2 = (
+                    "DECIMAL(38,0)"
+                    if ch_t2.lower() in
+                    ("uint128", "uint256", "int128", "int256")
+                    else None
+                )
             if spark_t2 is not None:
                 rng = {
                     "uint8": (0, 255), "uint16": (0, 65535),
@@ -3673,6 +3682,11 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                     "int8": (-128, 127), "int16": (-32768, 32767),
                     "int32": (-2147483648, 2147483647),
                     "int64": (-9223372036854775808, 9223372036854775807),
+                    # carrier bounds (the true 128/256-bit ranges exceed the
+                    # DECIMAL(38) carrier; negatives still reject correctly)
+                    "uint128": (0, 10**37), "uint256": (0, 10**37),
+                    "int128": (-(10**37), 10**37),
+                    "int256": (-(10**37), 10**37),
                 }.get(ch_t2.lower())
                 casted = f"try_cast({arg_sql[0]} AS {spark_t2})"
                 if rng is not None:
@@ -3680,12 +3694,23 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                         f"CASE WHEN try_cast({arg_sql[0]} AS DOUBLE) BETWEEN {rng[0]} AND {rng[1]} "
                         f"THEN {casted} ELSE NULL END"
                     )
+                _dflt0 = "''" if spark_t2.upper() == "STRING" else "0"
+                fs2 = re.match(r"(?i)FixedString\s*\(\s*(\d+)\s*\)$", ch_t2)
+                if fs2:
+                    # too-long input rejects; shorter pads with zero bytes,
+                    # and the implicit default is the all-zero FixedString
+                    _n2 = fs2.group(1)
+                    _s2 = f"CAST({arg_sql[0]} AS STRING)"
+                    casted = (
+                        f"(CASE WHEN octet_length({_s2}) > {_n2} THEN NULL"
+                        f" ELSE concat({_s2}, repeat(char(0),"
+                        f" {_n2} - octet_length({_s2}))) END)"
+                    )
+                    _dflt0 = f"repeat(char(0), {_n2})"
                 if t == "accurateCastOrNull":
                     out.append(f"({casted})")
                 else:
-                    dflt = arg_sql[2] if len(arg_sql) > 2 else (
-                        "''" if spark_t2.upper() == "STRING" else "0"
-                    )
+                    dflt = arg_sql[2] if len(arg_sql) > 2 else _dflt0
                     out.append(f"coalesce({casted}, {dflt})")
                 i = close + 1
                 continue
@@ -3809,6 +3834,42 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             kinds = {_arr_kind(a) for a in arg_sql}
             if kinds == {"num", "str"}:
                 raise ChSqlError(f"{t}: no common type between array arguments")
+
+        if (
+            t == "format"
+            and len(args) >= 2
+            and len(args[0]) == 1
+            and args[0][0].startswith("'")
+        ):
+            # format('{}/{N}', args...) — positional substitution with
+            # repeatable indexed refs (formatString.h), expanded at
+            # translate time into a concat
+            _flit = args[0][0][1:-1]
+            _frest = [f"CAST({_rewrite(a)} AS STRING)" for a in args[1:]]
+            _fparts, _fauto, _fok = [], 0, True
+            for _ftk in re.split(r"(\{\d*\})", _flit):
+                _fm = re.fullmatch(r"\{(\d*)\}", _ftk)
+                if _fm:
+                    _fidx = int(_fm.group(1)) if _fm.group(1) else _fauto
+                    if not _fm.group(1):
+                        _fauto += 1
+                    if _fidx >= len(_frest):
+                        _fok = False
+                        break
+                    _fparts.append(_frest[_fidx])
+                elif _ftk:
+                    _fparts.append("'" + _ftk + "'")
+            if _fok:
+                out.append(
+                    f"concat({', '.join(_fparts)})" if _fparts else "''"
+                )
+                i = close + 1
+                continue
+
+        if t.upper() == "REGEXP_REPLACE" and len(arg_sql) == 3:
+            # SQL-compat alias (FunctionFactory registerAlias) — same \N
+            # backref conversion as replaceRegexpAll
+            t = "replaceRegexpAll"
 
         if t in ("replaceRegexpOne", "replaceRegexpAll") and len(arg_sql) == 3:
             # ClickHouse replacement backrefs are \N (ReplaceRegexpImpl);
@@ -4337,6 +4398,15 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
 
             _ety = static_type(list(args[0]), _COL_CH_TYPES)
+            if _ety is not None and _ety.replace("Nullable(", "").rstrip(
+                ")"
+            ) in ("IPv4", "IPv6"):
+                # the all-zero address is the IP types' empty value
+                # (EmptyImpl over the numeric domain types)
+                _z9 = f"(({arg_sql[0]}) RLIKE '^[0:.]*$')"
+                out.append(_z9 if t == "empty" else f"(NOT {_z9})")
+                i = close + 1
+                continue
             if _ety is not None and _ety.replace("Nullable(", "").startswith(
                 "FixedString"
             ):

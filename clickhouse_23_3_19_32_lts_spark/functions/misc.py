@@ -193,7 +193,10 @@ def bar(x, lo, hi, width: int = 80) -> Column:
     """Unicode bar chart (bar.cpp / UnicodeBar.h): full blocks plus one
     trailing eighth-block for the fractional remainder (▏…▉)."""
     c = col(x).cast("double")
-    frac = F.greatest(F.least((c - lo) / (hi - lo), F.lit(1.0)), F.lit(0.0))
+    frac = (c - lo) / (hi - lo)
+    # a nan anywhere (value or bounds) draws nothing (UnicodeBar::getWidth)
+    frac = F.when(F.isnan(frac), F.lit(0.0)).otherwise(frac)
+    frac = F.greatest(F.least(frac, F.lit(1.0)), F.lit(0.0))
     eighths = F.floor(frac * width * 8).cast("int")
     partials = F.array(*[F.lit(s) for s in ["", "▏", "▎", "▍", "▌", "▋", "▊", "▉"]])
     return F.concat(
@@ -231,6 +234,17 @@ def greatCircleDistance(lon1, lat1, lon2, lat2) -> Column:
 
 
 geoDistance = greatCircleDistance
+
+
+@chfn("greatCircleAngle")
+def greatCircleAngle(lon1, lat1, lon2, lat2) -> Column:
+    """Central angle in DEGREES (greatCircleDistance.cpp SPHERE_DEGREES
+    method: same haversine, result divided by the radius and converted)."""
+    rlat1, rlat2 = F.radians(col(lat1)), F.radians(col(lat2))
+    dlat = rlat2 - rlat1
+    dlon = F.radians(col(lon2)) - F.radians(col(lon1))
+    a = F.sin(dlat / 2) ** 2 + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) ** 2
+    return F.degrees(2 * F.asin(F.sqrt(a)))
 
 
 # --- bitmap family (src/Functions/FunctionsBitmap.cpp) ----------------------

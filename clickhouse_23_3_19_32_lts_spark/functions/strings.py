@@ -498,11 +498,24 @@ def ngramDistance(a, b, n: int = 4) -> Column:
 
 @chfn("format")
 def format_(fmt: str, *args) -> Column:
-    """ClickHouse format('{} {}', a, b) — positional substitution."""
-    parts = fmt.split("{}")
-    cols: list[Column] = [F.lit(parts[0])]
-    for i, arg in enumerate(args):
-        cols.append(col(arg).cast("string"))
-        if i + 1 < len(parts):
-            cols.append(F.lit(parts[i + 1]))
+    """ClickHouse format('{} {}', a, b) — positional substitution; indexed
+    refs {0} {1} may repeat and interleave with auto-numbered {}
+    (formatString.h)."""
+    import re as _re
+
+    toks = _re.split(r"(\{\d*\})", fmt)
+    cols: list[Column] = []
+    auto = 0
+    for t in toks:
+        m = _re.fullmatch(r"\{(\d*)\}", t)
+        if m:
+            idx = int(m.group(1)) if m.group(1) else auto
+            if not m.group(1):
+                auto += 1
+            if idx < len(args):
+                cols.append(col(args[idx]).cast("string"))
+        elif t:
+            cols.append(F.lit(t))
+    if not cols:
+        return F.lit("")
     return F.concat(*cols)

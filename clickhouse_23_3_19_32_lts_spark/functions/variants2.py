@@ -1424,7 +1424,20 @@ def logTrace(msg) -> Column:
 
 @chfn("errorCodeToName")
 def errorCodeToName(c) -> Column:
-    return F.when(col(c) == 0, F.lit("OK")).otherwise(F.lit("UNKNOWN"))
+    # out-of-range / gap codes yield EMPTY (ErrorCodes::getName returns an
+    # empty string_view); 0 is OK (src/Common/ErrorCodes.cpp)
+    known = {0: "OK", 1: "UNSUPPORTED_METHOD", 2: "UNSUPPORTED_PARAMETER",
+             3: "UNEXPECTED_END_OF_FILE", 6: "CANNOT_PARSE_TEXT",
+             16: "NO_SUCH_COLUMN_IN_TABLE", 36: "BAD_ARGUMENTS",
+             47: "UNKNOWN_IDENTIFIER", 48: "NOT_IMPLEMENTED",
+             60: "UNKNOWN_TABLE", 62: "SYNTAX_ERROR",
+             81: "UNKNOWN_DATABASE", 241: "MEMORY_LIMIT_EXCEEDED"}
+    cc = col(c).cast("long")
+    out = None
+    for k, v in known.items():
+        cond = cc == k
+        out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+    return out.otherwise(F.lit(""))
 
 
 @chfn("caseWithExpression", "caseWithExpr")

@@ -2731,7 +2731,12 @@ def run_golden(spark, sql_path: str, reference_path: str) -> tuple[bool, str]:
                 echo = False
                 if not stmt.strip():
                     continue
-            if echo:
+            if echo and re.search(r"--\s*\{\s*clientError\s+62\b", raw):
+                # SYNTAX_ERROR (62): the client never finds a statement to
+                # send, so nothing is echoed — skip the echo but still run
+                # the expected-error machinery below
+                pass
+            elif echo:
                 # a ';' that sat on its own line in the source is echoed on
                 # its own line (the client prints the raw statement text)
                 semi_own_line = raw.rstrip(" \t").endswith("\n")
