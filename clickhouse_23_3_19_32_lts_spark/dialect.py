@@ -761,18 +761,21 @@ ARITY_TEMPLATES: dict[str, dict[int, str]] = {
     # (GatherUtils sliceDynamicOffsetBounded); negative offset counts from
     # the end. Spark's substring returns '' for negative length.
     "substring": {
+        2: "(CASE WHEN ({1}) = 0 THEN '' ELSE substring({0}, {1}) END)",
         3: "(CASE WHEN ({2}) >= 0 THEN substring({0}, {1}, {2})"
            " ELSE substring({0}, {1}, greatest(0, length({0})"
            " - (CASE WHEN ({1}) < 0 THEN length({0}) + ({1}) + 1 ELSE ({1}) END)"
            " + 1 + ({2}))) END)",
     },
     "substr": {
+        2: "(CASE WHEN ({1}) = 0 THEN '' ELSE substring({0}, {1}) END)",
         3: "(CASE WHEN ({2}) >= 0 THEN substring({0}, {1}, {2})"
            " ELSE substring({0}, {1}, greatest(0, length({0})"
            " - (CASE WHEN ({1}) < 0 THEN length({0}) + ({1}) + 1 ELSE ({1}) END)"
            " + 1 + ({2}))) END)",
     },
     "mid": {
+        2: "(CASE WHEN ({1}) = 0 THEN '' ELSE substring({0}, {1}) END)",
         3: "(CASE WHEN ({2}) >= 0 THEN substring({0}, {1}, {2})"
            " ELSE substring({0}, {1}, greatest(0, length({0})"
            " - (CASE WHEN ({1}) < 0 THEN length({0}) + ({1}) + 1 ELSE ({1}) END)"
@@ -876,14 +879,14 @@ _CH_DT_FMT = {
 }
 
 
-def _split_dtfmt_on_w(fmt: str) -> list[str]:
-    """Split a MySQL-style format on %w codes (respecting %% escapes)."""
+def _split_dtfmt_on_w(fmt: str, code: str = "w") -> list[str]:
+    """Split a MySQL-style format on %<code> (respecting %% escapes)."""
     parts: list[str] = []
     cur: list[str] = []
     i = 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
-            if fmt[i + 1] == "w":
+            if fmt[i + 1] == code:
                 parts.append("".join(cur))
                 cur = []
             else:
@@ -3140,8 +3143,16 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                         pieces.append(
                             f"CAST(dayofweek({arg_sql[0]}) - 1 AS STRING)"
                         )
-                    if seg:
-                        pieces.append(_df_lit(_ch_dtfmt_to_java(seg)))
+                    # %C (century = year/100, zero-padded) has no Java
+                    # pattern either — splice it the same way
+                    for ci, cseg in enumerate(_split_dtfmt_on_w(seg, "C")):
+                        if ci:
+                            pieces.append(
+                                f"lpad(CAST(CAST(floor(year({arg_sql[0]})"
+                                f" / 100) AS INT) AS STRING), 2, '0')"
+                            )
+                        if cseg:
+                            pieces.append(_df_lit(_ch_dtfmt_to_java(cseg)))
                 if len(pieces) == 1:
                     out.append(pieces[0])
                 elif pieces:

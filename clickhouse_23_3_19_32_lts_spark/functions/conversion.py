@@ -167,6 +167,21 @@ def _ch_to_spark_datetime_format(fmt: str) -> str:
 
 @chfn("formatDateTime", "DATE_FORMAT")
 def formatDateTime(x, fmt: str) -> Column:
+    if "%C" in fmt:
+        # century, zero-padded (formatDateTime.cpp %C = year/100)
+        cent = F.lpad(
+            F.floor(F.year(col(x)) / 100).cast("int").cast("string"), 2, "0"
+        )
+        parts = fmt.split("%C")
+        cols: list[Column] = []
+        for i, p in enumerate(parts):
+            if p:
+                cols.append(
+                    F.date_format(col(x), _ch_to_spark_datetime_format(p))
+                )
+            if i + 1 < len(parts):
+                cols.append(cent)
+        return F.concat(*cols) if cols else F.lit("")
     return F.date_format(col(x), _ch_to_spark_datetime_format(fmt))
 
 
