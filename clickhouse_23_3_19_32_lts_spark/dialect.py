@@ -4230,7 +4230,7 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             if (
                 len(_arg_toks) == 1
                 and re.match(r"[A-Za-z_]\w*$", _arg_toks[0])
-                and _arg_toks[0] not in _COL_CH_TYPES
+                and _arg_toks[0] not in _DECLARED_CH_TYPES
             ):
                 # sibling select-item alias (CH inlines these): walk back to
                 # `expr AS ident` earlier in the statement
