@@ -1696,6 +1696,28 @@ def _render_call(spark, builder, args) -> str | None:
         return None
 
 
+def _avgw_nullable(val_args, rewritten) -> bool:
+    """avgWeighted empty-set result: NULL when an argument is Nullable (the
+    Nullable combinator, AggregateFunctionNull), nan otherwise. Decide from
+    the STATIC TYPE first — a Nullable table column carries no textual
+    marker for a regex to see — and fall back to the regex only when the
+    type is unknown."""
+    from clickhouse_23_3_19_32_lts_spark.chtypes import static_type
+
+    tys = [static_type(list(a), _COL_CH_TYPES) for a in val_args]
+    if any(ty is not None and ty.startswith("Nullable") for ty in tys):
+        return True
+    if all(ty is not None for ty in tys):
+        return False
+    # unknown type: textual fallback over the RAW tokens (toNullable(x)
+    # rewrites to a bare (x), so the rewritten SQL loses the marker) and
+    # the rewritten SQL (catches literals the raw side spells differently)
+    raw = " ".join(" ".join(map(str, a)) for a in val_args)
+    return bool(re.search(
+        r"(?i)\bNULL\b|toNullable|OrNull|nullIf", raw + "".join(rewritten)
+    ))
+
+
 def _registry_bridge(fname: str, arg_sql: list[str]) -> str | None:
     """SQL fragment for a registry function call, or None to fall through."""
     try:
@@ -2334,47 +2356,87 @@ def _rewrite_ipv4_col_arith(tokens: list[str]) -> list[str]:
     ops = {"%", "*", "+", "-", "/"}
     cmps = {"=", "==", ">", "<", ">=", "<=", "!=", "<>"}
     ip_calls = {"toipv4", "toipv4ornull", "toipv4orzero", "toipv4ordefault"}
+
+    def _unit_at(j: int) -> int | None:
+        """End index of an IPv4 expression unit starting at j, else None:
+        a typed identifier, a toIPv4*(…) call, or a paren-wrapped call."""
+        if j >= len(tokens):
+            return None
+        t9 = tokens[j]
+        if t9 in ip_cols and (j + 1 >= len(tokens) or tokens[j + 1] != "("):
+            return j
+        opens = None
+        if t9.lower() in ip_calls and j + 1 < len(tokens) and tokens[j + 1] == "(":
+            opens = j + 1
+        elif t9 == "(" and j + 1 < len(tokens) and tokens[j + 1].lower() in ip_calls:
+            # paren-wrapped call, the WITH-alias inlining shape
+            opens = j
+        if opens is not None:
+            d9 = 0
+            for k9 in range(opens, len(tokens)):
+                if tokens[k9] == "(":
+                    d9 += 1
+                elif tokens[k9] == ")":
+                    d9 -= 1
+                    if d9 == 0:
+                        return k9
+        return None
+
     out: list[str] = []
     i = 0
     n = len(tokens)
+    depth = 0
+    in_order = False  # top-level ORDER BY clause
     while i < n:
         t = tokens[i]
-        # expression unit: a typed identifier, or a toIPv4*(…) call
-        unit_end = None
-        if t in ip_cols and (i + 1 >= n or tokens[i + 1] != "("):
-            unit_end = i
-        elif t.lower() in ip_calls and i + 1 < n and tokens[i + 1] == "(":
-            d9 = 0
-            for k9 in range(i + 1, n):
-                if tokens[k9] == "(":
-                    d9 += 1
-                elif tokens[k9] == ")":
-                    d9 -= 1
-                    if d9 == 0:
-                        unit_end = k9
-                        break
-        elif t == "(" and i + 1 < n and tokens[i + 1].lower() in ip_calls:
-            # paren-wrapped call, the WITH-alias inlining shape
-            d9 = 0
-            for k9 in range(i, n):
-                if tokens[k9] == "(":
-                    d9 += 1
-                elif tokens[k9] == ")":
-                    d9 -= 1
-                    if d9 == 0:
-                        unit_end = k9
-                        break
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and t.upper() == "ORDER" and i + 1 < n and tokens[
+            i + 1
+        ].upper() == "BY":
+            in_order = True
+        elif depth == 0 and t.upper() in (
+            "LIMIT", "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT",
+        ):
+            in_order = False
+        unit_end = _unit_at(i)
         if unit_end is not None:
             nxt = tokens[unit_end + 1] if unit_end + 1 < n else ""
             nxt2 = tokens[unit_end + 2] if unit_end + 2 < n else ""
             prev = out[-1] if out else ""
             prev2 = out[-2] if len(out) >= 2 else ""
+            ip_rhs_end = _unit_at(unit_end + 2) if nxt in cmps else None
+            if prev != "." and nxt in cmps and ip_rhs_end is not None:
+                # IP-to-IP comparison: dotted strings compare
+                # LEXICOGRAPHICALLY ('9.0.0.0' > '10.0.0.0'); the reference
+                # compares the UInt32 domain value — wrap BOTH sides
+                out += (
+                    ["IPv4StringToNum", "("] + tokens[i:unit_end + 1] + [")"]
+                    + [nxt]
+                    + ["IPv4StringToNum", "("]
+                    + tokens[unit_end + 2:ip_rhs_end + 1] + [")"]
+                )
+                i = ip_rhs_end + 1
+                continue
             if prev != "." and (
                 nxt in ops
                 or prev in ops
                 # comparison with a numeric operand compares UInt32 values
                 or (nxt in cmps and re.match(r"^\d", nxt2))
                 or (prev in cmps and re.match(r"^\d", prev2 or ""))
+                # ORDER BY key: sort by the UInt32 value, not the dotted
+                # string (bare key or key DESC/ASC/comma — not an argument
+                # inside a function call within the clause)
+                or (
+                    in_order
+                    and prev.upper() in ("BY", ",", "ASC", "DESC")
+                    and nxt.upper() in (
+                        "", ",", "ASC", "DESC", "LIMIT", "SETTINGS",
+                        "FORMAT", "WITH", "NULLS",
+                    )
+                )
             ):
                 out += (
                     ["IPv4StringToNum", "("]
@@ -2921,9 +2983,7 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             # ahead of the generic combinator expansion
             _cnd = _rewrite(args[2])
             _aw0 = [_rewrite(args[0]), _rewrite(args[1])]
-            _nul = bool(re.search(
-                r"(?i)\bNULL\b|toNullable|OrNull|nullIf", _aw0[0] + _aw0[1]
-            ))
+            _nul = _avgw_nullable(args[:2], _aw0)
             _wrapped = [
                 f"(CASE WHEN CAST(({_cnd}) AS BOOLEAN) THEN {a} END)"
                 for a in _aw0
@@ -2942,9 +3002,7 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             # empty valid-pair set: NULL when an argument is Nullable,
             # nan otherwise (the Nullable combinator wraps the result)
             _aw = [_rewrite(a) for a in args]
-            _nul = bool(re.search(
-                r"(?i)\bNULL\b|toNullable|OrNull|nullIf", _aw[0] + _aw[1]
-            ))
+            _nul = _avgw_nullable(args, _aw)
             out.append(_fill_template(
                 TEMPLATES["avgWeighted"].replace(
                     "{EMPTY}",
@@ -4208,6 +4266,27 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
                 i = close + 1
                 continue
 
+        if (
+            t in ("substring", "substr", "mid", "substringUTF8")
+            and len(arg_sql) in (2, 3)
+            and re.fullmatch(r"[+-]?0+", arg_sql[1].strip())
+            and (
+                len(arg_sql) == 2
+                or re.fullmatch(r"[+-]?\d+", arg_sql[2].strip())
+            )
+        ):
+            # CONSTANT offset 0 throws ZERO_ARRAY_OR_TUPLE_INDEX error 135
+            # ("Indices in strings are 1-based", substring.cpp:98/114 — the
+            # const-offset path; 3-arg needs length const too). The ''
+            # result in the templates models only the dynamic-offset path
+            # (sliceDynamicOffsetUnbounded).
+            out.append(
+                "CAST(raise_error('ZERO_ARRAY_OR_TUPLE_INDEX: Indices in"
+                " strings are 1-based') AS STRING)"
+            )
+            i = close + 1
+            continue
+
         _has_lambda = bool(arg_sql) and _is_lambda_sql(arg_sql[0])
         if (
             t in ARITY_TEMPLATES
@@ -4341,6 +4420,26 @@ def _rewrite(tokens: list[str], ctx: str = "val") -> str:
             )
             i = close + 1
             continue
+
+        if t in ("IPv4StringToNum", "INET_ATON") and len(arg_sql) == 1:
+            # the reference registers these as the Throw variant
+            # (FunctionsCodingIP.cpp:1160): invalid input -> error 675
+            # CANNOT_PARSE_IPV4. Per-row throw is impractical in Spark, so
+            # the registry builder yields 0 (OrDefault) for non-constant
+            # rows; a constant invalid literal is caught here so golden
+            # tests expecting serverError 675 match.
+            _ipm = re.fullmatch(r"'((?:[^'\\]|\\.)*)'", arg_sql[0].strip())
+            if _ipm and "\\" not in _ipm.group(1) and not re.fullmatch(
+                r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+                r"(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}",
+                _ipm.group(1),
+            ):
+                out.append(
+                    "CAST(raise_error('CANNOT_PARSE_IPV4: Invalid IPv4"
+                    " value') AS BIGINT)"
+                )
+                i = close + 1
+                continue
 
         if t == "toFixedString" and len(arg_sql) == 2:
             # constant too-long input: TOO_LARGE_STRING_SIZE at translate
@@ -4963,7 +5062,14 @@ def _totals_sets(keys: str) -> list[str] | None:
     if km:
         cols = [c.strip() for c in _split_top_commas(km.group(1)) if c.strip()]
         if len(cols) > 6:
-            return None
+            # 2^7+ explicit sets would blow up the sentinel rewrite; fail
+            # LOUDLY (mirroring the ROLLUP/CUBE+HAVING serverError-48 guard)
+            # rather than silently falling into the plain-key path, which
+            # would compute a wrong totals split
+            raise ChSqlError(
+                "NOT_IMPLEMENTED: CUBE over more than 6 columns WITH TOTALS"
+                " is not supported"
+            )
         sets = []
         for mask in range((1 << len(cols)) - 1, -1, -1):
             sets.append(
@@ -4972,10 +5078,22 @@ def _totals_sets(keys: str) -> list[str] | None:
         return sets
     km = re.match(r"(?is)^GROUPING\s+SETS\s*\((.*)\)$", keys)
     if km:
-        return [
-            p.strip().strip("()").strip()
-            for p in _split_top_commas(km.group(1))
-        ]
+        # strip exactly ONE balanced outer paren pair per set — str.strip
+        # ("()") would eat the closing paren of a trailing function call:
+        # ((a, toYear(d))) -> 'a, toYear(d'
+        def _unwrap(p: str) -> str:
+            p = p.strip()
+            if p.startswith("(") and p.endswith(")"):
+                d = 0
+                for j, ch in enumerate(p):
+                    d += ch == "("
+                    d -= ch == ")"
+                    if d == 0 and j < len(p) - 1:
+                        return p  # outer parens not one balanced pair
+                return p[1:-1].strip()
+            return p
+
+        return [_unwrap(p) for p in _split_top_commas(km.group(1))]
     return None
 
 

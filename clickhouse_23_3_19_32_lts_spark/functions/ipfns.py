@@ -43,8 +43,16 @@ def IPv4StringToNum(s) -> Column:
         + parts[2].cast("long") * 256
         + parts[3].cast("long")
     )
-    # invalid input parses as 0 (FunctionsCodingIP.cpp parseIPv4 default;
-    # the OrNull variant keeps the NULL distinction)
+    # DIVERGENCE: the reference's IPv4StringToNum / INET_ATON is the Throw
+    # variant (FunctionsCodingIP.cpp:1160, ExceptionMode::Throw ->
+    # CANNOT_PARSE_IPV4 error 675 per bad row) and only yields 0 under
+    # cast_ipv4_ipv6_default_on_conversion_error=1 (the Default variant,
+    # i.e. IPv4StringToNumOrDefault). Per-row throw is impractical in a
+    # vectorized Spark plan, so invalid NON-CONSTANT input parses as 0 here
+    # (OrDefault behavior); invalid CONSTANT input is rejected at translate
+    # time in the SQL dialect (dialect.py IPv4StringToNum literal guard),
+    # matching the reference for the case golden tests exercise. The OrNull
+    # variant keeps the NULL distinction.
     return F.coalesce(F.when(isIPv4String(s), n), F.lit(0).cast("long"))
 
 

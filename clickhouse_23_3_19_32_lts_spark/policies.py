@@ -131,6 +131,17 @@ class PolicyTable:
     constraints: dict = field(default_factory=dict)
     # column DEFAULTs (AddingDefaultsTransform.cpp): name -> Column/literal
     defaults: dict = field(default_factory=dict)
+    # CLUSTER BY: hash-bucketed storage on the join/agg key. This is the
+    # Spark analogue of MergeTree's keyed storage
+    # (MergeTreeDataSelectExecutor.cpp reads parts already organized by the
+    # key): two tables bucketed on the same key with the same bucket count
+    # join WITHOUT any Exchange — at 100 TB this deletes the single biggest
+    # shuffle in every fact-fact join (lineitem⋈orders; SCALING.md §Joins).
+    # Bucket metadata lives in the catalog, so bucketed tables need a
+    # table_name and are read back via spark.table(), not the bare path.
+    bucket_by: list[str] = field(default_factory=list)
+    num_buckets: int = 32
+    table_name: str | None = None
 
     # -- write path --------------------------------------------------------
     def insert(self, df: DataFrame, mode: str = "append") -> None:
@@ -148,6 +159,9 @@ class PolicyTable:
             bad = df.filter(~cond).count()
             if bad:
                 raise ValueError(f"CHECK constraint {name!r} violated by {bad} row(s)")
+        if self.bucket_by:
+            self._write_bucketed(df, mode)
+            return
         if self.order_by:
             df = df.sortWithinPartitions(*self.order_by)
         writer = df.write.mode(mode)
@@ -155,9 +169,31 @@ class PolicyTable:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self.path)
 
+    def _write_bucketed(self, df: DataFrame, mode: str) -> None:
+        """Bucketed write: parquet files hash-clustered on bucket_by with
+        per-bucket sortBy (order_by, else the bucket key) — the scan comes
+        back with outputPartitioning=HashPartitioning(bucket_by), so equi-
+        joins and groupBys on the key plan ZERO exchanges."""
+        if not self.table_name:
+            raise ValueError("bucketed PolicyTable needs table_name (bucket metadata lives in the catalog)")
+        writer = (
+            df.write.mode(mode)
+            .format("parquet")
+            .option("path", self.path)
+            .bucketBy(self.num_buckets, *self.bucket_by)
+            .sortBy(*(self.order_by or self.bucket_by))
+        )
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.saveAsTable(self.table_name)
+
     # -- read path ---------------------------------------------------------
     def read(self) -> DataFrame:
         """Raw read (ClickHouse SELECT without FINAL: may see duplicates)."""
+        if self.bucket_by and self.table_name:
+            # the bare parquet path has no bucket spec; only the catalog
+            # table carries outputPartitioning into the plan
+            return self.spark.table(self.table_name)
         return self.spark.read.parquet(self.path)
 
     def final(self) -> DataFrame:
@@ -182,6 +218,18 @@ class PolicyTable:
         self._overwrite(self.final())
 
     def _overwrite(self, df: DataFrame) -> None:
+        if self.bucket_by:
+            # catalog-managed rewrite. The input plan reads the table being
+            # replaced, so materialize DISTRIBUTED to a tmp path first,
+            # then recreate with the same bucket spec — never .collect()
+            tmpb = self.path.rstrip("/") + ".__compact_tmp"
+            df.write.mode("overwrite").parquet(tmpb)
+            mat = self.spark.read.parquet(tmpb)
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.table_name}")
+            shutil.rmtree(self.path, ignore_errors=True)
+            self._write_bucketed(mat, "overwrite")
+            shutil.rmtree(tmpb, ignore_errors=True)
+            return
         tmp = self.path.rstrip("/") + ".__compact_tmp"
         if self.order_by:
             df = df.sortWithinPartitions(*self.order_by)

@@ -479,3 +479,76 @@ def test_union_branch_limit_parenthesized():
         "SELECT * FROM (SELECT 1 AS a LIMIT 1 UNION ALL SELECT 2 LIMIT 2)"
     )
     assert "(SELECT 1 AS a LIMIT 1)" in out2 and "(SELECT 2 LIMIT 2)" in out2
+
+
+# --- round-9 ADVICE fixes ---------------------------------------------------
+
+
+def test_substring_constant_zero_offset_errors():
+    # substring.cpp:98/114 — CONST offset 0 throws ZERO_ARRAY_OR_TUPLE_INDEX
+    # (error 135); the dynamic-offset path returns '' instead
+    out = translate("SELECT substring('abc', 0)")
+    assert "ZERO_ARRAY_OR_TUPLE_INDEX" in out and "raise_error" in out
+    out3 = translate("SELECT substring('abc', 0, 2)")
+    assert "ZERO_ARRAY_OR_TUPLE_INDEX" in out3
+    # non-constant offset keeps the '' CASE
+    dyn = translate("SELECT substring('abc', x)")
+    assert "raise_error" not in dyn and "CASE WHEN" in dyn
+    # non-constant length with offset 0 is the dynamic path too
+    dyn2 = translate("SELECT substring('abc', 0, x)")
+    assert "raise_error" not in dyn2
+
+
+def test_ipv4stringtonum_invalid_constant_errors():
+    # FunctionsCodingIP.cpp:1160 — the registered variant is Throw:
+    # invalid constant input -> CANNOT_PARSE_IPV4 (error 675)
+    out = translate("SELECT IPv4StringToNum('not an ip')")
+    assert "CANNOT_PARSE_IPV4" in out
+    ok = translate("SELECT IPv4StringToNum('10.0.0.1')")
+    assert "raise_error" not in ok
+
+
+def test_totals_grouping_sets_trailing_call_paren():
+    # GROUPING SETS element ending in a function call must keep its closing
+    # paren (one balanced outer pair is stripped, not str.strip("()"))
+    out = translate(
+        "SELECT a, toYear(d) AS y, count() FROM t"
+        " GROUP BY GROUPING SETS ((a, toYear(d))) WITH TOTALS"
+    )
+    assert "year(d)" in out and "year(d," not in out.replace("year(d)", "")
+
+
+def test_cube_over_six_columns_with_totals_is_loud():
+    import pytest as _pytest
+
+    from clickhouse_23_3_19_32_lts_spark.dialect import ChSqlError
+
+    with _pytest.raises(ChSqlError):
+        translate(
+            "SELECT count() FROM t GROUP BY CUBE(a,b,c,d,e,f,g) WITH TOTALS"
+        )
+    # 6 columns still translates (64 explicit sets)
+    ok = translate(
+        "SELECT count() FROM t GROUP BY CUBE(a,b,c,d,e,f) WITH TOTALS"
+    )
+    assert "GROUPING SETS" in ok.upper()
+
+
+def test_ipv4_column_comparisons_and_order_by_use_uint32():
+    # with an active session the IPv4StringToNum wrapper renders to its
+    # split/rlike SQL body — assert the conversion wraps the operands, not
+    # the unexpanded name
+    def _converted(sql_out, colname):
+        return f"rlike(({colname})" in sql_out or f"IPv4StringToNum({colname})" in sql_out
+
+    ct = {"ip": "IPv4", "ip2": "IPv4"}
+    out = translate("SELECT * FROM t WHERE ip > ip2 ORDER BY ip DESC", col_ch_types=ct)
+    assert _converted(out, "ip") and _converted(out, "ip2")
+    # ORDER BY key sorts by the UInt32 value, not the dotted string
+    tail = out.split("ORDER BY", 1)[1]
+    assert _converted(tail, "ip") and "DESC" in tail
+    out2 = translate("SELECT ip = toIPv4('1.2.3.4') AS e FROM t", col_ch_types=ct)
+    assert _converted(out2, "ip")
+    # a plain (non-IPv4) ORDER BY key is untouched
+    out3 = translate("SELECT * FROM t ORDER BY ip, x", col_ch_types=ct)
+    assert _converted(out3, "ip") and not _converted(out3, "x")
