@@ -20,10 +20,11 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from clickhouse_23_3_19_32_lts_spark.pipeline.hashing import portable_hash64
+from clickhouse_23_3_19_32_lts_spark.pipeline.spread import spread
 
 
 # ---------------------------------------------------------------------------
@@ -121,6 +122,10 @@ def minhash_lsh_pairs(
         raise ValueError("bands must divide n_hashes")
     rows = n_hashes // bands
 
+    # small-input / expensive-map: parallelize the shingle+md5 explode
+    # across all task slots (no-op at scale — see pipeline/spread.py)
+    df = spread(df, id_col)
+
     # explode + partial-agg signature: ONE md5 per (doc, shingle) row, the
     # 16 permuted mins fold map-side — the shuffle carries |docs|×n_hashes
     # longs, never the shingles. (The expression-form minhash_signature()
@@ -153,11 +158,20 @@ def minhash_lsh_pairs(
         ).alias("__band", "__key"),
     )
 
-    # degenerate-bucket guard: skip band keys shared by > max_bucket docs
-    bucket_sizes = banded.groupBy("__band", "__key").agg(F.count(F.lit(1)).alias("__bn"))
-    banded = banded.join(
-        bucket_sizes.filter(F.col("__bn") <= max_bucket).drop("__bn"),
-        on=["__band", "__key"],
+    # degenerate-bucket guard: skip band keys shared by > max_bucket docs.
+    # A window count over (band, key) instead of groupBy + join-back: the
+    # join form re-planned the whole signature subtree (scan + md5 pass)
+    # once per side PLUS once per bucket-count build — 4 full MinHash
+    # passes over the corpus in the round-8 plan. The window (a) needs no
+    # second copy of the subtree, and (b) leaves the rows hash-partitioned
+    # and sorted on exactly the self-join key, so the pair join below plans
+    # one Exchange whose other side is a ReusedExchange: ONE md5 pass total.
+    banded = (
+        banded.withColumn(
+            "__bn", F.count(F.lit(1)).over(W.partitionBy("__band", "__key"))
+        )
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
     )
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -249,6 +263,7 @@ def simhash_pairs(
         raise ValueError("exactness requires max_hamming < n_blocks")
     width = 60 // n_blocks
 
+    df = spread(df, id_col)
     sh = df.select(F.col(id_col).alias("__id"), simhash60(text_col).alias("__sh"))
     # block keys as a compile-time expression list (shift amounts are ints)
     block_exprs = F.array(
@@ -303,14 +318,22 @@ def ngram_jaccard_pairs(
     a pair sharing ONLY ubiquitous shingles is far below threshold anyway)
     but never the reported similarity values.
     """
+    df = spread(df, id_col)
     sh = df.select(
         F.col(id_col).alias("__id"),
         F.explode(word_shingles(text_col, k)).alias("__sh"),
     )
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
-    freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
-    idx = sh.join(freq.filter(F.col("__f") <= max_bucket).drop("__f"), "__sh")
+    # hot-shingle guard as a window count over __sh rather than
+    # groupBy + join-back: one copy of the exploded-shingle subtree instead
+    # of two, and the rows come out hash-partitioned on __sh — exactly the
+    # inverted-index self-join key, so the candidate join reuses the same
+    # exchange for both sides (round-8 plan re-ran the scan+explode per use).
+    idx = (
+        sh.withColumn("__f", F.count(F.lit(1)).over(W.partitionBy("__sh")))
+        .filter(F.col("__f") <= max_bucket)
+        .drop("__f")
+    )
 
     ia, ib = idx.alias("ia"), idx.alias("ib")
     cand = (
@@ -319,22 +342,21 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        cand.join(a, F.col("a.__id") == F.col("id_a"))
-        .join(b, (F.col("b.__id") == F.col("id_b")) & (F.col("a.__sh") == F.col("b.__sh")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    # verify on the shingle ARRAYS: |A ∩ B| = size(array_intersect) is the
+    # same count the exploded-row groupBy produced (shingles are distinct),
+    # and |A| / |B| ride along as size() — map-only math replacing two more
+    # exploded-row joins, a groupBy and two size-table joins.
+    arrs = df.select(F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("__shs"))
+    da = arrs.select(F.col("__id").alias("id_a"), F.col("__shs").alias("__sa"))
+    db = arrs.select(F.col("__id").alias("id_b"), F.col("__shs").alias("__sb"))
+    c = F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("double")
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(da, "id_a")
+        .join(db, "id_b")
         .select(
             "id_a",
             "id_b",
-            (F.col("__c").cast("double") / (F.col("__na") + F.col("__nb") - F.col("__c"))).alias("jaccard"),
+            (c / (F.size("__sa") + F.size("__sb") - c)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from clickhouse_23_3_19_32_lts_spark.pipeline.spread import spread
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
@@ -69,6 +71,9 @@ def brute_force_topk(
             )
         ),
     }[metric]
+    # small-input / expensive-map: the |probes| cosine evaluations per
+    # vector all happen in the scan task — spread first (no-op at scale)
+    vectors = spread(vectors, id_col)
     scored = vectors.crossJoin(F.broadcast(probes)).select(
         F.col(probe_id_col),
         F.col(id_col),
@@ -108,7 +113,7 @@ def assign_clusters(
         lambda acc, v: acc + v,
     )
     return (
-        vectors.crossJoin(F.broadcast(centroids))
+        spread(vectors, id_col).crossJoin(F.broadcast(centroids))
         .groupBy(id_col)
         .agg(
             F.min_by(centroid_id_col, d2).alias("cluster"),
@@ -253,7 +258,7 @@ def nearest_centroid_blocks(
     )
     w = W.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("block"))
     return (
-        vectors.crossJoin(F.broadcast(centroids))
+        spread(vectors, id_col).crossJoin(F.broadcast(centroids))
         .select(F.col(id_col), F.col(centroid_id_col).alias("block"), d2.alias("__d2"))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
@@ -278,6 +283,7 @@ def embedding_near_dup_pairs(
     (a Column over `vectors`) is the single-key variant. Default (neither)
     is the exact O(n²) pair scan — verification tiers only.
     """
+    vectors = spread(vectors, id_col)
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     if blocks is not None:

@@ -1,0 +1,67 @@
+"""Scale-adaptive input spreading for CPU-heavy map stages.
+
+The pipeline operators (shingle explode + md5, SimHash bit votes, vector
+distances, text metrics) do orders of magnitude more CPU work per input row
+than they do I/O. When the input scan yields fewer partitions than the
+cluster has task slots — single-row-group parquet files, one fat gzip, a
+tiny-but-expensive corpus sample — the whole map stage serializes onto one
+core while the rest idle (guide §2.5 "input skew", §2.6 stragglers).
+
+`spread()` repartitions such an input up to the default parallelism, keyed
+on the row id (deterministic under task retry — guide §2.5 warns against
+rand()-derived keys). It is a NO-OP whenever the scan is already at least
+as parallel as the cluster: at 100 TB a fact-table scan has thousands of
+splits, so no payload shuffle is ever added at scale — this only moves
+kilobytes-to-megabytes in the small-corpus regime where one straggler task
+would otherwise own the whole stage.
+
+Deliberately NOT applied to cheap-per-row scans (TPC-H aggregations):
+shuffling rows whose downstream work is a comparison and an add costs more
+than the decode itself (measured r9: lineitem agg 0.27s single-task vs
+1.43s repartitioned — the payload shuffle dominates; shingle+md5 explode
+2.09s single-task vs 0.39s spread).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _estimated_scan_tasks(df: DataFrame) -> int:
+    """Upper-bound estimate of the scan's parallelism from its input files:
+    sum(ceil(file_size / maxPartitionBytes)). Cheap (one py4j call + stat;
+    `.rdd.getNumPartitions()` would cost ~200 ms of plan conversion per
+    query build). Errs high for single-row-group files bigger than one
+    split — acceptable: the guard then skips the repartition, which is the
+    conservative direction at scale."""
+    import os
+
+    spark = df.sparkSession
+    max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)).rstrip("b"))
+    tasks = 0
+    for f in df.inputFiles():
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return 1 << 30  # non-local storage: assume parallel enough
+        tasks += max(1, -(-size // max_pb))
+    return tasks
+
+
+def spread(df: DataFrame, key: str | Column | None = None) -> DataFrame:
+    """Repartition `df` to the session's default parallelism when (and only
+    when) its input files yield fewer scan tasks — the cheap-input /
+    expensive-map case. Keyed on `key` when given (deterministic placement
+    under retries); round-robin otherwise."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if _estimated_scan_tasks(df) >= target:
+            return df
+    except Exception:  # noqa: BLE001 — non-file plans: fall back to the exact count
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    if key is not None:
+        return df.repartition(target, F.col(key) if isinstance(key, str) else key)
+    return df.repartition(target)

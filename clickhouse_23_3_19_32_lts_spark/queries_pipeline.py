@@ -348,7 +348,11 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan pass, the shape of a corpus-curation filter stage."""
     from clickhouse_23_3_19_32_lts_spark.pipeline import text as T
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    from clickhouse_23_3_19_32_lts_spark.pipeline.spread import spread
+
+    # 200 docs × a heavy regex/HOF battery: spread across task slots after
+    # the pushed-down filter (no-op at scale — pipeline/spread.py)
+    docs = spread(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200), "doc_id")
     return docs.select(
         "doc_id",
         T.token_count("text").cast("long").alias("n_tok"),

@@ -102,17 +102,33 @@ def test_asof_join_single_shuffle_for_keys(spark):
 
 
 def test_dedup_sketch_is_map_side(spark):
-    """MinHash signatures fold in a partial aggregate before any exchange:
-    the shuffle carries (doc, 16 longs), never shingle text."""
+    """MinHash sketch invariants (round 9, post window-guard rewrite):
+    exploded shingle rows NEVER cross a shuffle (the k× text blowup stays
+    inside the scan task), and the signature partial/final aggregates fuse
+    with no exchange between them — the scale-adaptive spread() repartition
+    on doc_id flows through the aliases and already satisfies the groupBy's
+    distribution. The only text that may cross a shuffle is the raw doc row
+    in that spread (a no-op at scale — pipeline/spread.py)."""
     p = plan_of(spark, "q_dedup_minhash_lsh")
     lines = p.splitlines()
-    sig_exchanges = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(__id" in l]
-    assert sig_exchanges, "signature shuffle missing from plan"
-    # tree prints parent-first: the line after each signature Exchange is its
-    # child, which must be the map-side partial fold (doc, 16 longs) -- never
-    # raw shingle rows
-    for i in sig_exchanges:
-        assert "partial_min" in lines[i + 1], "signature fold moved after the shuffle"
+    assert "partial_min" in p, "map-side signature fold missing from plan"
+    # tree prints parent-first: the line after each Exchange is its child;
+    # exploded shingle rows (__s / per-shingle hash __h) must never feed one
+    for i, l in enumerate(lines):
+        if "Exchange" in l and i + 1 < len(lines):
+            assert "__s#" not in lines[i + 1] and "__h#" not in lines[i + 1], (
+                "exploded shingle rows crossed a shuffle"
+            )
+    sig_final = [
+        i
+        for i, l in enumerate(lines)
+        if re.search(r"HashAggregate\(keys=\[__id#\d+L?\], functions=\[min\(", l)
+    ]
+    assert sig_final, "final signature aggregate missing from plan"
+    for i in sig_final:
+        assert "partial_min" in lines[i + 1], (
+            "partial/final signature agg split by a shuffle"
+        )
 
 
 def test_embedding_near_dup_no_pair_cartesian(spark):
