@@ -55,6 +55,20 @@ def _nanos_ts_columns(path: str) -> list[str]:
     ]
 
 
+# Inferred-schema memo keyed on (path, mtime_ns, size): schema inference via
+# spark.read.parquet costs ~160 ms of driver time per call (a footer-reading
+# job), ~35 ms with an explicit schema. This caches only METADATA — which
+# columns exist and their types — never data or results; any rewrite of the
+# file/directory changes the stat key and re-infers. The same role Spark's
+# own filesourcePartitionFileCacheSize plays for file listings (guide §6).
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _stat_key(path: str) -> tuple:
+    st = os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)
+
+
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     """spark.read.parquet + ns→µs timestamp restoration.
 
@@ -69,7 +83,17 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:  # noqa: BLE001 — conf may be locked; reads then fail loudly
             pass
-    df = spark.read.parquet(path)
+    try:
+        key = _stat_key(path)
+    except OSError:
+        key = None
+    schema = _SCHEMA_CACHE.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
     for c in nanos_cols:
         # integer division: double division would lose precision at ~1.7e18 ns
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

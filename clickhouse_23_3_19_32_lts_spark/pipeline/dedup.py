@@ -174,28 +174,35 @@ def minhash_lsh_pairs(
         .drop("__bn")
     )
 
+    # estimate per matched bucket row, BEFORE the pair dedup: a pair's
+    # signatures are identical in every band it collides in, so first() over
+    # the per-row estimate equals the old carry-the-arrays-then-estimate
+    # form — but the (id_a, id_b) exchange now moves one double instead of
+    # two 16-long arrays, and a double agg buffer keeps the dedup in a
+    # HashAggregate (the array-typed first() planned a SortAggregate).
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("a.__sig"), F.col("b.__sig"), lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / n_hashes
+    )
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.__band") == F.col("b.__band"))
             & (F.col("a.__key") == F.col("b.__key"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.first("a.__sig").alias("__sa"), F.first("b.__sig").alias("__sb"))
-    )
-
-    est = (
-        F.aggregate(
-            F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ).cast("double")
-        / n_hashes
-    )
-    return (
-        pairs.withColumn("est_jaccard", est)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

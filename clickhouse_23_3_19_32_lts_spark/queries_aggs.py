@@ -315,42 +315,44 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """windowFunnel(7d)(ts, signup, view, purchase)
     (AggregateFunctionWindowFunnel.cpp): deepest chain signup→view→purchase
-    within 7 days of the signup. Level-by-level conditional-min joins —
-    each level is one agg + one broadcast-able join on user_id (at 100 TB
-    the per-level frames are |users|, far smaller than events)."""
+    within 7 days of the signup.
+
+    Single-pass shape (round 9; the reference's own design — windowFunnel
+    keeps per-key event lists in its aggregate state): ONE scan and ONE
+    user_id shuffle carrying (min signup ts, view/purchase ts lists), then
+    the level logic is array math. The previous level-by-level join form
+    scanned events 3× and shuffled each level's join (7 scans / 15
+    exchanges in the audited plan → 1 scan / 2 exchanges). Level math is
+    identical: ts2 = min view ts in (ts1, ts1+7d], ts3 = min purchase ts in
+    (ts2, ts1+7d] — null ts2 nulls the ts3 predicate, so the chain gates
+    exactly like the join form. Skew note: one user's lists are bounded by
+    their own event count — the same state the reference holds per key."""
     ev = _t(spark, sf_dir, "events")
-    t1 = (
-        ev.filter(F.col("event_type") == "signup")
+    per = (
+        ev.select("user_id", "ts", "event_type")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("ts1"))
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("ts1"),
+            # when() without otherwise yields NULL for other types and
+            # collect_list drops NULLs: each list holds just that type's ts
+            F.collect_list(F.when(F.col("event_type") == "view", F.col("ts"))).alias("__v"),
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("__p"),
+        )
+        .filter(F.col("ts1").isNotNull())
     )
     deadline = F.col("ts1") + F.expr("INTERVAL 7 DAY")
-    t2 = (
-        ev.join(t1, "user_id")
-        .filter((F.col("event_type") == "view") & (F.col("ts") > F.col("ts1")) & (F.col("ts") <= deadline))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts2"))
+    ts2 = F.array_min(
+        F.filter("__v", lambda t: (t > F.col("ts1")) & (t <= deadline))
     )
-    t3 = (
-        ev.join(t1, "user_id")
-        .join(t2, "user_id")
-        .filter(
-            (F.col("event_type") == "purchase")
-            & (F.col("ts") > F.col("ts2"))
-            & (F.col("ts") <= deadline)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts3"))
+    per = per.withColumn("ts2", ts2)
+    ts3 = F.array_min(
+        F.filter("__p", lambda t: (t > F.col("ts2")) & (t <= deadline))
     )
-    levels = (
-        t1.join(t2, "user_id", "left")
-        .join(t3, "user_id", "left")
-        .select(
-            F.when(F.col("ts3").isNotNull(), 3)
-            .when(F.col("ts2").isNotNull(), 2)
-            .otherwise(1)
-            .alias("level")
-        )
+    levels = per.select(
+        F.when(ts3.isNotNull(), 3)
+        .when(F.col("ts2").isNotNull(), 2)
+        .otherwise(1)
+        .alias("level")
     )
     return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users")).orderBy("level")
 
