@@ -126,36 +126,43 @@ def minhash_lsh_pairs(
     # across all task slots (no-op at scale — see pipeline/spread.py)
     df = spread(df, id_col)
 
+    # Construction is SQL-string expressions (F.expr/selectExpr): the
+    # combinator form cost ~2000 py4j round trips ≈ 0.4 s of driver time
+    # per build (profiled r9); the strings parse JVM-side to the identical
+    # analyzed expressions (oracle hash-proven).
+
     # explode + partial-agg signature: ONE md5 per (doc, shingle) row, the
     # 16 permuted mins fold map-side — the shuffle carries |docs|×n_hashes
     # longs, never the shingles. (The expression-form minhash_signature()
     # computes identical values; this form guarantees the single hash pass.)
-    hashed = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(text_col, k)).alias("__s"),
-    ).select("__id", shingle_base_hash(F.col("__s")).alias("__h"))
+    w = f"split(`{text_col}`, ' ')"
+    shingles = (
+        f"array_distinct(transform(sequence(1, greatest(size({w}) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({w}, i, {k}))))"
+    )
+    hashed = df.selectExpr(
+        f"`{id_col}` as __id", f"explode({shingles}) as __s"
+    ).selectExpr("__id", "cast(conv(substring(md5(__s), 1, 7), 16, 10) as bigint) as __h")
     sig = (
         hashed.groupBy("__id")
         .agg(
             *[
-                F.min((F.col("__h") * a + b) % MINHASH_P).alias(f"__m{i}")
+                F.expr(f"min((__h * {a} + {b}) % {MINHASH_P})").alias(f"__m{i}")
                 for i, (a, b) in enumerate(_MIX[:n_hashes])
             ]
         )
-        .select("__id", F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("__sig"))
+        .selectExpr(
+            "__id",
+            "array(" + ", ".join(f"__m{i}" for i in range(n_hashes)) + ") as __sig",
+        )
     )
 
-    banded = sig.select(
+    banded = sig.selectExpr(
         "__id",
         "__sig",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws(",", F.transform(
-                    F.slice(F.col("__sig"), b * rows + 1, rows), lambda v: v.cast("string")
-                )),
-            )
-        ).alias("__band", "__key"),
+        f"posexplode(transform(sequence(0, {bands - 1}),"
+        f" b -> concat_ws(',', transform(slice(__sig, b * {rows} + 1, {rows}),"
+        f" v -> cast(v as string))))) as (__band, __key)",
     )
 
     # degenerate-bucket guard: skip band keys shared by > max_bucket docs.
@@ -168,7 +175,7 @@ def minhash_lsh_pairs(
     # one Exchange whose other side is a ReusedExchange: ONE md5 pass total.
     banded = (
         banded.withColumn(
-            "__bn", F.count(F.lit(1)).over(W.partitionBy("__band", "__key"))
+            "__bn", F.expr("count(1) over (partition by __band, __key)")
         )
         .filter(F.col("__bn") <= max_bucket)
         .drop("__bn")
@@ -180,26 +187,17 @@ def minhash_lsh_pairs(
     # form — but the (id_a, id_b) exchange now moves one double instead of
     # two 16-long arrays, and a double agg buffer keeps the dedup in a
     # HashAggregate (the array-typed first() planned a SortAggregate).
-    est = (
-        F.aggregate(
-            F.zip_with(F.col("a.__sig"), F.col("b.__sig"), lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ).cast("double")
-        / n_hashes
-    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.__band") == F.col("b.__band"))
-            & (F.col("a.__key") == F.col("b.__key"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            F.expr("a.__band = b.__band and a.__key = b.__key and a.__id < b.__id"),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            est.alias("est_jaccard"),
+        .selectExpr(
+            "a.__id as id_a",
+            "b.__id as id_b",
+            "cast(aggregate(zip_with(a.__sig, b.__sig, (x, y) -> cast((x = y) as int)),"
+            f" 0, (acc, v) -> acc + v) as double) / {n_hashes} as est_jaccard",
         )
         .groupBy("id_a", "id_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))

@@ -71,9 +71,6 @@ def brute_force_topk(
             )
         ),
     }[metric]
-    # small-input / expensive-map: the |probes| cosine evaluations per
-    # vector all happen in the scan task — spread first (no-op at scale)
-    vectors = spread(vectors, id_col)
     scored = vectors.crossJoin(F.broadcast(probes)).select(
         F.col(probe_id_col),
         F.col(id_col),
@@ -287,18 +284,25 @@ def embedding_near_dup_pairs(
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     if blocks is not None:
-        x = blocks.select(F.col(id_col).alias("id_a"), "block")
-        y = blocks.select(F.col(id_col).alias("id_b"), "block")
-        cand = (
+        # attach each vector to its block rows ONCE, score inline on the
+        # keyed block join, then dedup pairs on a double. The previous
+        # shape (pair distinct, then two joins back to the vector table)
+        # shuffled the vector table twice more and planned an SMJ on the
+        # candidate ids; a pair's cosine is identical in every shared
+        # block, so first() after the (id_a, id_b) groupBy equals the old
+        # distinct-then-score form.
+        bv = blocks.select(F.col(id_col).alias("__id"), "block").join(
+            vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+            "__id",
+        )
+        x = bv.select(F.col("__id").alias("id_a"), "block", F.col("__v").alias("__va"))
+        y = bv.select(F.col("__id").alias("id_b"), "block", F.col("__v").alias("__vb"))
+        return (
             x.join(y, "block")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        return (
-            cand.join(a, "id_a")
-            .join(b, "id_b")
             .select("id_a", "id_b", cosine_sim("__va", "__vb").alias("cos_sim"))
+            .groupBy("id_a", "id_b")
+            .agg(F.first("cos_sim").alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold)
         )
     if block_on is not None:

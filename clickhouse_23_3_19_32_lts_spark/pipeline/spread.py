@@ -9,7 +9,11 @@ core while the rest idle (guide §2.5 "input skew", §2.6 stragglers).
 
 `spread()` repartitions such an input up to the default parallelism, keyed
 on the row id (deterministic under task retry — guide §2.5 warns against
-rand()-derived keys). It is a NO-OP whenever the scan is already at least
+rand()-derived keys). Apply it where per-row work dominates by orders of
+magnitude (shingle+md5 explode, centroid-distance batteries, regex-heavy
+text metrics); skip it where the shuffle costs more than it parallelizes
+(plain aggregations, broadcast-probe scorers like brute-force top-k —
+measured 0.74s -> 0.97s WITH spread there). It is a NO-OP whenever the scan is already at least
 as parallel as the cluster: at 100 TB a fact-table scan has thousands of
 splits, so no payload shuffle is ever added at scale — this only moves
 kilobytes-to-megabytes in the small-corpus regime where one straggler task

@@ -38,31 +38,83 @@ def _c(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# Build-cost note (round 9): every F.* call and every HOF lambda costs a
+# py4j round trip; this battery built per-query cost ~0.3 s of pure driver
+# time (measured — more than its sf0.1 execution). When the input is a plain
+# column NAME each metric renders as ONE SQL string for F.expr (a single
+# parse call, identical analyzed expression); Column inputs keep the
+# combinator path for programmatic callers. Both paths are oracle-proven by
+# q_text_metrics' hash check.
+
+
+def _ident(name: str) -> str:
+    return f"`{name}`"
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count."""
+    if isinstance(text, str):
+        return F.expr(f"size(split({_ident(text)}, '\\\\s+'))")
     return F.size(F.split(_c(text), "\\s+"))
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:
     """Token count under the BPE-ish regex (letters/digits/symbols split)."""
+    if isinstance(text, str):
+        return F.expr(
+            f"size(regexp_extract_all({_ident(text)}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))"
+        )
     return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_ISH_RE), 0))
+
+
+def _punct_ratio_sql(t: str) -> str:
+    return (
+        f"cast(length(regexp_replace({t}, '[A-Za-z0-9\\\\s]', '')) as double)"
+        f" / greatest(length({t}), 1)"
+    )
 
 
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of non-alphanumeric, non-space characters."""
+    if isinstance(text, str):
+        return F.expr(_punct_ratio_sql(_ident(text)))
     t = _c(text)
     n_punct = F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", ""))
     return n_punct.cast("double") / F.greatest(F.length(t), F.lit(1))
 
 
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+def _stopword_ratio_sql(t: str, stopwords: tuple[str, ...]) -> str:
+    w = f"split(lower({t}), '\\\\s+')"
+    return (
+        f"cast(size(filter({w}, x -> x in ({_in_list(stopwords)}))) as double)"
+        f" / greatest(size({w}), 1)"
+    )
+
+
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
     """Fraction of whitespace tokens that are (lowercase) stopwords."""
+    if isinstance(text, str):
+        return F.expr(_stopword_ratio_sql(_ident(text), stopwords))
     w = F.split(F.lower(_c(text)), "\\s+")
     hits = F.size(F.filter(w, lambda x: x.isin(*stopwords)))
     return hits.cast("double") / F.greatest(F.size(w), F.lit(1))
 
 
+def _mean_word_len_sql(t: str) -> str:
+    w = f"split({t}, '\\\\s+')"
+    return (
+        f"cast(aggregate({w}, 0, (acc, x) -> acc + length(x)) as double)"
+        f" / greatest(size({w}), 1)"
+    )
+
+
 def mean_word_len(text: Column | str) -> Column:
+    if isinstance(text, str):
+        return F.expr(_mean_word_len_sql(_ident(text)))
     w = F.split(_c(text), "\\s+")
     total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
     return total.cast("double") / F.greatest(F.size(w), F.lit(1))
@@ -72,6 +124,15 @@ def quality_score(text: Column | str) -> Column:
     """Heuristic quality in [0,1]: length band + word-length band + low
     punctuation + some stopword signal. The standard pre-filter shape for
     corpus curation (cf. C4/Gopher rules) as one codegen'd expression."""
+    if isinstance(text, str):
+        t = _ident(text)
+        n_tok = f"size(split({t}, '\\\\s+'))"
+        return F.expr(
+            f"cast(({n_tok} >= 10 and {n_tok} <= 10000) as double) * 0.4d"
+            f" + cast((({_mean_word_len_sql(t)}) >= 2.0d and ({_mean_word_len_sql(t)}) <= 12.0d) as double) * 0.3d"
+            f" + cast(({_punct_ratio_sql(t)}) <= 0.2d as double) * 0.2d"
+            f" + cast(({_stopword_ratio_sql(t, STOPWORDS)}) >= 0.01d as double) * 0.1d"
+        )
     t = _c(text)
     n_tok = token_count(t)
     len_ok = (n_tok >= 10) & (n_tok <= 10000)
@@ -92,6 +153,21 @@ def language_id(text: Column | str) -> Column:
 
     Ties break by language-code order (deterministic, oracle-matching).
     """
+    if isinstance(text, str):
+        w = f"split(lower({_ident(text)}), '\\\\s+')"
+        hits = {
+            lang: f"size(filter({w}, x -> x in ({_in_list(LANG_MARKERS[lang])})))"
+            for lang in sorted(LANG_MARKERS)
+        }
+        # same fold as the Column path: scan languages in code order and
+        # keep the strictly-better score — rendered as one nested CASE
+        best_lang, best_score = "'und'", "0"
+        for lang in sorted(LANG_MARKERS):
+            better = f"({hits[lang]}) > ({best_score})"
+            best_lang = f"case when {better} then '{lang}' else {best_lang} end"
+            best_score = f"case when {better} then ({hits[lang]}) else ({best_score}) end"
+        return F.expr(best_lang)
+
     w = F.split(F.lower(_c(text)), "\\s+")
 
     def marker_hits(lang: str):
@@ -116,6 +192,11 @@ def doc_fingerprint(text: Column | str) -> Column:
     Robust content identity for shift-detection / fast exact-dup checks;
     same value computable in the DuckDB oracle.
     """
+    if isinstance(text, str):
+        return F.expr(
+            f"aggregate(split({_ident(text)}, '\\\\s+'), cast(0 as bigint),"
+            f" (acc, x) -> (acc * 31 + cast(conv(substring(md5(x), 1, 7), 16, 10) as bigint)) % {_FP_MOD})"
+        )
     w = F.split(_c(text), "\\s+")
     h = lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long")  # 28-bit
     return F.aggregate(
