@@ -22,6 +22,18 @@ LIST = os.path.join(os.path.dirname(__file__), "golden_corpus.txt")
 with open(LIST) as fh:
     CORPUS = [line.strip() for line in fh if line.strip()]
 
+# Optional sharding for environments that reap long-busy JVMs (round 9: the
+# sandbox silently killed the session JVM 20-40 min into three full-suite
+# runs — no hs_err, no kernel OOM record — cascading ConnectionRefused over
+# every later test; each "failed" test passes in isolation). Set
+# SPARK_GRAFT_GOLDEN_SHARD="i/n" to run the i-th of n interleaved slices in
+# its own pytest process. Unset (the default, and what CI/the driver runs)
+# = the full corpus in one process.
+_SHARD = os.environ.get("SPARK_GRAFT_GOLDEN_SHARD")
+if _SHARD:
+    _i, _n = (int(x) for x in _SHARD.split("/"))
+    CORPUS = [c for _j, c in enumerate(CORPUS) if _j % _n == _i]
+
 
 _RESET_EVERY = 100
 _run_count = [0]
