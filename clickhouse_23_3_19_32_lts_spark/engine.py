@@ -55,7 +55,7 @@ def _nanos_ts_columns(path: str) -> list[str]:
     ]
 
 
-# Inferred-schema memo keyed on (path, mtime_ns, size): schema inference via
+# Inferred-schema memo keyed on the file stat: schema inference via
 # spark.read.parquet costs ~160 ms of driver time per call (a footer-reading
 # job), ~35 ms with an explicit schema. This caches only METADATA — which
 # columns exist and their types — never data or results; any rewrite of the
@@ -63,10 +63,33 @@ def _nanos_ts_columns(path: str) -> list[str]:
 # own filesourcePartitionFileCacheSize plays for file listings (guide §6).
 _SCHEMA_CACHE: dict[tuple, object] = {}
 
+# DataFrame-HANDLE memo (round 10): even with the schema memo, each
+# spark.read.schema(s).parquet(path) call costs ~30 ms of py4j/DataSource-
+# resolution driver time; star queries read up to 7 tables, so table-read
+# chatter alone was ~0.2 s per build. A DataFrame is an immutable, lazy plan
+# handle — reusing it never reuses data or results (every action re-executes
+# from the parquet files), so this is plan-metadata caching in the same
+# class as the schema memo above. Keyed on the file stat plus the owning
+# SparkSession (a handle from a stopped/other session must never leak in).
+_DF_CACHE: dict[tuple, tuple] = {}
+
 
 def _stat_key(path: str) -> tuple:
+    """Stat-based staleness key. For a DIRECTORY table an in-place rewrite
+    of a contained part file need not change the directory's own
+    mtime/size, so fold in the max (mtime_ns, size) over the contained
+    *.parquet files (one scandir level — the fixture layout)."""
     st = os.stat(path)
-    return (path, st.st_mtime_ns, st.st_size)
+    key: tuple = (path, st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        newest = (0, 0)
+        with os.scandir(path) as it:
+            for e in it:
+                if e.name.endswith(".parquet"):
+                    est = e.stat()
+                    newest = max(newest, (est.st_mtime_ns, est.st_size))
+        key += newest
+    return key
 
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
@@ -75,6 +98,15 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     DuckDB truncates ns→µs the same way (its TIMESTAMP is µs), so the oracle
     sees identical values. The division happens in codegen, JVM-side.
     """
+    try:
+        key = _stat_key(path)
+    except OSError:
+        key = None
+    if key is not None:
+        hit = _DF_CACHE.get(key)
+        # identity check: only reuse a handle created by THIS session object
+        if hit is not None and hit[0] is spark:
+            return hit[1]
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols:
         # Spark 4 rejects TIMESTAMP(NANOS) outright unless this (runtime-
@@ -83,10 +115,6 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:  # noqa: BLE001 — conf may be locked; reads then fail loudly
             pass
-    try:
-        key = _stat_key(path)
-    except OSError:
-        key = None
     schema = _SCHEMA_CACHE.get(key) if key is not None else None
     if schema is not None:
         df = spark.read.schema(schema).parquet(path)
@@ -97,6 +125,8 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     for c in nanos_cols:
         # integer division: double division would lose precision at ~1.7e18 ns
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if key is not None:
+        _DF_CACHE[key] = (spark, df)
     return df
 
 

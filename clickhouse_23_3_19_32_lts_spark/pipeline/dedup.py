@@ -334,34 +334,67 @@ def ngram_jaccard_pairs(
     # of two, and the rows come out hash-partitioned on __sh — exactly the
     # inverted-index self-join key, so the candidate join reuses the same
     # exchange for both sides (round-8 plan re-ran the scan+explode per use).
-    idx = (
-        sh.withColumn("__f", F.count(F.lit(1)).over(W.partitionBy("__sh")))
-        .filter(F.col("__f") <= max_bucket)
-        .drop("__f")
-    )
+    shf = sh.withColumn("__f", F.count(F.lit(1)).over(W.partitionBy("__sh")))
+    idx = shf.filter(F.col("__f") <= max_bucket).drop("__f")
 
+    # Candidate pairs WITH their common-shingle count in one aggregation:
+    # per-doc shingles are distinct, so the index self-join emits exactly
+    # one row per (pair, common non-hot shingle) and count(*) IS
+    # |A ∩ B ∩ non-hot|. Round-9 shape `distinct` + re-join both docs'
+    # full shingle arrays + array_intersect paid ~110 string hashes per
+    # surviving pair (36.5M join rows → 12.5M pairs × 54-element arrays at
+    # sf0.1); the groupBy rides the identical exchange the distinct used
+    # and replaces the array verify with integer math.
     ia, ib = idx.alias("ia"), idx.alias("ib")
-    cand = (
+    pairs = (
         ia.join(ib, (F.col("ia.__sh") == F.col("ib.__sh")) & (F.col("ia.__id") < F.col("ib.__id")))
-        .select(F.col("ia.__id").alias("id_a"), F.col("ib.__id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("ia.__id").alias("id_a"),
+            F.col("ib.__id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
 
-    # verify on the shingle ARRAYS: |A ∩ B| = size(array_intersect) is the
-    # same count the exploded-row groupBy produced (shingles are distinct),
-    # and |A| / |B| ride along as size() — map-only math replacing two more
-    # exploded-row joins, a groupBy and two size-table joins.
-    arrs = df.select(F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("__shs"))
-    da = arrs.select(F.col("__id").alias("id_a"), F.col("__shs").alias("__sa"))
-    db = arrs.select(F.col("__id").alias("id_b"), F.col("__shs").alias("__sb"))
-    c = F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("double")
+    # Exactness correction for the shingles the index guard dropped:
+    # |A ∩ B| = |A ∩ B ∩ non-hot| + |A_hot ∩ B_hot|, where the per-doc hot
+    # arrays hold only shingles shared by > max_bucket docs — a set bounded
+    # by (total shingle rows / max_bucket), i.e. tiny (empty at the test
+    # SFs) — so the intersect is over near-empty arrays, never the full
+    # shingle sets. Doc sizes |A|, |B| ride along on the same per-doc meta
+    # row. The meta joins are keyed on the doc id and left to the planner
+    # (broadcast locally; plain shuffle joins at corpus scale).
+    hot = shf.filter(F.col("__f") > max_bucket).groupBy("__id").agg(
+        F.collect_set("__sh").alias("__hot")
+    )
+    empty = F.expr("cast(array() as array<string>)")
+    meta = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.size(word_shingles(text_col, k)).alias("__n"),
+        )
+        .join(hot, "__id", "left")
+        .select("__id", "__n", F.coalesce(F.col("__hot"), empty).alias("__hot"))
+    )
+    ma = meta.select(
+        F.col("__id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.col("__hot").alias("__ha"),
+    )
+    mb = meta.select(
+        F.col("__id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__hot").alias("__hb"),
+    )
+    c = (
+        F.col("__c") + F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+    ).cast("double")
     return (
-        cand.join(da, "id_a")
-        .join(db, "id_b")
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
         .select(
             "id_a",
             "id_b",
-            (c / (F.size("__sa") + F.size("__sb") - c)).alias("jaccard"),
+            (c / (F.col("__na") + F.col("__nb") - c)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -28,29 +28,58 @@ than the decode itself (measured r9: lineitem agg 0.27s single-task vs
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
-def _estimated_scan_tasks(df: DataFrame) -> int:
+
+def _parse_bytes(conf: str, default: int = 128 * 1024 * 1024) -> int:
+    """Parse a Spark size conf ('134217728', '134217728b', '128m', '1g',
+    '128MB'). Returns `default` on anything unrecognized rather than
+    falling through to an expensive plan-conversion fallback."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", conf, re.IGNORECASE)
+    if not m:
+        return default
+    return int(m.group(1)) * _SIZE_SUFFIX.get(m.group(2).lower(), 1)
+
+
+def _estimated_scan_tasks(df: DataFrame, target: int) -> int:
     """Upper-bound estimate of the scan's parallelism from its input files:
     sum(ceil(file_size / maxPartitionBytes)). Cheap (one py4j call + stat;
     `.rdd.getNumPartitions()` would cost ~200 ms of plan conversion per
     query build). Errs high for single-row-group files bigger than one
     split — acceptable: the guard then skips the repartition, which is the
-    conservative direction at scale."""
+    conservative direction at scale. Short-circuits at `target`: at 100 TB
+    the file list has 10^5-10^6 entries and the answer is known after the
+    first handful, so the stat loop must not walk (or even materialize
+    per-entry work over) the whole list. An EMPTY file list (in-memory
+    sources: createDataFrame, range) is reported as "unknown" via
+    ValueError so the caller uses the exact partition count instead of
+    pointlessly re-shuffling an already-parallel input."""
     import os
 
     spark = df.sparkSession
-    max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)).rstrip("b"))
+    max_pb = _parse_bytes(
+        spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+        )
+    )
+    files = df.inputFiles()
+    if not files:
+        raise ValueError("no input files — parallelism unknown")
     tasks = 0
-    for f in df.inputFiles():
+    for f in files:
         path = f[len("file:"):] if f.startswith("file:") else f
         try:
             size = os.path.getsize(path)
         except OSError:
             return 1 << 30  # non-local storage: assume parallel enough
         tasks += max(1, -(-size // max_pb))
+        if tasks >= target:  # early exit: answer already decided
+            return tasks
     return tasks
 
 
@@ -61,7 +90,7 @@ def spread(df: DataFrame, key: str | Column | None = None) -> DataFrame:
     under retries); round-robin otherwise."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        if _estimated_scan_tasks(df) >= target:
+        if _estimated_scan_tasks(df, target) >= target:
             return df
     except Exception:  # noqa: BLE001 — non-file plans: fall back to the exact count
         if df.rdd.getNumPartitions() >= target:

@@ -838,35 +838,38 @@ _load_query_modules()
 # still pass the full local gate (tests/test_queries_oracle.py runs ALL of
 # them); this only chooses which subset the driver re-proves first.
 _GATE_FIRST = [
-    # round-9 rotation (verdict r8 ask #3, three-cohort schedule): with 108
+    # round-10 rotation (three-cohort schedule, installed r9): with 108
     # rows and a 50-row driver gate, steady state is a period-3 rotation.
-    # r9 gates (a) the 8 rows whose newest driver proof is r6 (displaced by
-    # the new SSB queries in r8), then (b) 42 of the 50-row r7 cohort. The
-    # 8 r7-cohort rows rolled past the 50-cut (positions 51-58) are exactly
-    # ones bench.py re-executes EVERY round (q01/q03/q09/q10/q13/
-    # ssb_q1_1/q2_1/q3_1) so they carry an independent per-round execution
-    # proof while they wait for the r10 gate; r10 then gates them + 42 of
-    # the r8 cohort. No row's oracle proof ages past ~2 driver rounds, and
-    # every row is ALSO proven each round by tests/test_queries_oracle.py.
-    "q18_large_volume_customers", "q_agg_if_combinators",
-    "q_avg_weighted_corr", "q_bitwise_aggs", "q_histogram", "q_retention",
-    "q_sequence_match", "q_window_funnel", "q02_top_supplier_per_nation",
-    "q04_order_priority", "q07_nation_volume", "q08_market_share",
-    "q12_priority_shipping", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q19_discounted_revenue", "q22_global_sales_opportunity",
-    "q_agg_array_combinator", "q_ann_ivf", "q_ann_topk", "q_anova",
-    "q_categorical_iv", "q_compat_aggs", "q_cross_tab_stats",
-    "q_dedup_minhash_lsh", "q_delta_sum", "q_entropy", "q_grouping_sets",
-    "q_limit_offset", "q_linear_regression", "q_mann_whitney",
-    "q_max_intersections", "q_moving_agg", "q_nonnegative_derivative",
-    "q_sequence_count", "q_sequence_next_node", "q_set_ops_all",
-    "q_state_merge", "q_stats_moments", "q_sum_map", "q_time_decayed_sum",
-    "q_uniq_approx", "q_welch_ttest", "q_window_groups_emulation",
-    "q_window_ntile_nth", "q_window_range_frame", "ssb_q1_2", "ssb_q4_1",
+    # r10 gates (a) the 8 rows whose r9 position was 51-58 (q01/q03/q09/
+    # q10/q13/ssb_q1_1/q2_1/q3_1 — all bench headliners, so they carried
+    # per-round execution proof while waiting), then (b) 42 of the 50-row
+    # r8 cohort — crucially INCLUDING the four pipeline queries rewritten
+    # in r9 (q_text_metrics, q_ngram_jaccard, q_dedup_simhash,
+    # q_embedding_near_dup/_exact) whose post-rewrite oracle proof the r9
+    # rotation missed (VERDICT r9 item 1). The 8 r8-cohort rows rolled
+    # past the 50-cut (positions 51-58: q05/q06/q_window_order_rank/
+    # q_limit_by/q_count_distinct/q_events_tumble/q_events_json/
+    # q_asof_join) are again exactly ones bench.py re-executes EVERY round;
+    # r11 gates them + the r9 cohort. No row's oracle proof ages past ~2
+    # driver rounds, and every row is ALSO proven each round by
+    # tests/test_queries_oracle.py.
     "q01_pricing_summary", "q03_shipping_priority", "q09_product_profit",
     "q10_returned_items", "q13_customer_distribution", "ssb_q1_1", "ssb_q2_1",
     "ssb_q3_1",
+    "ssb_q1_3", "ssb_q2_2", "ssb_q2_3", "ssb_q3_2", "ssb_q3_3", "ssb_q3_4",
+    "ssb_q4_2", "ssb_q4_3", "q11_important_stock", "q20_potential_promotion",
+    "q21_suppliers_kept_waiting", "q_join_semi", "q_join_anti", "q_rollup",
+    "q_cube", "q_set_ops", "q_events_datetime", "q_argminmax",
+    "q_string_funcs", "q_date_funcs", "q_math_funcs", "q_vector_distance",
+    "q_array_funcs", "q_any_join", "q_with_fill", "q_with_totals",
+    "q_sample_deterministic", "q_array_join", "q_final_replacing",
+    "q_session_window", "q_join_kinds", "q_point_in_polygon",
+    "q_with_fill_multi", "q_dedup_exact", "q_dedup_simhash",
+    "q_ngram_jaccard", "q_embedding_near_dup", "q_embedding_near_dup_exact",
+    "q_text_metrics", "q_quantiles", "q_group_array", "q_topk",
+    "q05_regional_revenue", "q06_revenue_change", "q_window_order_rank",
+    "q_limit_by", "q_count_distinct", "q_events_tumble", "q_events_json",
+    "q_asof_join",
 ]
 
 

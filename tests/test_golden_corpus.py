@@ -6,88 +6,98 @@ The list is the frozen auto-curated subset of /root/reference/tests/queries/
 0_stateless/ that is expressible without DDL/streaming/engine-internals;
 tools/golden.py documents the formatting rules. Regressions here mean a
 dialect or semantics break, so the whole list runs in CI.
+
+Execution model (round 10): the corpus runs as N subprocess chunks, each
+with its OWN short-lived JVM (tools/golden_chunk.py). Round 9 proved that
+one shared JVM kept busy for 20-40 minutes gets silently reaped by the
+sandbox (no hs_err, no kernel OOM log; each "failed" test passes alone),
+and that a 16g heap cap alone does not prevent it. Chunked subprocesses
+bound per-JVM busy time to a few minutes. Set SPARK_GRAFT_GOLDEN_INPROC=1
+to fall back to the old in-process per-test parametrization for debugging
+(e.g. `SPARK_GRAFT_GOLDEN_INPROC=1 pytest -k 01354`).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import subprocess
+import sys
 
 import pytest
 
-from tools.golden import run_golden
-
 BASE = "/root/reference/tests/queries/0_stateless"
 LIST = os.path.join(os.path.dirname(__file__), "golden_corpus.txt")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 with open(LIST) as fh:
     CORPUS = [line.strip() for line in fh if line.strip()]
 
-# Optional sharding for environments that reap long-busy JVMs (round 9: the
-# sandbox silently killed the session JVM 20-40 min into three full-suite
-# runs — no hs_err, no kernel OOM record — cascading ConnectionRefused over
-# every later test; each "failed" test passes in isolation). Set
-# SPARK_GRAFT_GOLDEN_SHARD="i/n" to run the i-th of n interleaved slices in
-# its own pytest process. Unset (the default, and what CI/the driver runs)
-# = the full corpus in one process.
-_SHARD = os.environ.get("SPARK_GRAFT_GOLDEN_SHARD")
-if _SHARD:
-    _i, _n = (int(x) for x in _SHARD.split("/"))
-    CORPUS = [c for _j, c in enumerate(CORPUS) if _j % _n == _i]
+_INPROC = os.environ.get("SPARK_GRAFT_GOLDEN_INPROC")
 
-
-_RESET_EVERY = 100
-_run_count = [0]
-
-
-def _periodic_session_reset(spark):
-    """One shared session runs the whole ~1300-test corpus; cached plans,
-    leftover temp views and accumulated catalog state slow the tail and can
-    eventually kill the JVM. Every _RESET_EVERY tests, drop what tests left
-    behind (keeps a long run's per-test cost flat)."""
-    _run_count[0] += 1
-    if _run_count[0] % _RESET_EVERY:
-        return
-    try:
-        spark.catalog.clearCache()
-        for tbl in spark.catalog.listTables():
-            if tbl.isTemporary:
-                try:
-                    spark.catalog.dropTempView(tbl.name)
-                except Exception:  # noqa: BLE001
-                    pass
-    except Exception:  # noqa: BLE001
-        pass
+# ~130 tests per chunk: ~2-3 min of JVM busy time each, far below the
+# observed 20-40 min reap horizon, while keeping JVM startup overhead
+# (~15 s/chunk) a small fraction of the corpus wall time.
+_NCHUNKS = max(1, (len(CORPUS) + 129) // 130)
 
 
 @pytest.mark.skipif(not os.path.isdir(BASE), reason="reference corpus not present")
-@pytest.mark.parametrize("name", CORPUS)
-def test_golden(name, spark):
-    _periodic_session_reset(spark)
-    # per-test guard: a JVM-side runaway can't be interrupted by SIGALRM
-    # alone (the py4j recv blocks), so cancel Spark jobs from a watchdog
-    import signal
-    import threading
+@pytest.mark.skipif(bool(_INPROC), reason="in-process mode selected")
+@pytest.mark.parametrize("chunk", range(_NCHUNKS))
+def test_golden_chunk(chunk):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "golden_chunk.py"),
+         str(chunk), str(_NCHUNKS)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, (
+        f"chunk {chunk}/{_NCHUNKS}: no JSON result (rc={proc.returncode})\n"
+        f"stdout tail: {proc.stdout[-1000:]}\nstderr tail: {proc.stderr[-2000:]}"
+    )
+    res = json.loads(lines[-1])
+    assert not res["failed"], (
+        f"chunk {chunk}/{_NCHUNKS}: {len(res['failed'])}/{res['total']} failed:\n"
+        + "\n".join(f"  {f['name']}: {f['msg'][:400]}" for f in res["failed"])
+    )
 
-    class _TO(Exception):
-        pass
 
-    old = signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(_TO()))
-    sc = spark.sparkContext
-    dog = threading.Timer(160.0, lambda: sc.cancelAllJobs())
-    dog.daemon = True
-    dog.start()
-    # 150s, not 90: under a full-suite run a handful of tests (02000/02003/
-    # 02004) are load-sensitive and blew a 90s budget while passing in
-    # seconds alone — the watchdog is a runaway guard, not a perf gate
-    signal.alarm(150)
-    try:
-        ok, msg = run_golden(
-            spark, f"{BASE}/{name}.sql", f"{BASE}/{name}.reference"
+if _INPROC:
+
+    @pytest.mark.skipif(
+        not os.path.isdir(BASE), reason="reference corpus not present"
+    )
+    @pytest.mark.parametrize("name", CORPUS)
+    def test_golden(name, spark):
+        # per-test guard: a JVM-side runaway can't be interrupted by SIGALRM
+        # alone (the py4j recv blocks), so cancel Spark jobs from a watchdog
+        import signal
+        import threading
+
+        from tools.golden import run_golden
+
+        class _TO(Exception):
+            pass
+
+        old = signal.signal(
+            signal.SIGALRM, lambda *_: (_ for _ in ()).throw(_TO())
         )
-    except _TO:
-        pytest.fail(f"{name}: timed out after 150s")
-    finally:
-        signal.alarm(0)
-        dog.cancel()
-        signal.signal(signal.SIGALRM, old)
-    assert ok, msg
+        sc = spark.sparkContext
+        dog = threading.Timer(160.0, lambda: sc.cancelAllJobs())
+        dog.daemon = True
+        dog.start()
+        signal.alarm(150)
+        try:
+            ok, msg = run_golden(
+                spark, f"{BASE}/{name}.sql", f"{BASE}/{name}.reference"
+            )
+        except _TO:
+            pytest.fail(f"{name}: timed out after 150s")
+        finally:
+            signal.alarm(0)
+            dog.cancel()
+            signal.signal(signal.SIGALRM, old)
+        assert ok, msg

@@ -102,6 +102,31 @@ def test_ngram_jaccard_exact_values(spark, doc_df):
     assert 0.5 < out[(1, 2)] < 1.0
 
 
+def test_ngram_jaccard_hot_shingle_correction(spark):
+    """Round-10 collision-count rewrite: a shingle dropped by the hot guard
+    (freq > max_bucket) must still count toward the reported jaccard of
+    pairs that qualify via a non-hot shingle — |A∩B| = non-hot collisions
+    + |A_hot ∩ B_hot|. Docs 1,2 share hot 'aa bb' AND non-hot 'bb cc':
+    exact jaccard 2/(3+3-2)=0.5. Docs 3-6 share only the hot shingle, so
+    (like the pre-rewrite guarded plan) they are not candidates at all."""
+    rows = [
+        Row(doc_id=1, text="aa bb cc dd"),
+        Row(doc_id=2, text="aa bb cc ee"),
+        Row(doc_id=3, text="aa bb ff gg"),
+        Row(doc_id=4, text="aa bb hh ii"),
+        Row(doc_id=5, text="aa bb jj kk"),
+        Row(doc_id=6, text="aa bb ll mm"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=2, threshold=0.0, max_bucket=5
+        ).collect()
+    }
+    assert out == {(1, 2): 0.5}
+
+
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -113,9 +113,11 @@ def test_dedup_sketch_is_map_side(spark):
     lines = p.splitlines()
     assert "partial_min" in p, "map-side signature fold missing from plan"
     # tree prints parent-first: the line after each Exchange is its child;
-    # exploded shingle rows (__s / per-shingle hash __h) must never feed one
+    # exploded shingle rows (__s / per-shingle hash __h) must never feed one.
+    # Match only REAL Exchange nodes: a ReusedExchange line has no printed
+    # child, so matching it would test an unrelated neighbor line (ADVICE r9)
     for i, l in enumerate(lines):
-        if "Exchange" in l and i + 1 < len(lines):
+        if re.search(r"\bExchange (hash|range|Single|RoundRobin)", l) and i + 1 < len(lines):
             assert "__s#" not in lines[i + 1] and "__h#" not in lines[i + 1], (
                 "exploded shingle rows crossed a shuffle"
             )

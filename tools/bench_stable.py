@@ -44,6 +44,8 @@ def main() -> None:
     spark = get_spark(app_name="bench_stable")
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries and (only is None or n in only)]
+    if not names:
+        sys.exit(f"--only matched no headline queries (have: {', '.join(HEADLINE)})")
 
     def _run(df):
         df.write.format("noop").mode("overwrite").save()
