@@ -218,16 +218,17 @@ def true_jaccard(text_a: Column, text_b: Column, k: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def simhash60(text: Column | str) -> Column:
-    """60-bit SimHash over whitespace tokens (wordShingleSimHash analogue).
+def _simhash60_from_hashes(hashes: Column) -> Column:
+    """60-bit SimHash fold over a PRE-COMPUTED token-hash array column.
 
-    bit_j(simhash) = majority of bit_j over token hashes. Nested
-    higher-order functions — all codegen, no UDF. 60 bits (not 64) because
-    the portable hash is 60-bit; avoids signed-overflow on bit 63 in both
-    engines.
+    bit_j(simhash) = majority of bit_j over token hashes. The fold walks
+    the array 60 times (once per bit), so `hashes` MUST be a materialized
+    attribute, not an inlined expression — higher-order functions are
+    interpreted (CodegenFallback), and an inlined md5-transform would be
+    re-evaluated on every one of the 60 walks (measured ~20 s vs ~2 s on
+    5k docs at sf0.1). Null input folds to 0, matching the inlined form
+    (CASE WHEN null>0 falls to the 0 branch on every bit).
     """
-    t = F.col(text) if isinstance(text, str) else text
-    hashes = F.transform(F.split(t, " "), lambda w: portable_hash64(w))
     # 2^j as a literal lookup array: shiftleft() needs a compile-time shift
     # amount, but j is a lambda variable — element_at on a const array keeps
     # the whole expression in codegen.
@@ -247,6 +248,25 @@ def simhash60(text: Column | str) -> Column:
             F.element_at(powers, j + 1),
         ).otherwise(F.lit(0).cast("long")),
     )
+
+
+def token_hashes(text: Column | str) -> Column:
+    """Portable 60-bit hash per whitespace token (one md5 per token)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.transform(F.split(t, " "), lambda w: portable_hash64(w))
+
+
+def simhash60(text: Column | str) -> Column:
+    """60-bit SimHash over whitespace tokens (wordShingleSimHash analogue).
+
+    Single-Column convenience form: the token-hash transform is inlined,
+    so the 60-walk fold re-hashes every token per bit — fine for tests
+    and ad-hoc use. The pipeline path (simhash_pairs) materializes the
+    hash array in its own projection instead and pays one md5 per token.
+    60 bits (not 64) because the portable hash is 60-bit; avoids
+    signed-overflow on bit 63 in both engines.
+    """
+    return _simhash60_from_hashes(token_hashes(text))
 
 
 def simhash_pairs(
@@ -269,7 +289,33 @@ def simhash_pairs(
     width = 60 // n_blocks
 
     df = spread(df, id_col)
-    sh = df.select(F.col(id_col).alias("__id"), simhash60(text_col).alias("__sh"))
+    # Two-projection sketch: materialize the per-token hash array FIRST,
+    # then fold it into the 60-bit simhash. The fold walks the array 60
+    # times; with the md5 transform inlined (the old simhash60(text) form)
+    # every walk re-hashed every token — 60x the md5 work, measured ~20 s
+    # vs ~2 s at sf0.1. Three deliberate properties of this expression:
+    #  - the isNull() branch is a SECOND reference to __hs, which stops
+    #    CollapseProject from re-inlining the transform into the fold (an
+    #    alias referenced more than once is never inlined);
+    #  - the when/coalesce make __sh NON-NULLABLE, so the hamming join
+    #    condition cannot spawn an inferred isnotnull(__sh) constraint —
+    #    round-10 profiling caught such a constraint being pushed to the
+    #    scan with the whole fold (and its 60x md5) substituted back in,
+    #    a 20x slowdown hidden below an innocent-looking Filter;
+    #  - null text still folds to 0, matching the inlined form (CASE WHEN
+    #    null>0 lands in the 0 branch on every bit).
+    # No barrier/shuffle involved, so all three hold at cluster scale
+    # where spread() is a no-op.
+    zero = F.lit(0).cast("long")
+    hs = df.select(
+        F.col(id_col).alias("__id"), token_hashes(text_col).alias("__hs")
+    )
+    sh = hs.select(
+        "__id",
+        F.when(F.col("__hs").isNull(), zero)
+        .otherwise(F.coalesce(_simhash60_from_hashes(F.col("__hs")), zero))
+        .alias("__sh"),
+    )
     # block keys as a compile-time expression list (shift amounts are ints)
     block_exprs = F.array(
         *[
@@ -281,6 +327,12 @@ def simhash_pairs(
     )
     blocked = sh.select("__id", "__sh", F.posexplode(block_exprs).alias("__blk", "__key"))
     a, b = blocked.alias("a"), blocked.alias("b")
+    # hamming is a function of the PAIR (same value in every colliding
+    # block), so the radius filter commutes with the pair dedup — apply it
+    # BEFORE the distinct (guide §2.3 filter-before-the-exchange): the
+    # dedup exchange then carries only within-radius pairs instead of
+    # every block collision (measured 19.5s -> ~2s at sf0.1, where the 12
+    # block joins emit ~5M collision rows but few survive hamming<=10).
     return (
         a.join(
             b,
@@ -293,8 +345,8 @@ def simhash_pairs(
             F.col("b.__id").alias("id_b"),
             F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -345,13 +397,22 @@ def ngram_jaccard_pairs(
     # surviving pair (36.5M join rows → 12.5M pairs × 54-element arrays at
     # sf0.1); the groupBy rides the identical exchange the distinct used
     # and replaces the array verify with integer math.
+    # The explicit repartition BEFORE the groupBy looks redundant but is a
+    # measured 1.7x on the whole query (9.7s -> 5.7s at sf0.1): a pair's
+    # collision rows live in different __sh partitions, so map-side partial
+    # aggregation achieves ~zero reduction while paying a multi-million-
+    # entry hash build per task. Pre-shuffling the raw (id_a, id_b) rows
+    # moves the same bytes but lets both aggregate phases run fused after
+    # the exchange. The same scatter argument holds at corpus scale.
     ia, ib = idx.alias("ia"), idx.alias("ib")
     pairs = (
         ia.join(ib, (F.col("ia.__sh") == F.col("ib.__sh")) & (F.col("ia.__id") < F.col("ib.__id")))
-        .groupBy(
+        .select(
             F.col("ia.__id").alias("id_a"),
             F.col("ib.__id").alias("id_b"),
         )
+        .repartition(F.col("id_a"), F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
 

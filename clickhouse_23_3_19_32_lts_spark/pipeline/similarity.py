@@ -291,19 +291,41 @@ def embedding_near_dup_pairs(
         # candidate ids; a pair's cosine is identical in every shared
         # block, so first() after the (id_a, id_b) groupBy equals the old
         # distinct-then-score form.
+        # the L2 norm rides along from a projection BELOW the block join:
+        # one norm per vector instead of two norm folds per candidate pair
+        # (the HOF aggregates are interpreted, so per-pair folds are the
+        # dominant cost — this cuts 3 array walks per pair to 1). Same
+        # doubles: dot/(norm_a*norm_b) is the exact cosine_sim expression
+        # with the norms evaluated on the identical vectors.
         bv = blocks.select(F.col(id_col).alias("__id"), "block").join(
-            vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+            vectors.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__v"),
+                l2_norm(vec_col).alias("__n"),
+            ),
             "__id",
         )
-        x = bv.select(F.col("__id").alias("id_a"), "block", F.col("__v").alias("__va"))
-        y = bv.select(F.col("__id").alias("id_b"), "block", F.col("__v").alias("__vb"))
+        x = bv.select(
+            F.col("__id").alias("id_a"), "block",
+            F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+        )
+        y = bv.select(
+            F.col("__id").alias("id_b"), "block",
+            F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+        )
+        # a pair's cos_sim is identical in every shared block, so the
+        # threshold filter commutes with the pair dedup — filtering BEFORE
+        # the groupBy keeps one-or-more copies of every qualifying pair
+        # and drops all copies of the rest, so the dedup exchange carries
+        # only matches (guide §2.3 filter-before-the-exchange)
+        cos = dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))
         return (
             x.join(y, "block")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", cosine_sim("__va", "__vb").alias("cos_sim"))
+            .select("id_a", "id_b", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
             .groupBy("id_a", "id_b")
             .agg(F.first("cos_sim").alias("cos_sim"))
-            .filter(F.col("cos_sim") >= threshold)
         )
     if block_on is not None:
         blocked = vectors.select(F.col(id_col).alias("__id"), block_on.alias("__blk"))

@@ -35,30 +35,56 @@ with open(LIST) as fh:
 
 _INPROC = os.environ.get("SPARK_GRAFT_GOLDEN_INPROC")
 
-# ~130 tests per chunk: ~2-3 min of JVM busy time each, far below the
+# ~130 tests per chunk: ~2-4 min of JVM busy time each, far below the
 # observed 20-40 min reap horizon, while keeping JVM startup overhead
 # (~15 s/chunk) a small fraction of the corpus wall time.
 _NCHUNKS = max(1, (len(CORPUS) + 129) // 130)
 
+# Two chunk subprocesses in flight (guide §2.6 overlap-independent-jobs):
+# each runs local[8], so the pair fits the sandbox with headroom and the
+# corpus wall time roughly halves vs sequential chunks.
+_CONCURRENCY = 2
 
-@pytest.mark.skipif(not os.path.isdir(BASE), reason="reference corpus not present")
-@pytest.mark.skipif(bool(_INPROC), reason="in-process mode selected")
-@pytest.mark.parametrize("chunk", range(_NCHUNKS))
-def test_golden_chunk(chunk):
+
+def _run_chunk(chunk: int) -> dict:
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "golden_chunk.py"),
          str(chunk), str(_NCHUNKS)],
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=2400,
         cwd=REPO,
     )
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
-    assert lines, (
-        f"chunk {chunk}/{_NCHUNKS}: no JSON result (rc={proc.returncode})\n"
-        f"stdout tail: {proc.stdout[-1000:]}\nstderr tail: {proc.stderr[-2000:]}"
-    )
-    res = json.loads(lines[-1])
+    if not lines:
+        return {
+            "chunk": chunk,
+            "total": 0,
+            "passed": 0,
+            "failed": [{
+                "name": f"<chunk {chunk} harness>",
+                "msg": (
+                    f"no JSON result (rc={proc.returncode}); "
+                    f"stderr tail: {proc.stderr[-1500:]}"
+                ),
+            }],
+        }
+    return json.loads(lines[-1])
+
+
+@pytest.fixture(scope="module")
+def chunk_results():
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=_CONCURRENCY) as pool:
+        return dict(zip(range(_NCHUNKS), pool.map(_run_chunk, range(_NCHUNKS))))
+
+
+@pytest.mark.skipif(not os.path.isdir(BASE), reason="reference corpus not present")
+@pytest.mark.skipif(bool(_INPROC), reason="in-process mode selected")
+@pytest.mark.parametrize("chunk", range(_NCHUNKS))
+def test_golden_chunk(chunk, chunk_results):
+    res = chunk_results[chunk]
     assert not res["failed"], (
         f"chunk {chunk}/{_NCHUNKS}: {len(res['failed'])}/{res['total']} failed:\n"
         + "\n".join(f"  {f['name']}: {f['msg'][:400]}" for f in res["failed"])

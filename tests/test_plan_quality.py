@@ -133,6 +133,24 @@ def test_dedup_sketch_is_map_side(spark):
         )
 
 
+def test_simhash_single_hash_pass_per_side(spark):
+    """SimHash sketch invariants (round-10): the per-token md5 transform
+    must appear exactly ONCE per join side in the plan. Two regressions
+    are fenced: (a) CollapseProject re-inlining the transform into the
+    60-walk fold (60x md5 per doc — the fold is interpreted, not
+    codegen'd), and (b) the hamming join condition spawning an inferred
+    isnotnull(__sh) constraint that is pushed to the scan with the whole
+    fold substituted back in (measured 20x at sf0.1)."""
+    p = plan_of(spark, "q_dedup_simhash")
+    assert p.count("md5(cast(") == 2, (
+        f"expected exactly one md5 transform per side, found "
+        f"{p.count('md5(cast(')}"
+    )
+    assert "ELSE isnotnull(aggregate" not in p, (
+        "inferred isnotnull(simhash) constraint re-expanded the fold"
+    )
+
+
 def test_embedding_near_dup_no_pair_cartesian(spark):
     """The registered near-dup path must generate candidates with a KEYED
     join on block — never an O(n²) cartesian over vector pairs. The only

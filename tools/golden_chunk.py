@@ -95,34 +95,56 @@ def main() -> int:
     chunk = corpus[lo:hi]
 
     spark = _fresh_spark(str(idx))
-    failed: list[dict[str, str]] = []
     old = signal.signal(
         signal.SIGALRM, lambda *_: (_ for _ in ()).throw(_Timeout())
     )
+
+    def _run_one(sp, name):
+        sc = sp.sparkContext
+        dog = threading.Timer(
+            PER_TEST_TIMEOUT + 10.0, lambda sc=sc: sc.cancelAllJobs()
+        )
+        dog.daemon = True
+        dog.start()
+        signal.alarm(PER_TEST_TIMEOUT)
+        try:
+            return run_golden(
+                sp, f"{BASE}/{name}.sql", f"{BASE}/{name}.reference"
+            )
+        except _Timeout:
+            return False, f"timed out after {PER_TEST_TIMEOUT}s"
+        except Exception as exc:  # noqa: BLE001
+            return False, f"{type(exc).__name__}: {exc}"
+        finally:
+            signal.alarm(0)
+            dog.cancel()
+
+    failed: list[dict[str, str]] = []
     try:
         for name in chunk:
-            sc = spark.sparkContext
-            dog = threading.Timer(
-                PER_TEST_TIMEOUT + 10.0, lambda sc=sc: sc.cancelAllJobs()
-            )
-            dog.daemon = True
-            dog.start()
-            signal.alarm(PER_TEST_TIMEOUT)
-            try:
-                ok, msg = run_golden(
-                    spark, f"{BASE}/{name}.sql", f"{BASE}/{name}.reference"
-                )
-            except _Timeout:
-                ok, msg = False, f"timed out after {PER_TEST_TIMEOUT}s"
-            except Exception as exc:  # noqa: BLE001
-                ok, msg = False, f"{type(exc).__name__}: {exc}"
-            finally:
-                signal.alarm(0)
-                dog.cancel()
+            ok, msg = _run_one(spark, name)
             if not ok:
                 failed.append({"name": name, "msg": str(msg)[:2000]})
                 if not _healthy(spark):
                     spark = _fresh_spark(f"{idx}r")
+        # Retry pass: a handful of corpus entries (the 013xx overflow
+        # repros, load-sensitive 02000*) can kill or wedge the JVM when
+        # they land on a bad memory/load state yet pass in isolation —
+        # round 9 documented every such "failure" passing alone. Re-run
+        # each failure ONCE in a brand-new JVM; genuine semantic
+        # regressions fail deterministically and still fail here.
+        if failed:
+            spark = _fresh_spark(f"{idx}retry")
+            persistent: list[dict[str, str]] = []
+            for f in failed:
+                ok, msg = _run_one(spark, f["name"])
+                if not ok:
+                    persistent.append(
+                        {"name": f["name"], "msg": str(msg)[:2000]}
+                    )
+                    if not _healthy(spark):
+                        spark = _fresh_spark(f"{idx}retry2")
+            failed = persistent
     finally:
         signal.signal(signal.SIGALRM, old)
         try:
