@@ -61,6 +61,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _sql(spark: SparkSession, sf_dir: str, tables: list[str], stmt: str) -> DataFrame:
+    """Build a query as ONE SQL statement over per-call temp views.
+
+    Driver-side construction cost: a DataFrame-API star builder makes
+    hundreds of py4j round trips (~0.5 ms each); one spark.sql() parse is
+    ~10 ms. Views are (re)registered from `sf_dir` on EVERY call, so
+    successive builds against different scale factors never see stale
+    views, and the underlying reads go through the memoized
+    read_parquet_table. Plans are identical to the DataFrame form
+    (broadcast hints mirror the F.broadcast calls) — fenced in
+    tests/test_plan_quality.py and hash-proven against the oracle."""
+    for t in tables:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__t_{t}")
+    return spark.sql(stmt)
+
+
 # ---------------------------------------------------------------------------
 # §2.4 Aggregation — scan → filter → partial/final hash agg → sort
 # ---------------------------------------------------------------------------
@@ -201,28 +217,28 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way star join. Dims broadcast; only lineitem⋈orders shuffles."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+    """TPC-H Q5: 6-way star join. Dims broadcast; only lineitem⋈orders
+    shuffles. Single-SQL construction (round 10): same plan as the
+    DataFrame form, ~2x cheaper to build driver-side."""
+    return _sql(
+        spark, sf_dir,
+        ["lineitem", "orders", "customer", "supplier", "nation", "region"],
+        """
+        SELECT /*+ BROADCAST(c, s, n, r) */ n.n_name,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM __t_lineitem l
+        JOIN (SELECT * FROM __t_orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <  TIMESTAMP '1997-01-01') o
+          ON l.l_orderkey = o.o_orderkey
+        JOIN __t_customer c ON o.o_custkey = c.c_custkey
+        JOIN __t_supplier s
+          ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN __t_nation n ON s.s_nationkey = n.n_nationkey
+        JOIN __t_region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n_name
+        """,
     )
 
 

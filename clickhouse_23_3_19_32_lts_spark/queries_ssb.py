@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clickhouse_23_3_19_32_lts_spark.queries import _t, query
+from clickhouse_23_3_19_32_lts_spark.queries import _sql, _t, query
 
 
 @query(
@@ -118,38 +118,31 @@ def ssb_q2_1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ssb_q3_1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SSB Q3.1: intra-region trade by nation pair and year."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate").between(1996, 1997))
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    cn = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("cn_key"),
-        F.col("n_name").alias("c_nation"),
-        F.col("n_regionkey").alias("cn_region"),
-    )
-    sn = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("sn_key"),
-        F.col("n_name").alias("s_nation"),
-        F.col("n_regionkey").alias("sn_region"),
-    )
-    cr = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
-        F.col("r_regionkey").alias("cr_key")
-    )
-    sr = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
-        F.col("r_regionkey").alias("sr_key")
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(cr), F.col("cn_region") == F.col("cr_key"))
-        .join(F.broadcast(sr), F.col("sn_region") == F.col("sr_key"))
-        .groupBy("c_nation", "s_nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .orderBy("o_year", F.desc("revenue"), "c_nation", "s_nation")
+    """SSB Q3.1: intra-region trade by nation pair and year. Single-SQL
+    construction (round 10): same all-broadcast plan, ~2x cheaper build."""
+    return _sql(
+        spark, sf_dir,
+        ["lineitem", "orders", "customer", "supplier", "nation", "region"],
+        """
+        SELECT /*+ BROADCAST(c, s, cn, sn, cr, sr) */
+               cn.n_name AS c_nation, sn.n_name AS s_nation,
+               year(o.o_orderdate) AS o_year,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM __t_lineitem l
+        JOIN (SELECT * FROM __t_orders
+              WHERE year(o_orderdate) BETWEEN 1996 AND 1997) o
+          ON l.l_orderkey = o.o_orderkey
+        JOIN __t_customer c ON o.o_custkey = c.c_custkey
+        JOIN __t_supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN __t_nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN __t_nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN __t_region cr
+          ON cn.n_regionkey = cr.r_regionkey AND cr.r_name = 'ASIA'
+        JOIN __t_region sr
+          ON sn.n_regionkey = sr.r_regionkey AND sr.r_name = 'ASIA'
+        GROUP BY cn.n_name, sn.n_name, year(o.o_orderdate)
+        ORDER BY o_year, revenue DESC, c_nation, s_nation
+        """,
     )
 
 
@@ -172,33 +165,30 @@ def ssb_q3_1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ssb_q4_1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSB Q4.1: profit (revenue − tax proxy for supplycost) by year ×
-    customer nation over selected part types."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_type").isin("ECONOMY", "PROMO"))
-    cn = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("cn_key"),
-        F.col("n_name").alias("c_nation"),
-        F.col("n_regionkey").alias("cn_region"),
-    )
-    cr = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select(
-        F.col("r_regionkey").alias("cr_key")
-    )
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "l_extendedprice"
-    ) * F.col("l_tax")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(cr), F.col("cn_region") == F.col("cr_key"))
-        .groupBy(F.year("o_orderdate").alias("o_year"), "c_nation")
-        .agg(F.sum(profit).alias("profit"))
-        .orderBy("o_year", "c_nation")
+    customer nation over selected part types. Single-SQL construction
+    (round 10): same all-broadcast plan, ~2x cheaper build."""
+    return _sql(
+        spark, sf_dir,
+        ["lineitem", "orders", "customer", "supplier", "part", "nation",
+         "region"],
+        """
+        SELECT /*+ BROADCAST(c, s, p, cn, cr) */
+               year(o.o_orderdate) AS o_year, cn.n_name AS c_nation,
+               sum(l.l_extendedprice * (1 - l.l_discount)
+                   - l.l_extendedprice * l.l_tax) AS profit
+        FROM __t_lineitem l
+        JOIN __t_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN __t_customer c ON o.o_custkey = c.c_custkey
+        JOIN __t_supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN (SELECT * FROM __t_part
+              WHERE p_type IN ('ECONOMY', 'PROMO')) p
+          ON l.l_partkey = p.p_partkey
+        JOIN __t_nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN __t_region cr
+          ON cn.n_regionkey = cr.r_regionkey AND cr.r_name = 'AMERICA'
+        GROUP BY year(o.o_orderdate), cn.n_name
+        ORDER BY o_year, c_nation
+        """,
     )
 
 
